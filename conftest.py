@@ -1,0 +1,24 @@
+"""Pytest bootstrap: force CPU JAX with a virtual 8-device mesh.
+
+Multi-chip sharding is validated on a host-platform device mesh (the
+TPU-world equivalent of "test multi-node without a cluster" — SURVEY.md §4).
+x64 is enabled so golden-value comparisons against the float64 reference can
+use tight tolerances; float32 behavior is tested with explicit dtypes.
+
+Env vars alone are not enough here: a pytest plugin may import jax before
+this file's module body runs, so the config is also set programmatically
+(safe as long as no backend/trace has been created yet).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")

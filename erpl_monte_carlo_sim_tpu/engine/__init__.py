@@ -1,0 +1,15 @@
+"""Flight engine: rail phase, 6DOF RK4 integration, masked events."""
+
+from .config import SimConfig
+from .dynamics import rocket_dynamics
+from .integrator import EventState, StepCarry, advance, init_carry, rk4_step
+from .rail import RailInfo, simulate_rail
+from .simulate import FlightSummary, Trajectory, simulate_flight, simulate_summary
+from .state import FlightState, InitialConditions, initial_state
+
+__all__ = [
+    "SimConfig", "rocket_dynamics", "EventState", "StepCarry", "advance",
+    "init_carry", "rk4_step", "RailInfo", "simulate_rail", "FlightSummary",
+    "Trajectory", "simulate_flight", "simulate_summary", "FlightState",
+    "InitialConditions", "initial_state",
+]

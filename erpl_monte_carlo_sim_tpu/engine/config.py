@@ -1,0 +1,65 @@
+"""Integration / event configuration (static, hashable).
+
+Mirrors the reference's hard-coded integrator knobs
+(`/root/reference/rocket_simulation/simulator.py:18-40,209,237-264`) as one
+frozen dataclass. It is passed to the jitted entry points as a STATIC
+argument: every field is baked into the compiled program as a constant, so
+there is no data-dependent control flow and no per-step scalar traffic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+__all__ = ["SimConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static integration parameters.
+
+    Defaults reproduce the reference exactly:
+      * main RK4 step 5 ms (`simulator.py:209` caps dt_initial at 0.005),
+      * rail forward-Euler step 10 ms (`simulator.py:20,61`),
+      * 18.288 m rail (`simulator.py:42`),
+      * 300 s max flight (`simulator.py:19`),
+      * pitch/yaw damping 20 N m s/rad (`simulator.py:36-37`),
+      * ground at 0.5 m with descending velocity (`simulator.py:237-239`),
+      * 100 km unphysical-altitude cutoff (`simulator.py:241-244`),
+      * apogee detection above 1 km + tiered coast timeouts 60/120/300 s
+        above 50/25 km (`simulator.py:246-264`).
+    """
+
+    dt: float = 0.005
+    rail_dt: float = 0.01
+    max_time: float = 300.0
+    rail_length: float = 18.288
+    max_rail_steps: int = 4096  # static bound; reference rail exits in ~90 steps
+
+    pitch_damping: float = 20.0
+    yaw_damping: float = 20.0
+
+    ground_altitude: float = 0.5
+    excessive_altitude: float = 100000.0
+    apogee_min_altitude: float = 1000.0
+    coast_alt_hi: float = 50000.0
+    coast_alt_mid: float = 25000.0
+    coast_time_hi: float = 60.0
+    coast_time_mid: float = 120.0
+    coast_time_lo: float = 300.0
+
+    # Engine improvement over the reference: terminate a lane as diverged the
+    # moment its state stops being finite (the reference runs NaN lanes to
+    # max_time and relies on the outlier filter; see SURVEY.md §6).
+    terminate_nonfinite: bool = True
+
+    # Trajectory mode: record the derived per-step quantities the reference
+    # recomputes in its second hot loop (`simulator.py:462-584`), fused into
+    # the scan instead.
+    record_derived: bool = True
+
+    @property
+    def max_steps(self) -> int:
+        """Static bound on main-loop steps (reference worst case: rail_time~0)."""
+        return int(math.ceil(self.max_time / self.dt))

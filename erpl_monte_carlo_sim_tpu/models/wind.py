@@ -1,0 +1,173 @@
+"""Wind field model: profile tables, stochastic turbulence, CSV forecasts.
+
+Functional parity with `/root/reference/rocket_simulation/environment.py:110-276`
+(WindModel), re-designed TPU-first:
+
+  * a wind field is a frozen pytree of ``(altitudes[N], wind[N,3])`` — the
+    in-flight query is ONE fused searchsorted+gather (`interpolate_vec`)
+    instead of three ``np.interp`` calls,
+  * the "no wind" case is a 2-point zero table, so the jitted dynamics step
+    has no wind/no-wind branch at all,
+  * the AR(1) altitude-correlated turbulence generator
+    (`environment.py:125-200`) is a ``lax.scan`` over the altitude grid
+    driven by ``jax.random`` keys — reproducible by construction and
+    vmappable over a Monte Carlo batch of keys,
+  * the perturb-a-forecast variant (`environment.py:218-265`) shares the same
+    scan core (the reference duplicates the loop).
+
+Distribution parity (not bitwise parity — the reference uses NumPy MT19937):
+sigma = 2 m/s decaying exp(-h/2000), correlation exp(-dh/100) clipped to
+[0.1, 0.95], innovation sigma*sqrt(max(1-rho^2, 0.01)), vertical x0.3.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.interp import interpolate_vec
+
+__all__ = [
+    "WindField",
+    "WindModelParams",
+    "wind_at_altitude",
+    "power_law_profile",
+    "generate_stochastic_profile",
+    "perturb_wind_profile",
+    "load_wind_profile_from_csv",
+]
+
+
+@struct.dataclass
+class WindField:
+    """Altitude-indexed wind table. ``altitudes[N]`` ascending, ``wind[N,3]``."""
+
+    altitudes: jnp.ndarray
+    wind: jnp.ndarray
+
+    @classmethod
+    def zero(cls, dtype=jnp.float32) -> "WindField":
+        """A no-wind field (the reference's ``wind_profile=None`` path,
+        `simulator.py:333-338`) as a degenerate 2-point zero table."""
+        return cls(
+            altitudes=jnp.array([0.0, 1.0], dtype=dtype),
+            wind=jnp.zeros((2, 3), dtype=dtype),
+        )
+
+    @classmethod
+    def from_arrays(cls, altitudes, wind) -> "WindField":
+        return cls(altitudes=jnp.asarray(altitudes), wind=jnp.asarray(wind))
+
+
+@struct.dataclass
+class WindModelParams:
+    """Turbulence-generation constants (`environment.py:113-116`)."""
+
+    power_law_exponent: jnp.ndarray = 0.14
+    turbulence_intensity: jnp.ndarray = 2.0  # m/s
+    correlation_length: jnp.ndarray = 100.0  # m
+
+
+def wind_at_altitude(field: WindField, altitude) -> jnp.ndarray:
+    """Interpolated [u, v, w] at ``altitude`` (`environment.py:267-276`)."""
+    return interpolate_vec(altitude, field.altitudes, field.wind)
+
+
+def power_law_profile(p: WindModelParams, altitude, reference_wind_speed,
+                      reference_altitude=10.0) -> jnp.ndarray:
+    """Power-law shear profile (`environment.py:118-123`; the reference's
+    if/else branches are identical, so this is one expression)."""
+    return reference_wind_speed * (altitude / reference_altitude) ** p.power_law_exponent
+
+
+def _ar1_scan(p: WindModelParams, key, altitudes, mean_uv, mean_w=None):
+    """Shared AR(1) turbulence core over an altitude grid.
+
+    ``mean_uv``: [N,2] mean horizontal wind; ``mean_w``: [N] mean vertical
+    (zero for synthesized profiles). Returns [N,3] total wind.
+    """
+    n = altitudes.shape[0]
+    dtype = mean_uv.dtype
+    if mean_w is None:
+        mean_w = jnp.zeros((n,), dtype=dtype)
+
+    sigma = p.turbulence_intensity * jnp.exp(-altitudes / 2000.0)
+    dh = jnp.maximum(jnp.diff(altitudes, prepend=altitudes[:1]), 1e-6)
+    rho = jnp.clip(jnp.exp(-dh / p.correlation_length), 0.1, 0.95)
+    innov_sigma = sigma * jnp.sqrt(jnp.maximum(1.0 - rho**2, 0.01))
+
+    noise = jax.random.normal(key, (n, 3), dtype=dtype)
+
+    # First point: independent draw at full sigma (`environment.py:155-164`).
+    turb0 = jnp.array([1.0, 1.0, 0.3], dtype=dtype) * sigma[0] * noise[0]
+
+    def step(turb_prev, inputs):
+        rho_i, innov_i, noise_i = inputs
+        scale = innov_i * jnp.array([1.0, 1.0, 0.3], dtype=dtype)
+        turb = rho_i * turb_prev + scale * noise_i
+        return turb, turb
+
+    _, turb_rest = jax.lax.scan(
+        step, turb0, (rho[1:], innov_sigma[1:], noise[1:])
+    )
+    turb = jnp.concatenate([turb0[None, :], turb_rest], axis=0)
+    mean = jnp.concatenate([mean_uv, mean_w[:, None]], axis=1)
+    return mean + turb
+
+
+def generate_stochastic_profile(
+    p: WindModelParams,
+    key: jax.Array,
+    altitudes,
+    base_wind_speed,
+    base_wind_direction=None,
+) -> jnp.ndarray:
+    """Synthesize a stochastic wind profile (`environment.py:125-200`).
+
+    Mean wind is the power-law shear projected on ``base_wind_direction``
+    (drawn uniform [0, 2pi) from ``key`` when None); turbulence is the AR(1)
+    process above. Returns [N, 3].
+    """
+    altitudes = jnp.asarray(altitudes)
+    dir_key, turb_key = jax.random.split(key)
+    if base_wind_direction is None:
+        base_wind_direction = jax.random.uniform(
+            dir_key, (), minval=0.0, maxval=2.0 * jnp.pi
+        )
+    speed = power_law_profile(p, altitudes, base_wind_speed)
+    mean_uv = jnp.stack(
+        [speed * jnp.cos(base_wind_direction), speed * jnp.sin(base_wind_direction)],
+        axis=1,
+    )
+    return _ar1_scan(p, turb_key, altitudes, mean_uv)
+
+
+def perturb_wind_profile(
+    p: WindModelParams, key: jax.Array, altitudes, base_profile
+) -> jnp.ndarray:
+    """Add AR(1) turbulence around a forecast (`environment.py:218-265`).
+
+    ``base_profile`` is [N,3]; all three components (including w) keep their
+    forecast mean, matching the reference.
+    """
+    altitudes = jnp.asarray(altitudes)
+    base_profile = jnp.asarray(base_profile)
+    return _ar1_scan(
+        p, key, altitudes, base_profile[:, :2], mean_w=base_profile[:, 2]
+    )
+
+
+def load_wind_profile_from_csv(file_path: str):
+    """Load an ``altitude,u,v[,w]`` CSV forecast (`environment.py:202-216`).
+
+    Host-side IO (NumPy); returns plain ndarrays for WindField.from_arrays.
+    """
+    data = np.genfromtxt(file_path, delimiter=",", names=True)
+    altitudes = np.atleast_1d(data["altitude"])
+    if "w" in data.dtype.names:
+        wind = np.vstack([data["u"], data["v"], data["w"]]).T
+    else:
+        wind = np.vstack([data["u"], data["v"], np.zeros_like(altitudes)]).T
+    return altitudes, wind
