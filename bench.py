@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark: Monte Carlo trajectories/sec/chip at 1k-step flights.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Baseline (BASELINE.md): the reference integrates ~1,640 RK4 steps/s on one
+CPU core including its extraction loop, i.e. ~1.64 flights/s at 1k steps.
+``vs_baseline`` is speedup per chip over that single-core number.
+
+The benchmarked config matches BASELINE.json config 3: fully dispersed lanes
+(mass/thrust/density multipliers, per-lane stochastic wind profiles, IC
+offsets) on one chip, ~1k RK4 steps each, full summary statistics.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from erpl_monte_carlo_sim_tpu.engine import (
+        InitialConditions,
+        SimConfig,
+        simulate_summary,
+    )
+    from erpl_monte_carlo_sim_tpu.mc import sample_dispersions, scene_in_axes
+    from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    # ~1k main-loop steps: rail exit ~0.87 s + 1024 * 5 ms
+    cfg = SimConfig(max_time=6.0)
+
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    scene_b, ic_b, _ = sample_dispersions(jax.random.PRNGKey(0), scene, ic, n=B)
+    axes = scene_in_axes(scene, scene_b)
+    run = jax.jit(
+        jax.vmap(simulate_summary, in_axes=(axes, 0, None)), static_argnums=2
+    )
+
+    # Warm-up / compile. NOTE: block_until_ready does not synchronize on the
+    # axon platform — a host readback is the sync point.
+    r = run(scene_b, ic_b, cfg)
+    np.asarray(r.apogee_altitude)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        r = run(scene_b, ic_b, cfg)
+        apo = np.asarray(r.apogee_altitude)
+        times.append(time.time() - t0)
+    t = min(times)
+    steps = int(np.asarray(r.n_steps).max())
+
+    # Single-flight p50 latency (full nominal flight to landing, ~41k steps)
+    full_cfg = SimConfig()
+    single = jax.jit(simulate_summary, static_argnums=2)
+    s = single(scene, ic, full_cfg)
+    float(s.apogee_altitude)
+    lat = []
+    for _ in range(3):
+        t0 = time.time()
+        s = single(scene, ic, full_cfg)
+        float(s.apogee_altitude)
+        lat.append(time.time() - t0)
+
+    value = B / t
+    baseline = 1.64  # reference-equivalent 1k-step flights/s on 1 CPU core
+    print(json.dumps({
+        "metric": "mc_trajectories_per_sec_per_chip_1k_steps",
+        "value": round(value, 1),
+        "unit": "trajectories/s/chip",
+        "vs_baseline": round(value / baseline, 1),
+        "batch": B,
+        "steps": steps,
+        "wall_s": round(t, 4),
+        "single_flight_p50_s": round(sorted(lat)[1], 3),
+        "single_flight_apogee_m": round(float(s.apogee_altitude), 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,12 +13,13 @@ this file's module body runs, so the config is also set programmatically
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+# The env vars alone don't stick on this machine: the axon TPU plugin's
+# sitecustomize forces JAX_PLATFORMS=axon, and jax 0.9 ignores
+# --xla_force_host_platform_device_count. Programmatic config wins.
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,17 @@
+"""Monte Carlo layer: dispersion sampling, vmapped execution, masked stats."""
+
+from .analyzer import MonteCarloAnalyzer
+from .dispersions import (
+    DispersionSample,
+    UncertaintyParams,
+    sample_dispersions,
+    scene_in_axes,
+)
+from .filter import OutlierBounds, decode_reasons, outlier_mask
+from .stats import PERCENTILES, masked_stats
+
+__all__ = [
+    "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
+    "sample_dispersions", "scene_in_axes", "OutlierBounds", "decode_reasons",
+    "outlier_mask", "PERCENTILES", "masked_stats",
+]

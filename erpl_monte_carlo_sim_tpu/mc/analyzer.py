@@ -1,0 +1,295 @@
+"""Monte Carlo orchestrator: vmap over dispersions, shard over a mesh.
+
+The TPU-native replacement for the reference's ``MonteCarloAnalyzer``
+(`/root/reference/rocket_simulation/monte_carlo.py:17-473`):
+
+  reference                               this framework
+  ---------------------------------------------------------------------
+  ProcessPoolExecutor + pickle            jit(vmap(simulate_summary))
+  np.random.seed(i) per sample            jax.random.split per lane
+  per-future exception swallowing         diverged/NaN lane masks
+  Python loops over result dicts          masked on-device reductions
+  deepcopy per perturbed object           one batched Scene pytree
+  chunking for "optimized" mode           sharding the batch axis over a
+                                          jax.sharding.Mesh (ICI collectives)
+
+The analysis dict keeps the reference's schema (keys at
+`monte_carlo.py:461-471`) so reports, plots, and post-hoc CLIs port over.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.config import SimConfig
+from ..engine.simulate import simulate_flight, simulate_summary
+from ..engine.state import InitialConditions
+from ..models.scene import Scene, nominal_scene
+from .dispersions import UncertaintyParams, sample_dispersions, scene_in_axes
+from .filter import OutlierBounds, decode_reasons, outlier_mask
+from .stats import masked_stats
+
+__all__ = ["MonteCarloAnalyzer"]
+
+
+def _as_ic(initial_conditions) -> InitialConditions:
+    if isinstance(initial_conditions, InitialConditions):
+        return initial_conditions
+    return InitialConditions.create(
+        position=initial_conditions.get("position", (0.0, 0.0, 0.0)),
+        velocity=initial_conditions.get("velocity", (0.0, 0.0, 0.0)),
+        attitude=initial_conditions.get("attitude", (0.0, 0.0, 0.0)),
+        angular_velocity=initial_conditions.get("angular_velocity", (0.0, 0.0, 0.0)),
+    )
+
+
+def _stats_to_py(s: dict) -> dict:
+    return {
+        "mean": float(s["mean"]),
+        "std": float(s["std"]),
+        "min": float(s["min"]),
+        "max": float(s["max"]),
+        "percentiles": [float(v) for v in np.asarray(s["percentiles"])],
+    }
+
+
+class MonteCarloAnalyzer:
+    """Dispersion analysis over a scene. Mirrors the reference's constructor
+    shape (`monte_carlo.py:20-50`) — pass a full ``scene`` or the parts.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``batch`` axis; the lane
+    dimension is sharded across it and statistics reduce with XLA
+    collectives. Without a mesh, runs on the default device.
+    """
+
+    def __init__(
+        self,
+        rocket=None,
+        motor=None,
+        atmosphere=None,
+        wind_model=None,
+        *,
+        scene: Optional[Scene] = None,
+        uncertainty_params: UncertaintyParams = UncertaintyParams(),
+        sim_config: SimConfig = SimConfig(),
+        bounds: OutlierBounds = OutlierBounds(),
+        mesh=None,
+    ):
+        if scene is None:
+            if motor is None:
+                raise ValueError("provide either scene= or at least a motor")
+            scene = nominal_scene(motor)
+            if rocket is not None:
+                scene = scene.replace(rocket=rocket)
+            if atmosphere is not None:
+                scene = scene.replace(atmosphere=atmosphere)
+            if wind_model is not None:
+                scene = scene.replace(wind_model=wind_model)
+        self.scene = scene
+        self.uncertainty_params = uncertainty_params
+        self.sim_config = sim_config
+        self.bounds = bounds
+        self.mesh = mesh
+
+        # Forecast-driven runs (`monte_carlo.py:31-32`, set by `example.py:58-59`).
+        self.base_altitude_profile = None
+        self.base_wind_profile = None
+
+        # Kept for re-simulation (trajectory clouds, per-sim exports).
+        self._last_batch = None
+
+    # ------------------------------------------------------------------ run
+    def run_monte_carlo(
+        self,
+        initial_conditions,
+        n_samples: int = 1000,
+        n_processes=None,  # accepted for API parity; parallelism is the mesh
+        optimized: bool = False,  # parity flag; there is only the fast path
+        seed: int = 0,
+        materialize_results: Optional[int] = None,
+    ) -> dict:
+        """Run ``n_samples`` dispersed flights and analyze.
+
+        Returns the reference-schema analysis dict (`monte_carlo.py:461-471`)
+        plus SoA extras (``summary``, ``valid_mask``, ``reasons``,
+        ``sample``) and a ``performance`` block.
+        """
+        del n_processes, optimized
+        ic = _as_ic(initial_conditions)
+        base_wind = None
+        if self.base_wind_profile is not None and self.base_altitude_profile is not None:
+            base_wind = (self.base_altitude_profile, self.base_wind_profile)
+
+        t_start = time.time()
+        key = jax.random.PRNGKey(seed)
+        scene_b, ic_b, sample = sample_dispersions(
+            key, self.scene, ic, self.uncertainty_params, n_samples,
+            base_wind=base_wind,
+        )
+        axes = scene_in_axes(self.scene, scene_b)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P("batch"))
+            def put(x):
+                return jax.device_put(x, shard) if jnp.ndim(x) >= 1 and x.shape[0] == n_samples else x
+            scene_b = jax.tree.map(put, scene_b)
+            ic_b = jax.tree.map(put, ic_b)
+
+        run = jax.jit(
+            jax.vmap(simulate_summary, in_axes=(axes, 0, None)),
+            static_argnums=2,
+        )
+        summary = run(scene_b, ic_b, self.sim_config)
+        valid, reasons = outlier_mask(summary, self.bounds)
+
+        stats = {
+            "apogee_altitude": masked_stats(summary.apogee_altitude, valid),
+            "range": masked_stats(summary.range, valid),
+            "flight_time": masked_stats(summary.flight_time, valid),
+        }
+        # Force everything to host once (also serves as the sync point).
+        summary_np = jax.tree.map(np.asarray, summary)
+        valid_np = np.asarray(valid)
+        reasons_np = np.asarray(reasons)
+        stats_py = {k: _stats_to_py(v) for k, v in stats.items()}
+        elapsed = time.time() - t_start
+
+        self._last_batch = (scene_b, ic_b, axes)
+
+        n_valid = int(valid_np.sum())
+        n_outliers = n_samples - n_valid
+        sample_np = jax.tree.map(np.asarray, sample)
+
+        analysis = {
+            "n_samples": n_valid,
+            "n_failed": 0,  # lanes cannot "fail"; divergence is an outlier
+            "n_outliers": n_outliers,
+            "apogee_altitude": stats_py["apogee_altitude"],
+            "range": stats_py["range"],
+            "flight_time": stats_py["flight_time"],
+            "parameter_ranges_observed": self._parameter_ranges(sample_np, valid_np),
+            "summary": summary_np,
+            "sample": sample_np,
+            "valid_mask": valid_np,
+            "reasons": reasons_np,
+            "initial_conditions": ic,
+            "performance": {
+                "total_time": elapsed,
+                "simulations_per_second": n_samples / max(elapsed, 1e-9),
+                "cores_used": (
+                    self.mesh.devices.size if self.mesh is not None
+                    else jax.device_count()
+                ),
+            },
+        }
+        limit = n_samples if materialize_results is None else materialize_results
+        analysis["results"] = self._materialize_records(
+            summary_np, sample_np, valid_np, reasons_np, want_valid=True, limit=limit
+        )
+        analysis["outliers"] = self._materialize_records(
+            summary_np, sample_np, valid_np, reasons_np, want_valid=False, limit=limit
+        )
+        return analysis
+
+    def run_optimized_monte_carlo(self, initial_conditions, n_samples=1000,
+                                  chunk_size=None, **kw) -> dict:
+        """API parity with `monte_carlo.py:92-154` — the vmapped path IS the
+        optimized path; ``chunk_size`` is meaningless on a device mesh."""
+        del chunk_size
+        return self.run_monte_carlo(initial_conditions, n_samples, **kw)
+
+    # ------------------------------------------------------- trajectories
+    def resimulate_trajectories(self, lane_ids, sim_config: Optional[SimConfig] = None):
+        """Re-run selected lanes with full trajectory recording.
+
+        Determinism-by-key makes any lane exactly re-creatable
+        (the TPU-native version of the reference's persist-every-trajectory
+        strategy, `monte_carlo.py:510-517`): the Monte Carlo pass stores only
+        summaries, and plotting/export re-simulates the handful of lanes it
+        needs. Returns ``(summary, trajectory)`` batched over ``lane_ids``.
+        """
+        if self._last_batch is None:
+            raise RuntimeError("run_monte_carlo first")
+        scene_b, ic_b, axes = self._last_batch
+        ids = jnp.asarray(lane_ids)
+
+        # Slice batched leaves (those that gained an axis vs the base scene);
+        # shared tables pass through untouched.
+        base_leaves = jax.tree.leaves(self.scene)
+        batch_leaves = jax.tree.leaves(scene_b)
+        sel_leaves = [
+            jnp.take(b, ids, axis=0) if jnp.ndim(b) > jnp.ndim(base) else b
+            for base, b in zip(base_leaves, batch_leaves)
+        ]
+        scene_sel = jax.tree.unflatten(jax.tree.structure(scene_b), sel_leaves)
+        ic_sel = jax.tree.map(lambda x: jnp.take(x, ids, axis=0), ic_b)
+        cfg = sim_config or self.sim_config
+        run = jax.jit(
+            jax.vmap(simulate_flight, in_axes=(axes, 0, None)), static_argnums=2
+        )
+        return run(scene_sel, ic_sel, cfg)
+
+    # ------------------------------------------------------------ helpers
+    @staticmethod
+    def _parameter_ranges(sample_np, valid_np) -> dict:
+        """Observed min/max of each dispersion parameter over valid lanes
+        (`monte_carlo.py:424-441`)."""
+        out = {}
+        if valid_np.sum() == 0:
+            return out
+        for name in (
+            "initial_position_offset", "initial_velocity_offset",
+            "initial_attitude_offset", "initial_angular_velocity_offset",
+            "mass_multiplier", "thrust_multiplier", "wind_speed",
+            "wind_direction", "density_multiplier",
+        ):
+            arr = getattr(sample_np, name)[valid_np]
+            out[name] = {
+                "min": arr.min(axis=0).tolist(),
+                "max": arr.max(axis=0).tolist(),
+            }
+        return out
+
+    @staticmethod
+    def _materialize_records(summary_np, sample_np, valid_np, reasons_np,
+                             want_valid: bool, limit: int) -> list:
+        """Light per-sim records (reference's per-result dicts minus the full
+        histories, which `resimulate_trajectories` regenerates on demand)."""
+        idx = np.nonzero(valid_np if want_valid else ~valid_np)[0][:limit]
+        records = []
+        for i in idx:
+            rec = {
+                "simulation_id": int(i),
+                "apogee_altitude": float(summary_np.apogee_altitude[i]),
+                "apogee_time": float(summary_np.apogee_time[i]),
+                "range": float(summary_np.range[i]),
+                "flight_time": float(summary_np.flight_time[i]),
+                "max_speed": float(summary_np.max_speed[i]),
+                "landing_position": summary_np.landing_position[i].tolist(),
+                "rail_exit_speed": float(summary_np.rail.rail_exit_speed[i]),
+                "rail_exit_time": float(summary_np.rail.rail_exit_time[i]),
+                "parachute_deployed": bool(summary_np.parachute_deployed[i]),
+                "parameters": {
+                    "initial_position_offset": sample_np.initial_position_offset[i].tolist(),
+                    "initial_velocity_offset": sample_np.initial_velocity_offset[i].tolist(),
+                    "initial_attitude_offset": sample_np.initial_attitude_offset[i].tolist(),
+                    "initial_angular_velocity_offset": sample_np.initial_angular_velocity_offset[i].tolist(),
+                    "mass_multiplier": float(sample_np.mass_multiplier[i]),
+                    "thrust_multiplier": float(sample_np.thrust_multiplier[i]),
+                    "wind_speed": float(sample_np.wind_speed[i]),
+                    "wind_direction": float(sample_np.wind_direction[i]),
+                    "density_multiplier": float(sample_np.density_multiplier[i]),
+                    "random_seed": int(sample_np.random_seed[i]),
+                },
+            }
+            if not want_valid:
+                rec["outlier_reasons"] = decode_reasons(int(reasons_np[i]))
+            records.append(rec)
+        return records

@@ -1,0 +1,247 @@
+"""Monte Carlo dispersion sampling: one pytree of keys in, one batched Scene out.
+
+Functional parity with the reference's sampling + per-run perturbation
+(`/root/reference/rocket_simulation/monte_carlo.py:156-335`,
+`motor.py:95-125,171-186`), re-designed TPU-first:
+
+  * ``np.random.seed(i)`` per sample becomes ``jax.random.split`` per lane —
+    reproducible by construction and resumable (re-sampling any lane from the
+    run key regenerates it exactly),
+  * per-object ``deepcopy`` + attribute mutation becomes a vectorized draw
+    feeding ``Scene`` leaves with a leading batch axis,
+  * thrust dispersion factors out into the scalar ``MotorParams.thrust_scale``
+    (see models/motor.py) so the curve tables stay SHARED across the batch,
+  * each lane gets its own wind profile (perturbed forecast or synthesized
+    AR(1) profile) on a SHARED altitude grid — the only per-lane table.
+
+Reference quirks preserved:
+  * ``thrust_multiplier`` is drawn at the analyzer level but NEVER used — the
+    motor is perturbed by its own uncertainty draws (`monte_carlo.py:170` vs
+    `monte_carlo.py:320-324`). We draw the effective motor multipliers and
+    keep a ``thrust_multiplier`` field in the sample record for report parity.
+  * the solid motor's burn-time draw is dead: the analyzer re-syncs
+    ``burn_time = propellant_mass / mass_flow_rate`` after perturbation
+    (`monte_carlo.py:258-260`), overriding it. We apply the re-sync directly.
+  * the density multiplier, a no-op in the reference (`monte_carlo.py:326-335`),
+    actually scales density here via ``AtmosphereParams.density_scale``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..engine.state import InitialConditions
+from ..models.scene import Scene
+from ..models.wind import (
+    WindField,
+    generate_stochastic_profile,
+    perturb_wind_profile,
+)
+
+__all__ = ["UncertaintyParams", "DispersionSample", "sample_dispersions", "scene_in_axes"]
+
+
+@dataclasses.dataclass(frozen=True)
+class UncertaintyParams:
+    """Dispersion sigmas/ranges (`monte_carlo.py:35-48` defaults)."""
+
+    initial_position: tuple = (0.0, 0.0, 0.0)  # m, sigma
+    initial_velocity: tuple = (0.1, 0.1, 0.1)  # m/s, sigma
+    initial_attitude: tuple = (0.005, 0.005, 0.005)  # rad, sigma
+    initial_angular_velocity: tuple = (0.005, 0.005, 0.005)  # rad/s, sigma
+    mass_uncertainty: float = 0.02
+    thrust_uncertainty: float = 0.03  # recorded; motor uses its own (quirk)
+    wind_speed_range: tuple = (0.0, 5.0)  # m/s, uniform
+    wind_direction_range: tuple = (0.0, 6.283185307179586)  # rad, uniform
+    atmospheric_density_uncertainty: float = 0.05
+
+    def as_dict(self) -> dict:
+        """Report-schema-compatible dict (`monte_carlo.py:495`)."""
+        return {
+            "initial_position": list(self.initial_position),
+            "initial_velocity": list(self.initial_velocity),
+            "initial_attitude": list(self.initial_attitude),
+            "initial_angular_velocity": list(self.initial_angular_velocity),
+            "mass_uncertainty": self.mass_uncertainty,
+            "thrust_uncertainty": self.thrust_uncertainty,
+            "wind_speed_range": list(self.wind_speed_range),
+            "wind_direction_range": list(self.wind_direction_range),
+            "atmospheric_density_uncertainty": self.atmospheric_density_uncertainty,
+        }
+
+
+@struct.dataclass
+class DispersionSample:
+    """The drawn parameters, per lane — the reference's per-sample ``params``
+    dict (`monte_carlo.py:164-175`) as an SoA pytree. Feeds the
+    ``parameter_ranges_observed`` report block."""
+
+    initial_position_offset: jnp.ndarray  # [n, 3]
+    initial_velocity_offset: jnp.ndarray  # [n, 3]
+    initial_attitude_offset: jnp.ndarray  # [n, 3]
+    initial_angular_velocity_offset: jnp.ndarray  # [n, 3]
+    mass_multiplier: jnp.ndarray  # [n]
+    thrust_multiplier: jnp.ndarray  # [n] (recorded-but-unused quirk)
+    motor_thrust_multiplier: jnp.ndarray  # [n] (the one that acts)
+    motor_flow_multiplier: jnp.ndarray  # [n]
+    wind_speed: jnp.ndarray  # [n]
+    wind_direction: jnp.ndarray  # [n]
+    density_multiplier: jnp.ndarray  # [n]
+    random_seed: jnp.ndarray  # [n] lane index, schema parity
+
+
+def sample_dispersions(
+    key: jax.Array,
+    scene: Scene,
+    ic: InitialConditions,
+    params: UncertaintyParams = UncertaintyParams(),
+    n: int = 1000,
+    base_wind: Optional[tuple] = None,
+    wind_grid_points: int = 100,
+    wind_grid_top: float = 25000.0,
+    dtype=None,
+):
+    """Draw ``n`` dispersed (Scene, InitialConditions) lanes.
+
+    ``base_wind``: optional ``(altitudes[N], wind[N,3])`` forecast — each lane
+    perturbs it with AR(1) turbulence plus a uniform (speed, direction) offset
+    (`monte_carlo.py:268-280`). Without it, each lane synthesizes a stochastic
+    profile on a 100-point 0-25 km grid (`monte_carlo.py:282-288`).
+
+    Returns ``(batched_scene, batched_ic, sample: DispersionSample)``.
+    """
+    if dtype is None:
+        dtype = jnp.asarray(scene.rocket.dry_mass).dtype
+    keys = jax.random.split(key, 12)
+
+    def normal(k, shape, sigma):
+        return jax.random.normal(k, shape, dtype=dtype) * jnp.asarray(sigma, dtype)
+
+    pos_off = normal(keys[0], (n, 3), params.initial_position)
+    vel_off = normal(keys[1], (n, 3), params.initial_velocity)
+    att_off = normal(keys[2], (n, 3), params.initial_attitude)
+    omg_off = normal(keys[3], (n, 3), params.initial_angular_velocity)
+    mass_mult = 1.0 + normal(keys[4], (n,), params.mass_uncertainty)
+    thrust_mult_recorded = 1.0 + normal(keys[5], (n,), params.thrust_uncertainty)
+    motor_thrust_mult = 1.0 + normal(
+        keys[6], (n,), jnp.asarray(scene.motor.thrust_uncertainty, dtype)
+    )
+    motor_flow_mult = 1.0 + normal(
+        keys[7], (n,), jnp.asarray(scene.motor.mass_flow_uncertainty, dtype)
+    )
+    wind_speed = jax.random.uniform(
+        keys[8], (n,), dtype=dtype,
+        minval=params.wind_speed_range[0], maxval=params.wind_speed_range[1],
+    )
+    wind_dir = jax.random.uniform(
+        keys[9], (n,), dtype=dtype,
+        minval=params.wind_direction_range[0], maxval=params.wind_direction_range[1],
+    )
+    density_mult = 1.0 + normal(
+        keys[10], (n,), params.atmospheric_density_uncertainty
+    )
+
+    # --- rocket: dry + propellant mass scale together (`monte_carlo.py:308-318`)
+    rocket = scene.rocket.replace(
+        dry_mass=scene.rocket.dry_mass * mass_mult,
+        propellant_mass=scene.rocket.propellant_mass * mass_mult,
+    )
+
+    # --- motor: thrust scale, mass-flow scale; SOLID scales mdot with thrust
+    # (`motor.py:119`), LIQUID draws an independent flow multiplier
+    # (`motor.py:175-183`) — both paths then re-sync propellant mass & burn
+    # time (`monte_carlo.py:258-260`).
+    mdot_mult = (
+        motor_thrust_mult if scene.motor.mdot_follows_thrust else motor_flow_mult
+    )
+    new_prop_mass = scene.rocket.propellant_mass * mass_mult
+    new_mdot = scene.motor.mass_flow_rate * mdot_mult
+    motor = scene.motor.replace(
+        thrust_scale=scene.motor.thrust_scale * motor_thrust_mult,
+        mass_flow_rate=new_mdot,
+        propellant_mass=new_prop_mass,
+        burn_time=new_prop_mass / new_mdot,
+    )
+
+    # --- atmosphere: density dispersion that actually works
+    atmosphere = scene.atmosphere.replace(
+        density_scale=scene.atmosphere.density_scale * density_mult
+    )
+
+    # --- wind: per-lane profile on a shared grid
+    lane_keys = jax.random.split(keys[11], n)
+    if base_wind is not None:
+        grid = jnp.asarray(base_wind[0], dtype)
+        base_profile = jnp.asarray(base_wind[1], dtype)
+        profiles = jax.vmap(
+            lambda k: perturb_wind_profile(scene.wind_model, k, grid, base_profile)
+        )(lane_keys)
+        offset = jnp.stack(
+            [wind_speed * jnp.cos(wind_dir), wind_speed * jnp.sin(wind_dir),
+             jnp.zeros_like(wind_speed)],
+            axis=-1,
+        )
+        profiles = profiles + offset[:, None, :]
+    else:
+        grid = jnp.linspace(0.0, wind_grid_top, wind_grid_points, dtype=dtype)
+        profiles = jax.vmap(
+            lambda k, ws, wd: generate_stochastic_profile(
+                scene.wind_model, k, grid, ws, wd
+            )
+        )(lane_keys, wind_speed, wind_dir)
+    wind = WindField(altitudes=grid, wind=profiles)
+
+    batched_scene = Scene(
+        rocket=rocket, motor=motor, atmosphere=atmosphere, wind=wind,
+        wind_model=scene.wind_model,
+    )
+
+    batched_ic = InitialConditions(
+        position=jnp.asarray(ic.position, dtype) + pos_off,
+        velocity=jnp.asarray(ic.velocity, dtype) + vel_off,
+        attitude=jnp.asarray(ic.attitude, dtype) + att_off,
+        angular_velocity=jnp.asarray(ic.angular_velocity, dtype) + omg_off,
+    )
+
+    sample = DispersionSample(
+        initial_position_offset=pos_off,
+        initial_velocity_offset=vel_off,
+        initial_attitude_offset=att_off,
+        initial_angular_velocity_offset=omg_off,
+        mass_multiplier=mass_mult,
+        thrust_multiplier=thrust_mult_recorded,
+        motor_thrust_multiplier=motor_thrust_mult,
+        motor_flow_multiplier=motor_flow_mult,
+        wind_speed=wind_speed,
+        wind_direction=wind_dir,
+        density_multiplier=density_mult,
+        random_seed=jnp.arange(n),
+    )
+    return batched_scene, batched_ic, sample
+
+
+def scene_in_axes(base: Scene, batched: Scene) -> Scene:
+    """Build the vmap ``in_axes`` pytree for a dispersed scene: axis 0 for
+    leaves that gained a batch dimension, None for shared leaves (tables)."""
+    def axis(b, v):
+        return 0 if jnp.ndim(v) > jnp.ndim(b) else None
+
+    def map_dc(b, v):
+        if dataclasses.is_dataclass(b) and not isinstance(b, type):
+            kwargs = {}
+            for f in dataclasses.fields(b):
+                if not f.metadata.get("pytree_node", True):
+                    # static field: must keep its value so the axes pytree's
+                    # treedef matches the argument's
+                    kwargs[f.name] = getattr(b, f.name)
+                else:
+                    kwargs[f.name] = map_dc(getattr(b, f.name), getattr(v, f.name))
+            return type(b)(**kwargs)
+        return axis(b, v)
+
+    return map_dc(base, batched)

@@ -69,6 +69,10 @@ class MotorParams:
     burn_time_uncertainty: jnp.ndarray = 0.02
     total_impulse_uncertainty: jnp.ndarray = 0.03
     mass_flow_uncertainty: jnp.ndarray = 0.03
+    # Static dispersion semantics: solid motors scale mass flow WITH the
+    # thrust multiplier (`motor.py:119`); liquids draw an independent flow
+    # multiplier (`motor.py:175-183`).
+    mdot_follows_thrust: bool = struct.field(pytree_node=False, default=False)
 
 
 def solid_motor(
@@ -94,6 +98,7 @@ def solid_motor(
         total_impulse=jnp.asarray(total_impulse),
         thrust_sea_level=jnp.asarray(thrust_sea_level),
         thrust_vacuum=jnp.asarray(thrust_vacuum),
+        mdot_follows_thrust=True,
     )
 
 

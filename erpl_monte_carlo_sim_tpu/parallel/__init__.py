@@ -1,0 +1,9 @@
+"""Scale-out layer: device meshes, sharded MC execution, collective stats."""
+
+from .mesh import BATCH_AXIS, make_mesh, pad_to_devices, replicate, shard_batch
+from .sharded import collective_stats, run_sharded_summaries
+
+__all__ = [
+    "BATCH_AXIS", "make_mesh", "pad_to_devices", "replicate", "shard_batch",
+    "collective_stats", "run_sharded_summaries",
+]

@@ -1,0 +1,104 @@
+"""Sharded Monte Carlo execution and collective statistics.
+
+Two layers, both demonstrated here and validated on a virtual 8-device CPU
+mesh in tests:
+
+  * ``run_sharded_summaries`` — the high-level path: jit the vmapped flight
+    over lanes whose leading axis carries a ``NamedSharding``; the program is
+    embarrassingly parallel so XLA partitions it with zero communication
+    until the stats reduction.
+  * ``collective_stats`` — an explicit ``shard_map`` reduction: per-shard
+    masked partial sums combined with ``psum`` over the batch axis (mean,
+    std, count, min/max) and a small ``all_gather`` for exact percentiles.
+    This is the on-device replacement for the reference's in-driver Python
+    statistics loops (`monte_carlo.py:400-473`) at pod scale, where hauling
+    every lane's metrics to the host would ride DCN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.config import SimConfig
+from ..engine.simulate import simulate_summary
+from ..mc.stats import PERCENTILES
+from .mesh import BATCH_AXIS, shard_batch
+
+__all__ = ["run_sharded_summaries", "collective_stats"]
+
+
+def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,
+                          batch_size: int):
+    """Run a dispersed batch with its lane axis sharded over the mesh.
+
+    Inputs must already be shaped [batch_size, ...] on batched leaves (use
+    ``mc.sample_dispersions``); this places them (``shard_batch``) and runs
+    the jitted vmapped summary. XLA's SPMD partitioner splits the lanes per
+    device; each device exits its own while_loop independently (no global
+    barrier until the caller reduces).
+    """
+    scene_b = shard_batch(scene_b, mesh, batch_size)
+    ic_b = shard_batch(ic_b, mesh, batch_size)
+    run = jax.jit(
+        jax.vmap(simulate_summary, in_axes=(axes, 0, None)), static_argnums=2
+    )
+    return run(scene_b, ic_b, cfg)
+
+
+def collective_stats(values: jnp.ndarray, mask: jnp.ndarray, mesh: Mesh) -> dict:
+    """Masked mean/std/min/max/count/percentiles with explicit collectives.
+
+    ``values``/``mask`` are [n] arrays sharded (or shardable) along the batch
+    axis. Moment accumulators ride ``psum`` over ICI; percentiles use one
+    ``all_gather`` of the scalar metric (4 bytes/lane — cheap even at 10M
+    lanes) followed by a replicated sort.
+    """
+    n = values.shape[0]
+    values = jax.device_put(values, NamedSharding(mesh, P(BATCH_AXIS)))
+    mask = jax.device_put(mask, NamedSharding(mesh, P(BATCH_AXIS)))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(),
+        # Outputs are replicated by construction (psum/all_gather), but the
+        # sort-percentile path isn't statically inferable as such.
+        check_vma=False,
+    )
+    def _stats(v, m):
+        m = m & jnp.isfinite(v)
+        big = jnp.asarray(jnp.inf, v.dtype)
+        cnt = jax.lax.psum(jnp.sum(m), BATCH_AXIS)
+        s1 = jax.lax.psum(jnp.sum(jnp.where(m, v, 0.0)), BATCH_AXIS)
+        s2 = jax.lax.psum(jnp.sum(jnp.where(m, v * v, 0.0)), BATCH_AXIS)
+        vmin = jax.lax.pmin(jnp.min(jnp.where(m, v, big)), BATCH_AXIS)
+        vmax = jax.lax.pmax(jnp.max(jnp.where(m, v, -big)), BATCH_AXIS)
+        denom = jnp.maximum(cnt, 1).astype(v.dtype)
+        mean = s1 / denom
+        var = jnp.maximum(s2 / denom - mean * mean, 0.0)
+
+        # Exact percentiles: gather every shard's masked metric, sort once.
+        all_v = jax.lax.all_gather(jnp.where(m, v, big), BATCH_AXIS, tiled=True)
+        sorted_v = jnp.sort(all_v)
+        qs = jnp.asarray(PERCENTILES, v.dtype)
+        idx = qs / 100.0 * jnp.maximum(cnt - 1, 0).astype(v.dtype)
+        lo = jnp.floor(idx).astype(jnp.int32)
+        hi = jnp.ceil(idx).astype(jnp.int32)
+        frac = idx - lo.astype(v.dtype)
+        pct = sorted_v[lo] + (sorted_v[hi] - sorted_v[lo]) * frac
+        return {
+            "mean": mean,
+            "std": jnp.sqrt(var),
+            "min": vmin,
+            "max": vmax,
+            "percentiles": pct,
+            "n": cnt,
+        }
+
+    return _stats(values, mask)

@@ -1,0 +1,187 @@
+"""Monte Carlo layer: sampling semantics, masked stats, filter, analyzer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+from erpl_monte_carlo_sim_tpu.mc import (
+    MonteCarloAnalyzer,
+    OutlierBounds,
+    UncertaintyParams,
+    decode_reasons,
+    masked_stats,
+    sample_dispersions,
+    scene_in_axes,
+)
+from erpl_monte_carlo_sim_tpu.models import (
+    liquid_motor,
+    load_wind_profile_from_csv,
+    nominal_scene,
+    solid_motor,
+)
+
+
+def test_masked_stats_matches_numpy():
+    rng = np.random.default_rng(0)
+    vals = rng.normal(1000, 100, size=257)
+    mask = rng.uniform(size=257) > 0.3
+    s = masked_stats(jnp.array(vals), jnp.array(mask))
+    sel = vals[mask]
+    assert float(s["mean"]) == pytest.approx(sel.mean(), rel=1e-12)
+    assert float(s["std"]) == pytest.approx(sel.std(), rel=1e-12)
+    assert float(s["min"]) == pytest.approx(sel.min(), rel=1e-12)
+    assert float(s["max"]) == pytest.approx(sel.max(), rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s["percentiles"]),
+        np.percentile(sel, [5, 25, 50, 75, 95]),
+        rtol=1e-12,
+    )
+
+
+def test_masked_stats_ignores_nan_and_empty():
+    vals = jnp.array([1.0, jnp.nan, 3.0])
+    s = masked_stats(vals, jnp.array([True, True, True]))
+    assert float(s["mean"]) == pytest.approx(2.0)
+    s_empty = masked_stats(vals, jnp.zeros(3, bool))
+    assert np.isnan(float(s_empty["mean"]))
+
+
+def test_sampling_distributions():
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    n = 4000
+    scene_b, ic_b, sample = sample_dispersions(
+        jax.random.PRNGKey(0), scene, ic, UncertaintyParams(), n
+    )
+    # mass multiplier ~ N(1, 0.02)
+    mm = np.asarray(sample.mass_multiplier)
+    assert mm.mean() == pytest.approx(1.0, abs=0.002)
+    assert mm.std() == pytest.approx(0.02, abs=0.002)
+    # motor thrust multiplier uses the MOTOR's 5% sigma (reference quirk:
+    # the analyzer-level 3% draw is recorded but unused)
+    mt = np.asarray(sample.motor_thrust_multiplier)
+    assert mt.std() == pytest.approx(0.05, abs=0.005)
+    assert np.asarray(sample.thrust_multiplier).std() == pytest.approx(0.03, abs=0.003)
+    # wind speed uniform [0, 5]
+    ws = np.asarray(sample.wind_speed)
+    assert ws.min() >= 0.0 and ws.max() <= 5.0
+    assert ws.mean() == pytest.approx(2.5, abs=0.1)
+    # scene wiring: dry mass scaled by the multiplier
+    np.testing.assert_allclose(
+        np.asarray(scene_b.rocket.dry_mass), 113.4 * mm, rtol=1e-12
+    )
+    # burn time re-synced to propellant/mdot (`monte_carlo.py:258-260`)
+    np.testing.assert_allclose(
+        np.asarray(scene_b.motor.burn_time),
+        np.asarray(scene_b.motor.propellant_mass)
+        / np.asarray(scene_b.motor.mass_flow_rate),
+        rtol=1e-12,
+    )
+    # per-lane wind on a shared grid
+    assert scene_b.wind.altitudes.shape == (100,)
+    assert scene_b.wind.wind.shape == (n, 100, 3)
+    # density dispersion is functional
+    np.testing.assert_allclose(
+        np.asarray(scene_b.atmosphere.density_scale),
+        np.asarray(sample.density_multiplier),
+        rtol=1e-12,
+    )
+
+
+def test_solid_mdot_follows_thrust():
+    scene = nominal_scene(solid_motor())
+    ic = InitialConditions.vertical_launch()
+    _, _, sample = sample_dispersions(jax.random.PRNGKey(1), scene, ic, n=64)
+    scene_b, _, sample = sample_dispersions(jax.random.PRNGKey(1), scene, ic, n=64)
+    np.testing.assert_allclose(
+        np.asarray(scene_b.motor.mass_flow_rate),
+        4.26 * np.asarray(sample.motor_thrust_multiplier),
+        rtol=1e-12,
+    )
+
+
+def test_scene_in_axes():
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    scene_b, _, _ = sample_dispersions(jax.random.PRNGKey(0), scene, ic, n=8)
+    axes = scene_in_axes(scene, scene_b)
+    assert axes.motor.thrust_scale == 0
+    assert axes.motor.curve_time is None  # tables stay shared
+    assert axes.rocket.cd_mach is None
+    assert axes.wind.wind == 0
+    assert axes.wind.altitudes is None
+
+
+def test_outlier_decode():
+    assert decode_reasons(0) == []
+    assert decode_reasons(1) == ["non-finite values"]
+    assert "apogee above max" in decode_reasons(2 | 64)
+    assert "diverged during integration" in decode_reasons(2 | 64)
+
+
+@pytest.fixture(scope="module")
+def small_analysis():
+    """A 32-sample MC with the CSV forecast — the example.py configuration."""
+    scene = nominal_scene(liquid_motor())
+    mc = MonteCarloAnalyzer(scene=scene, sim_config=SimConfig())
+    alts, wind = load_wind_profile_from_csv(
+        "/root/reference/rocket_simulation/sample_wind.csv"
+    )
+    mc.base_altitude_profile = alts
+    mc.base_wind_profile = wind
+    ic = {
+        "position": [0.0, 0.0, 10.0],
+        "velocity": [0.0, 0.0, 0.0],
+        "attitude": [0.0, -np.pi / 2 + 0.02, 0.0],
+        "angular_velocity": [0.0, 0.0, 0.0],
+    }
+    return mc, mc.run_monte_carlo(ic, n_samples=32, seed=0)
+
+
+def test_analyzer_schema(small_analysis):
+    _, a = small_analysis
+    # Reference analysis-dict contract (`monte_carlo.py:461-471`)
+    for key in ["n_samples", "n_failed", "n_outliers", "apogee_altitude",
+                "range", "flight_time", "results", "outliers",
+                "parameter_ranges_observed"]:
+        assert key in a, key
+    assert a["n_samples"] + a["n_outliers"] == 32
+    assert a["n_samples"] > 0, "all lanes filtered — engine unstable"
+    for stat_key in ["mean", "std", "min", "max", "percentiles"]:
+        assert stat_key in a["apogee_altitude"]
+    assert len(a["apogee_altitude"]["percentiles"]) == 5
+    # Stats must reflect only valid lanes and be finite
+    assert np.isfinite(a["apogee_altitude"]["mean"])
+    assert 100.0 < a["apogee_altitude"]["mean"] < 80000.0
+    # Records
+    rec = a["results"][0]
+    assert "simulation_id" in rec and "parameters" in rec
+    if a["outliers"]:
+        assert "outlier_reasons" in a["outliers"][0]
+    pr = a["parameter_ranges_observed"]
+    assert pr["mass_multiplier"]["min"] <= pr["mass_multiplier"]["max"]
+
+
+def test_analyzer_reproducible(small_analysis):
+    mc, a = small_analysis
+    ic = a["initial_conditions"]
+    b = mc.run_monte_carlo(ic, n_samples=32, seed=0)
+    assert b["apogee_altitude"]["mean"] == a["apogee_altitude"]["mean"]
+    c = mc.run_monte_carlo(ic, n_samples=32, seed=1)
+    assert c["apogee_altitude"]["mean"] != a["apogee_altitude"]["mean"]
+
+
+def test_resimulate_trajectories(small_analysis):
+    mc, a = small_analysis
+    # Wind-perturbed lanes diverge readily (parity with today's reference:
+    # SURVEY.md §6 measured 4/4 outliers) — use whatever lanes survived.
+    ids = [r["simulation_id"] for r in a["results"][:3]]
+    assert len(ids) >= 1, "no valid lanes at all"
+    summary, traj = mc.resimulate_trajectories(ids, SimConfig(max_time=60.0))
+    assert traj.position.shape[0] == len(ids)
+    # Re-simulated apogee consistent with the recorded summary for flights
+    # that reach apogee within the shortened window, OR monotone climb.
+    alt = np.asarray(traj.position[..., 2])
+    assert np.isfinite(alt[np.asarray(traj.valid)]).all()
