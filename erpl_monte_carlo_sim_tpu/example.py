@@ -1,0 +1,98 @@
+"""End-to-end example: single flight + Monte Carlo + reports + plots.
+
+The TPU-native mirror of `/root/reference/rocket_simulation/example.py:10-73`:
+build the scene, load the sample wind forecast, fly one flight, run a
+50-sample dispersed Monte Carlo perturbing the forecast, write the report
+artifacts and all five plot types.
+
+Run:  python -m erpl_monte_carlo_sim_tpu.example [n_samples]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from .engine import InitialConditions, SimConfig, simulate_flight
+from .mc import MonteCarloAnalyzer
+from .models import WindField, liquid_motor, load_wind_profile_from_csv, nominal_scene
+from .reporting import (
+    create_output_directory,
+    plot_results,
+    plot_single_simulation,
+    plot_thrust_twr,
+    plot_trajectory_cloud,
+    plot_trajectory_cloud_3d,
+    save_report,
+    save_simulation_results,
+    to_results_dict,
+)
+
+SAMPLE_WIND = os.path.join(
+    os.path.dirname(__file__), "data", "sample_wind.csv"
+)
+
+
+def main(n_samples: int = 50):
+    print("6DOF Monte Carlo Rocket Simulation (TPU-native)")
+    print("=" * 50)
+
+    scene = nominal_scene(liquid_motor())
+    alt_profile, wind_profile = load_wind_profile_from_csv(SAMPLE_WIND)
+    scene_with_wind = scene.replace(
+        wind=WindField.from_arrays(alt_profile, wind_profile)
+    )
+
+    ic = InitialConditions.vertical_launch()
+    cfg = SimConfig()
+
+    print("\nRunning single simulation...")
+    summary, traj = jax.jit(simulate_flight, static_argnums=2)(
+        scene_with_wind, ic, cfg
+    )
+    results = to_results_dict(scene_with_wind, summary, traj, cfg,
+                              initial_conditions=ic)
+    print(f"Rail exit speed: {results['rail_exit_speed']:.2f} m/s")
+    print(
+        f"Rail AoA: {np.degrees(results['rail_exit_angle_of_attack']):.2f} deg, "
+        f"sideslip: {np.degrees(results['rail_exit_sideslip']):.2f} deg"
+    )
+    print(
+        f"Apogee altitude: {results['apogee_altitude']:.1f} m "
+        f"({results['apogee_altitude'] * 3.28084:.1f} ft)"
+    )
+    print(f"Range: {results['range']:.1f} m")
+    print(f"Flight time: {results['flight_time']:.1f} s")
+
+    print("\nRunning Monte Carlo analysis...")
+    mc = MonteCarloAnalyzer(scene=scene, sim_config=cfg)
+    mc.base_altitude_profile = alt_profile
+    mc.base_wind_profile = wind_profile
+    analysis = mc.run_monte_carlo(ic, n_samples=n_samples)
+
+    print(f"Valid: {analysis['n_samples']}  outliers: {analysis['n_outliers']}  "
+          f"({analysis['performance']['simulations_per_second']:.1f} sims/s)")
+    if analysis["n_samples"]:
+        s = analysis["apogee_altitude"]
+        print(f"Apogee: mean {s['mean']:.1f} m  std {s['std']:.1f} m  "
+              f"95% CI [{s['percentiles'][0]:.1f}, {s['percentiles'][4]:.1f}] m")
+
+    output_dir = create_output_directory()
+    save_report(analysis, output_dir, analyzer=mc)
+    save_simulation_results(mc, analysis, output_dir)
+    plot_results(analysis, output_dir)
+    if analysis["n_samples"]:
+        plot_trajectory_cloud(mc, analysis, output_dir)
+        plot_trajectory_cloud_3d(mc, analysis, output_dir)
+    plot_single_simulation(results, output_dir)
+    plot_thrust_twr(results, output_dir)
+    print(f"Report and plots saved to: {output_dir}")
+    return results, analysis
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    main(n)

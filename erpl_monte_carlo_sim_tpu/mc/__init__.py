@@ -6,12 +6,14 @@ from .dispersions import (
     UncertaintyParams,
     sample_dispersions,
     scene_in_axes,
+    select_lane,
 )
 from .filter import OutlierBounds, decode_reasons, outlier_mask
 from .stats import PERCENTILES, masked_stats
 
 __all__ = [
     "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
-    "sample_dispersions", "scene_in_axes", "OutlierBounds", "decode_reasons",
+    "sample_dispersions", "scene_in_axes", "select_lane", "OutlierBounds",
+    "decode_reasons",
     "outlier_mask", "PERCENTILES", "masked_stats",
 ]

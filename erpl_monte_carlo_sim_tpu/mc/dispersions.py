@@ -225,6 +225,20 @@ def sample_dispersions(
     return batched_scene, batched_ic, sample
 
 
+def select_lane(batched: Scene, base: Scene, lane) -> Scene:
+    """Extract one lane's unbatched Scene from a dispersed batch (leaves that
+    gained a batch axis are indexed; shared tables pass through)."""
+    import jax
+
+    base_leaves = jax.tree.leaves(base)
+    batch_leaves = jax.tree.leaves(batched)
+    sel = [
+        b[lane] if jnp.ndim(b) > jnp.ndim(bb) else b
+        for bb, b in zip(base_leaves, batch_leaves)
+    ]
+    return jax.tree.unflatten(jax.tree.structure(batched), sel)
+
+
 def scene_in_axes(base: Scene, batched: Scene) -> Scene:
     """Build the vmap ``in_axes`` pytree for a dispersed scene: axis 0 for
     leaves that gained a batch dimension, None for shared leaves (tables)."""

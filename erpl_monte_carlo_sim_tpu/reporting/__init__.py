@@ -1,0 +1,18 @@
+"""Reporting & visualization: reference-schema artifacts."""
+
+from .plots import (
+    plot_results,
+    plot_single_simulation,
+    plot_thrust_twr,
+    plot_trajectory_cloud,
+    plot_trajectory_cloud_3d,
+)
+from .report import create_output_directory, save_report, save_simulation_results
+from .results import to_results_dict
+
+__all__ = [
+    "plot_results", "plot_single_simulation", "plot_thrust_twr",
+    "plot_trajectory_cloud", "plot_trajectory_cloud_3d",
+    "create_output_directory", "save_report", "save_simulation_results",
+    "to_results_dict",
+]

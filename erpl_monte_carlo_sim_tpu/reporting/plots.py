@@ -1,0 +1,227 @@
+"""Visualization: the reference's five plot types.
+
+Parity with `/root/reference/rocket_simulation/monte_carlo.py:562-707` and
+`example.py:75-161`:
+
+  1. ``plot_results``            — 2x2 histograms + range-vs-apogee scatter
+  2. ``plot_trajectory_cloud``   — altitude-vs-time + ground-track cloud
+  3. ``plot_trajectory_cloud_3d``— 3-D trajectory cloud
+  4. ``plot_single_simulation``  — 3x2 flight panel (altitude, speed, x-z
+                                   trajectory, Euler angles, CP/CG, AoA)
+  5. ``plot_thrust_twr``         — thrust + thrust-to-weight panels
+
+All figure-level structure (panel layout, labels, titles, bins, alphas)
+matches the reference so existing eyes can diff the artifacts. Matplotlib
+runs in Agg mode (no display on a TPU host).
+"""
+
+from __future__ import annotations
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+__all__ = [
+    "plot_results",
+    "plot_trajectory_cloud",
+    "plot_trajectory_cloud_3d",
+    "plot_single_simulation",
+    "plot_thrust_twr",
+]
+
+
+def plot_results(analysis: dict, output_dir: str | None = None,
+                 save_plots: bool = True) -> str | None:
+    """2x2 distribution figure (`monte_carlo.py:562-633`)."""
+    _, axes = plt.subplots(2, 2, figsize=(12, 10))
+
+    summary = analysis["summary"]
+    valid = analysis["valid_mask"]
+    apogees = np.asarray(summary.apogee_altitude)[valid]
+    ranges = np.asarray(summary.range)[valid]
+    times = np.asarray(summary.flight_time)[valid]
+
+    axes[0, 0].hist(apogees[np.isfinite(apogees)], bins=50, alpha=0.7,
+                    edgecolor="black")
+    axes[0, 0].set_xlabel("Apogee Altitude (m)")
+    axes[0, 0].set_ylabel("Frequency")
+    axes[0, 0].set_title("Apogee Altitude Distribution")
+    axes[0, 0].grid(True, alpha=0.3)
+
+    axes[0, 1].hist(ranges[np.isfinite(ranges)], bins=50, alpha=0.7,
+                    edgecolor="black")
+    axes[0, 1].set_xlabel("Range (m)")
+    axes[0, 1].set_ylabel("Frequency")
+    axes[0, 1].set_title("Range Distribution")
+    axes[0, 1].grid(True, alpha=0.3)
+
+    axes[1, 0].hist(times[np.isfinite(times)], bins=50, alpha=0.7,
+                    edgecolor="black")
+    axes[1, 0].set_xlabel("Flight Time (s)")
+    axes[1, 0].set_ylabel("Frequency")
+    axes[1, 0].set_title("Flight Time Distribution")
+    axes[1, 0].grid(True, alpha=0.3)
+
+    finite = np.isfinite(apogees) & np.isfinite(ranges)
+    axes[1, 1].scatter(apogees[finite], ranges[finite], alpha=0.6, s=10)
+    axes[1, 1].set_xlabel("Apogee Altitude (m)")
+    axes[1, 1].set_ylabel("Range (m)")
+    axes[1, 1].set_title("Range vs Apogee Altitude")
+    axes[1, 1].grid(True, alpha=0.3)
+
+    plt.tight_layout()
+    if save_plots and output_dir is not None:
+        path = os.path.join(output_dir, "monte_carlo_distributions.png")
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+        return path
+    plt.close()
+    return None
+
+
+def _cloud_trajectories(analyzer, analysis, max_trajectories):
+    ids = [r["simulation_id"] for r in analysis["results"][:max_trajectories]]
+    if not ids:
+        return ids, None
+    _, traj = analyzer.resimulate_trajectories(ids)
+    return ids, traj
+
+
+def plot_trajectory_cloud(analyzer, analysis: dict, output_dir: str,
+                          max_trajectories: int = 50) -> str | None:
+    """Altitude-vs-time + ground-track cloud (`monte_carlo.py:635-677`)."""
+    ids, traj = _cloud_trajectories(analyzer, analysis, max_trajectories)
+    if traj is None:
+        return None
+    _, (ax1, ax2) = plt.subplots(1, 2, figsize=(15, 6))
+    t = np.asarray(traj.time)
+    pos = np.asarray(traj.position)
+    valid = np.asarray(traj.valid)
+    for k in range(len(ids)):
+        m = valid[k]
+        ax1.plot(t[k][m], pos[k, m, 2], alpha=0.3, linewidth=0.5, color="blue")
+        ax2.plot(pos[k, m, 0], pos[k, m, 1], alpha=0.3, linewidth=0.5, color="red")
+    ax1.set_xlabel("Time (s)")
+    ax1.set_ylabel("Altitude (m)")
+    ax1.set_title(f"Trajectory Cloud - Altitude vs Time\n({len(ids)} trajectories)")
+    ax1.grid(True, alpha=0.3)
+    ax2.set_xlabel("East Position (m)")
+    ax2.set_ylabel("North Position (m)")
+    ax2.set_title(f"Ground Track Cloud\n({len(ids)} trajectories)")
+    ax2.grid(True, alpha=0.3)
+    ax2.axis("equal")
+    plt.tight_layout()
+    path = os.path.join(output_dir, "monte_carlo_trajectories.png")
+    plt.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close()
+    return path
+
+
+def plot_trajectory_cloud_3d(analyzer, analysis: dict, output_dir: str,
+                             max_trajectories: int = 50) -> str | None:
+    """3-D trajectory cloud (`monte_carlo.py:679-707`)."""
+    ids, traj = _cloud_trajectories(analyzer, analysis, max_trajectories)
+    if traj is None:
+        return None
+    fig = plt.figure(figsize=(10, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    pos = np.asarray(traj.position)
+    valid = np.asarray(traj.valid)
+    for k in range(len(ids)):
+        m = valid[k]
+        ax.plot(pos[k, m, 0], pos[k, m, 1], pos[k, m, 2], alpha=0.3, linewidth=0.5)
+    ax.set_xlabel("East Position (m)")
+    ax.set_ylabel("North Position (m)")
+    ax.set_zlabel("Altitude (m)")
+    ax.set_title(f"3D Trajectory Cloud ({len(ids)} trajectories)")
+    ax.grid(True, alpha=0.3)
+    path = os.path.join(output_dir, "monte_carlo_trajectories_3d.png")
+    plt.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close()
+    return path
+
+
+def plot_single_simulation(results: dict, output_dir: str = "simulation_plots"
+                           ) -> str:
+    """3x2 single-flight panel (`example.py:75-137`)."""
+    os.makedirs(output_dir, exist_ok=True)
+    _, axes = plt.subplots(3, 2, figsize=(12, 14))
+
+    t = np.asarray(results["time"])
+    axes[0, 0].plot(t, results["altitude"])
+    axes[0, 0].set_xlabel("Time (s)")
+    axes[0, 0].set_ylabel("Altitude (m)")
+    axes[0, 0].set_title("Altitude vs Time")
+    axes[0, 0].grid(True, alpha=0.3)
+
+    axes[0, 1].plot(t, results["speed"])
+    axes[0, 1].set_xlabel("Time (s)")
+    axes[0, 1].set_ylabel("Speed (m/s)")
+    axes[0, 1].set_title("Speed vs Time")
+    axes[0, 1].grid(True, alpha=0.3)
+
+    axes[1, 0].plot(results["position"][0, :], results["position"][2, :])
+    axes[1, 0].set_xlabel("Downrange (m)")
+    axes[1, 0].set_ylabel("Altitude (m)")
+    axes[1, 0].set_title("Trajectory")
+    axes[1, 0].grid(True, alpha=0.3)
+
+    eul = np.degrees(np.asarray(results["euler_angles"]))
+    for i, name in enumerate(["Roll", "Pitch", "Yaw"]):
+        axes[1, 1].plot(t, eul[i, :], label=name)
+    axes[1, 1].set_xlabel("Time (s)")
+    axes[1, 1].set_ylabel("Angle (degrees)")
+    axes[1, 1].set_title("Euler Angles")
+    axes[1, 1].legend()
+    axes[1, 1].grid(True, alpha=0.3)
+
+    axes[2, 0].plot(t, results["center_of_mass"], label="CG")
+    axes[2, 0].plot(t, results["cp_location_dynamic"], "--", color="r", label="CP")
+    axes[2, 0].set_xlabel("Time (s)")
+    axes[2, 0].set_ylabel("Position along body (m)")
+    axes[2, 0].set_title("CP and CG vs Time")
+    axes[2, 0].legend()
+    axes[2, 0].grid(True, alpha=0.3)
+
+    axes[2, 1].plot(t, np.degrees(np.asarray(results["angle_of_attack"])))
+    axes[2, 1].set_xlabel("Time (s)")
+    axes[2, 1].set_ylabel("Angle (deg)")
+    axes[2, 1].set_title("Angle of Attack vs Time")
+    axes[2, 1].grid(True, alpha=0.3)
+
+    plt.tight_layout()
+    path = os.path.join(output_dir, "single_simulation_results.png")
+    plt.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close()
+    return path
+
+
+def plot_thrust_twr(results: dict, output_dir: str) -> str:
+    """Thrust + TWR panels (`example.py:139-161`)."""
+    from ..models.atmosphere import AtmosphereParams, gravity_at
+
+    atm = AtmosphereParams.create()
+    t = np.asarray(results["time"])
+    gravity = np.asarray(gravity_at(atm, np.asarray(results["altitude"])))
+    twr = np.asarray(results["thrust"]) / (np.asarray(results["mass"]) * gravity)
+
+    _, axes = plt.subplots(2, 1, figsize=(8, 8))
+    axes[0].plot(t, results["thrust"])
+    axes[0].set_xlabel("Time (s)")
+    axes[0].set_ylabel("Thrust (N)")
+    axes[0].set_title("Thrust vs Time")
+    axes[0].grid(True, alpha=0.3)
+    axes[1].plot(t, twr)
+    axes[1].set_xlabel("Time (s)")
+    axes[1].set_ylabel("TWR")
+    axes[1].set_title("Thrust-to-Weight Ratio vs Time")
+    axes[1].grid(True, alpha=0.3)
+    plt.tight_layout()
+    path = os.path.join(output_dir, "thrust_twr.png")
+    plt.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close()
+    return path

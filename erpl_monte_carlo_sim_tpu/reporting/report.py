@@ -1,0 +1,139 @@
+"""Monte Carlo report artifacts: JSON, TXT, per-simulation exports.
+
+Schema parity with `/root/reference/rocket_simulation/monte_carlo.py:475-560`
+(``_create_output_directory`` / ``_save_report``): the same
+``monte_carlo_report.json`` keys, the same ``monte_carlo_report.txt`` layout,
+and per-simulation ``simulation_results/sim_<id>.json`` files with full time
+histories (regenerated deterministically from the lane keys instead of being
+hauled out of worker processes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+from ..utils.serialize import object_to_serializable_dict, to_serializable
+
+__all__ = ["create_output_directory", "save_report", "save_simulation_results"]
+
+
+def create_output_directory(base: str = "outputs", prefix: str = "monte_carlo") -> str:
+    """Timestamped ``outputs/monte_carlo_%Y%m%d_%H%M%S/`` dir
+    (`monte_carlo.py:475-480`)."""
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    output_dir = os.path.join(base, f"{prefix}_{timestamp}")
+    os.makedirs(output_dir, exist_ok=True)
+    return output_dir
+
+
+def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
+    """Write ``monte_carlo_report.json`` + ``monte_carlo_report.txt``.
+
+    ``analyzer``: the MonteCarloAnalyzer, for scene/uncertainty metadata
+    blocks (`monte_carlo.py:495-500`).
+    """
+    total = analysis["n_samples"]
+    failed = analysis["n_failed"]
+    outliers = analysis["n_outliers"]
+    report = {
+        "timestamp": datetime.now().isoformat(),
+        "simulation_summary": {
+            "total_simulations": total,
+            "failed_simulations": failed,
+            "outlier_simulations": outliers,
+            "success_rate": total / max(total + failed + outliers, 1) * 100,
+        },
+        "apogee_altitude_stats": analysis["apogee_altitude"],
+        "range_stats": analysis["range"],
+        "flight_time_stats": analysis["flight_time"],
+        "parameter_ranges_observed": analysis.get("parameter_ranges_observed"),
+    }
+    if analyzer is not None:
+        report["uncertainty_parameters"] = analyzer.uncertainty_params.as_dict()
+        report["rocket_parameters"] = object_to_serializable_dict(analyzer.scene.rocket)
+        report["motor_parameters"] = object_to_serializable_dict(analyzer.scene.motor)
+        report["atmosphere_parameters"] = object_to_serializable_dict(
+            analyzer.scene.atmosphere
+        )
+        report["wind_model_parameters"] = object_to_serializable_dict(
+            analyzer.scene.wind_model
+        )
+    if "performance" in analysis:
+        report["performance"] = analysis["performance"]
+
+    with open(os.path.join(output_dir, "monte_carlo_report.json"), "w") as f:
+        json.dump(to_serializable(report), f, indent=2)
+
+    _write_txt_report(report, output_dir)
+    return report
+
+
+def _write_txt_report(report: dict, output_dir: str) -> None:
+    """Human-readable report, line-for-line like `monte_carlo.py:519-560`."""
+    def stats_block(f, title, stats, unit):
+        f.write(f"{title} Statistics:\n")
+        f.write(f"  Mean: {stats['mean']:.1f} {unit}\n")
+        f.write(f"  Standard Deviation: {stats['std']:.1f} {unit}\n")
+        f.write(f"  Min: {stats['min']:.1f} {unit}\n")
+        f.write(f"  Max: {stats['max']:.1f} {unit}\n")
+        f.write(
+            f"  95% Confidence Interval: [{stats['percentiles'][0]:.1f}, "
+            f"{stats['percentiles'][4]:.1f}] {unit}\n\n"
+        )
+
+    with open(os.path.join(output_dir, "monte_carlo_report.txt"), "w") as f:
+        f.write("Monte Carlo Analysis Report\n")
+        f.write("=" * 50 + "\n\n")
+        f.write(f"Generated: {report['timestamp']}\n\n")
+        s = report["simulation_summary"]
+        f.write("Simulation Summary:\n")
+        f.write(f"  Valid simulations: {s['total_simulations']}\n")
+        f.write(f"  Failed simulations: {s['failed_simulations']}\n")
+        f.write(f"  Outlier simulations: {s['outlier_simulations']}\n")
+        f.write(f"  Success rate: {s['success_rate']:.1f}%\n\n")
+        stats_block(f, "Apogee Altitude", report["apogee_altitude_stats"], "m")
+        stats_block(f, "Range", report["range_stats"], "m")
+        stats_block(f, "Flight Time", report["flight_time_stats"], "s")
+        if "performance" in report:
+            perf = report["performance"]
+            f.write("Performance Statistics:\n")
+            f.write(f"  Total time: {perf['total_time']:.2f} s\n")
+            f.write(
+                f"  Simulations per second: {perf['simulations_per_second']:.1f}\n"
+            )
+            f.write(f"  Cores used: {perf['cores_used']}\n")
+
+
+def save_simulation_results(analyzer, analysis: dict, output_dir: str,
+                            max_sims: int = 50) -> int:
+    """Per-simulation ``simulation_results/sim_<id>.json`` exports
+    (`monte_carlo.py:510-517`).
+
+    Trajectories are re-simulated deterministically for the first
+    ``max_sims`` valid lanes (the reference pickled every full trajectory
+    out of its worker pool; at vmap scale that's neither possible nor
+    needed — any lane is exactly re-creatable from its key).
+    """
+    from ..mc.dispersions import select_lane
+    from .results import to_results_dict
+
+    sims_dir = os.path.join(output_dir, "simulation_results")
+    os.makedirs(sims_dir, exist_ok=True)
+    ids = [r["simulation_id"] for r in analysis["results"][:max_sims]]
+    if not ids:
+        return 0
+    summary, traj = analyzer.resimulate_trajectories(ids)
+    scene_b, _, _ = analyzer._last_batch
+    for k, sim_id in enumerate(ids):
+        scene_lane = select_lane(scene_b, analyzer.scene, sim_id)
+        results = to_results_dict(
+            scene_lane, summary, traj, analyzer.sim_config,
+            initial_conditions=None, lane=k,
+        )
+        results["simulation_id"] = sim_id
+        results["parameters"] = analysis["results"][k]["parameters"]
+        with open(os.path.join(sims_dir, f"sim_{sim_id}.json"), "w") as sf:
+            json.dump(to_serializable(results), sf)
+    return len(ids)
