@@ -1,6 +1,7 @@
 """Flight engine: rail phase, 6DOF RK4 integration, masked events."""
 
 from .config import SimConfig
+from .diff import apogee_and_grad, simulate_apogee_diff
 from .dynamics import rocket_dynamics
 from .integrator import EventState, StepCarry, advance, init_carry, rk4_step
 from .rail import RailInfo, simulate_rail
@@ -10,6 +11,7 @@ from .state import FlightState, InitialConditions, initial_state
 __all__ = [
     "SimConfig", "rocket_dynamics", "EventState", "StepCarry", "advance",
     "init_carry", "rk4_step", "RailInfo", "simulate_rail", "FlightSummary",
+    "apogee_and_grad", "simulate_apogee_diff",
     "Trajectory", "simulate_flight", "simulate_summary", "FlightState",
     "InitialConditions", "initial_state",
 ]
