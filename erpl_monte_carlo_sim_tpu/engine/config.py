@@ -53,6 +53,23 @@ class SimConfig:
     # moment its state stops being finite (the reference runs NaN lanes to
     # max_time and relies on the outlier filter; see SURVEY.md §6).
     terminate_nonfinite: bool = True
+    # Optional divergence guard: speeds beyond this flag the lane diverged
+    # (finite-but-absurd states). Default inf = reference parity: a lane that
+    # spikes but lands with in-bounds metrics stays "valid", exactly as the
+    # reference's outlier filter would treat it.
+    speed_guard: float = float("inf")  # m/s
+
+    # OPT-IN (default False = exact reference parity): energy-consistent
+    # aero force decomposition. The reference's wind->body matrix does not
+    # map drag exactly opposite the relative wind when alpha AND beta are
+    # both nonzero (`utils.py:175-205`: column 1 is (ca*cb, ca*sb, -sa) but
+    # the flow direction is (cb*ca, sb, cb*sa)), so at high dynamic pressure
+    # the misaligned 'drag' can do positive work — the physical driver of
+    # the reference's wind-divergence (SURVEY.md §6). With this flag, drag
+    # is applied strictly anti-parallel to the body-frame relative velocity
+    # and lift/side are projected onto the perpendicular plane, so aero
+    # forces can never inject translational energy.
+    energy_consistent_aero: bool = False
 
     # Trajectory mode: record the derived per-step quantities the reference
     # recomputes in its second hot loop (`simulator.py:462-584`), fused into

@@ -37,6 +37,7 @@ from ..ops.quaternion import (
 )
 from .config import SimConfig
 from .state import FlightState
+from ..ops.math import bcast_where
 
 __all__ = ["rocket_dynamics"]
 
@@ -98,7 +99,7 @@ def rocket_dynamics(
         0.5 * atm.density * body_speed**2 * rocket.parachute_cd * rocket.parachute_area
     )
     chute_force = -chute_mag[..., None] * velocity_body / safe_body_speed[..., None]
-    chute_force = jnp.where(body_speed[..., None] > 0.0, chute_force, 0.0)
+    chute_force = bcast_where(body_speed > 0.0, chute_force, 0.0)
 
     # --- aero branch (`simulator.py:378-411`)
     coeffs = aero_coefficients(
@@ -110,11 +111,24 @@ def rocket_dynamics(
     lift = q_dynamic * coeffs.cl * rocket.reference_area
     side = q_dynamic * coeffs.cy * rocket.reference_area
     R_wb = wind_to_body_matrix(alpha, beta)
-    aero_force = rotate_by_matrix(
-        R_wb, jnp.stack([-drag, -side, -lift], axis=-1)
-    )
+    if cfg.energy_consistent_aero:
+        # Drag strictly anti-parallel to the relative flow; lift/side from
+        # the reference matrix, projected perpendicular to the flow so they
+        # can do no work (see SimConfig.energy_consistent_aero).
+        v_hat = velocity_body / jnp.maximum(
+            jnp.linalg.norm(velocity_body, axis=-1, keepdims=True), 1e-12
+        )
+        ls_force = rotate_by_matrix(
+            R_wb, jnp.stack([jnp.zeros_like(drag), -side, -lift], axis=-1)
+        )
+        ls_along = jnp.sum(ls_force * v_hat, axis=-1, keepdims=True)
+        aero_force = -drag[..., None] * v_hat + (ls_force - ls_along * v_hat)
+    else:
+        aero_force = rotate_by_matrix(
+            R_wb, jnp.stack([-drag, -side, -lift], axis=-1)
+        )
     has_q = q_dynamic > 0.0
-    aero_force = jnp.where(has_q[..., None], aero_force, 0.0)
+    aero_force = bcast_where(has_q, aero_force, 0.0)
 
     moment_scale = q_dynamic * rocket.reference_area * rocket.reference_diameter
     aero_moments = jnp.stack(
@@ -125,11 +139,11 @@ def rocket_dynamics(
         ],
         axis=-1,
     )
-    aero_moments = jnp.where(has_q[..., None], aero_moments, 0.0)
+    aero_moments = bcast_where(has_q, aero_moments, 0.0)
 
     # Select parachute vs aero (mutually exclusive, `simulator.py:372-378`).
-    forces_body = jnp.where(parachute[..., None], chute_force, aero_force)
-    moments_body = jnp.where(parachute[..., None], 0.0, aero_moments)
+    forces_body = bcast_where(parachute, chute_force, aero_force)
+    moments_body = bcast_where(parachute, jnp.zeros_like(aero_moments), aero_moments)
 
     # Thrust along body +x (`simulator.py:363`).
     thrust_vec = jnp.stack(

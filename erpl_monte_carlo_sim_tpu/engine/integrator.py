@@ -136,7 +136,10 @@ def _update_events(cfg: SimConfig, t_new, state: FlightState, ev: EventState,
         & ((t_new - apogee_time) > max_coast_time)
     )
     finite = jnp.isfinite(alt) & jnp.isfinite(vz) & jnp.isfinite(speed)
-    diverged = ev.diverged | (~finite if cfg.terminate_nonfinite else False)
+    sane = speed < cfg.speed_guard
+    diverged = ev.diverged | (
+        (~finite | ~sane) if cfg.terminate_nonfinite else False
+    )
 
     newly_done = ground | excessive | coast_done | (diverged & ~ev.diverged)
     done = ev.done | newly_done

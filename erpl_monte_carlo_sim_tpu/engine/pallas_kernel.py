@@ -1,0 +1,347 @@
+"""Pallas TPU kernel: the ENTIRE Monte Carlo flight loop on-chip.
+
+Why this exists (measured on a v5e chip, see bench history):
+
+  * The XLA while_loop path re-reads every loop input from HBM each
+    iteration. The per-lane wind table ([B, 100, 3]) is touched by all four
+    RK4 stages plus the event update, so at B=131k each 5 ms step moves
+    ~800 MB — a ~2.5 ms/step bandwidth floor.
+  * At small B the cost is launch-bound instead: ~0.37 ms/iteration of
+    fusion overhead, which puts a single 41k-step flight at ~15 s.
+
+This kernel runs the WHOLE flight — rail phase, RK4 main loop, masked
+events — inside one `pallas_call`. The grid tiles the lane axis; each
+program DMAs its lanes' scene slice (including the wind table) into VMEM
+ONCE, integrates to termination entirely from VMEM, and writes back the
+per-lane summary. HBM traffic per lane drops from
+O(steps x table) to O(table), and there is zero per-step dispatch.
+
+The physics is NOT duplicated: the kernel body calls the same pure
+`advance` / `init_carry` / `initial_state` / rail-step functions as the XLA
+paths (they are shape-polymorphic jnp code, and every table lookup is the
+gather-free tent form, so everything lowers under Mosaic).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.atmosphere import atmosphere_properties, gravity_at
+from ..models.motor import propellant_remaining, thrust_at
+from ..models.rocket import aero_coefficients, mass_properties
+from ..models.scene import Scene
+from ..models.wind import wind_at_altitude
+from ..ops.frames import angle_of_attack, mach_number, sideslip_angle
+from ..ops.quaternion import (
+    quaternion_to_euler,
+    quaternion_to_rotation_matrix,
+    rotate_by_matrix_t,
+)
+from .config import SimConfig
+from .integrator import advance, init_carry
+from .rail import RailInfo
+from .simulate import FlightSummary, _summary_from_carry
+from .state import FlightState, InitialConditions, initial_state
+from ..ops.math import bcast_where
+
+__all__ = ["simulate_summary_pallas"]
+
+
+def _rail_phase(scene: Scene, cfg: SimConfig, state0: FlightState):
+    """Rail phase on [TILE] lanes with a scalar-cond while_loop (the in-kernel
+    twin of `rail.simulate_rail`; identical per-step math)."""
+    quat = state0.quaternion
+    R = quaternion_to_rotation_matrix(quat)
+    direction = R[..., :, 0]
+    dt = cfg.rail_dt
+    speed0 = jnp.sum(state0.velocity * direction, axis=-1)
+    zero = jnp.zeros_like(speed0)
+
+    def active(carry):
+        pos, speed, dist, step, frac = carry
+        t = step.astype(pos.dtype) * dt
+        return (dist < cfg.rail_length) & (t < scene.motor.burn_time) & (
+            step < cfg.max_rail_steps
+        )
+
+    def cond(carry):
+        return jnp.any(active(carry))
+
+    def body(carry):
+        pos, speed, dist, step, frac = carry
+        on = active(carry)
+        t = step.astype(pos.dtype) * dt
+
+        mp = mass_properties(scene.rocket, frac)
+        atm = atmosphere_properties(scene.atmosphere, pos[..., 2])
+        wind = wind_at_altitude(scene.wind, pos[..., 2])
+        rel_vel = direction * speed[..., None] - wind
+        rel_speed = jnp.sum(rel_vel * direction, axis=-1)
+        mach = mach_number(rel_vel, atm.temperature)
+        coeffs = aero_coefficients(
+            scene.rocket, mach, 0.0, 0.0,
+            center_of_mass=mp.center_of_mass, power_on=True,
+        )
+        drag = (
+            0.5 * atm.density * rel_speed**2 * coeffs.cd * scene.rocket.reference_area
+        )
+        thrust = thrust_at(scene.motor, t, atm.pressure)
+        g = gravity_at(scene.atmosphere, pos[..., 2])
+        accel = (thrust - mp.mass * g - drag) / mp.mass
+
+        new_speed = speed + accel * dt
+        new_pos = pos + direction * (new_speed * dt)[..., None]
+        new_dist = dist + new_speed * dt
+        new_step = step + 1
+        new_frac = propellant_remaining(
+            scene.motor, new_step.astype(pos.dtype) * dt
+        )
+        sel = lambda a, b: jnp.where(on, a, b)
+        return (
+            bcast_where(on, new_pos, pos),
+            sel(new_speed, speed),
+            sel(new_dist, dist),
+            sel(new_step, step),
+            sel(new_frac, frac),
+        )
+
+    step0 = jnp.zeros_like(speed0, dtype=jnp.int32)
+    pos, speed, dist, step, frac = jax.lax.while_loop(
+        cond, body, (state0.position, speed0, zero, step0, state0.propellant_fraction)
+    )
+    rail_time = step.astype(pos.dtype) * dt
+    velocity = direction * speed[..., None]
+    state = FlightState(
+        position=pos, velocity=velocity, quaternion=quat,
+        angular_velocity=state0.angular_velocity, propellant_fraction=frac,
+    )
+    wind_exit = wind_at_altitude(scene.wind, pos[..., 2])
+    vel_body = rotate_by_matrix_t(R, velocity - wind_exit)
+    info = RailInfo(
+        rail_exit_time=rail_time,
+        rail_exit_position=pos,
+        rail_exit_velocity=velocity,
+        rail_exit_speed=jnp.linalg.norm(velocity, axis=-1),
+        rail_exit_euler=quaternion_to_euler(quat),
+        rail_exit_angle_of_attack=angle_of_attack(vel_body),
+        rail_exit_sideslip=sideslip_angle(vel_body),
+        wind_at_exit=wind_exit,
+    )
+    return state, rail_time, info
+
+
+def _kernel(cfg: SimConfig, scene_treedef, ic_treedef, in_squeeze,
+            out_squeeze, n_scene_leaves, *refs):
+    """Kernel body: refs = scene leaves + ic leaves + output leaves."""
+    from ..ops.math import pallas_math
+
+    with pallas_math():
+        _kernel_body(cfg, scene_treedef, ic_treedef, in_squeeze,
+                     out_squeeze, n_scene_leaves, *refs)
+
+
+def _kernel_body(cfg: SimConfig, scene_treedef, ic_treedef, in_squeeze,
+                 out_squeeze, n_scene_leaves, *refs):
+    # ---- reconstruct pytrees from VMEM refs. Every logically-0/1-D input
+    # was lifted to 2-D at the pallas boundary (Mosaic wants 2-D layouts);
+    # in_squeeze says how many trailing/all dims to squeeze back.
+    n_ic = len(jax.tree.leaves(InitialConditions.create()))
+
+    def read(k):
+        v = refs[k][...]
+        if in_squeeze[k] == 2:   # scalar lifted to (1, 1)
+            return v[0, 0]
+        if in_squeeze[k] == 1:   # shared [K] lifted to (1, K)
+            return v[0]
+        if in_squeeze[k] == 3:   # batched [B] as (grid, 1, tile) rows
+            return v[0, 0]
+        return v
+
+    scene_vals = [read(k) for k in range(n_scene_leaves)]
+    scene = jax.tree.unflatten(scene_treedef, scene_vals)
+    ic_vals = [read(n_scene_leaves + k) for k in range(n_ic)]
+    ic = jax.tree.unflatten(ic_treedef, ic_vals)
+    out_refs = refs[n_scene_leaves + n_ic:]
+
+    # ---- integrate
+    state0 = initial_state(ic)
+    state_exit, rail_time, rail_info = _rail_phase(scene, cfg, state0)
+    carry0 = init_carry(state_exit, rail_time)
+
+    # Mosaic cannot carry i1 vectors through scf.while — encode the event
+    # flags as int32 across the loop boundary and decode inside.
+    def enc(c):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.int32) if x.dtype == jnp.bool_ else x, c
+        )
+
+    def dec(ci):
+        return jax.tree.map(
+            lambda xi, xb: (xi != 0) if xb.dtype == jnp.bool_ else xi,
+            ci, carry0,
+        )
+
+    def cond(ci):
+        c = dec(ci)
+        t = c.rail_time + c.step.astype(c.rail_time.dtype) * cfg.dt
+        return jnp.any(
+            ~c.events.done & (t < cfg.max_time) & (c.step < cfg.max_steps)
+        )
+
+    def body(ci):
+        c = dec(ci)
+        t = c.rail_time + c.step.astype(c.rail_time.dtype) * cfg.dt
+        run = ~c.events.done & (t < cfg.max_time) & (c.step < cfg.max_steps)
+        new = advance(scene, cfg, c)
+        return enc(jax.tree.map(lambda a, b: bcast_where(run, a, b), new, c))
+
+    carry = dec(jax.lax.while_loop(cond, body, enc(carry0)))
+    summary = _summary_from_carry(carry, rail_info)
+
+    # ---- write outputs (bool -> int32 for clean VMEM stores; 1-D lanes
+    # lifted back to (tile, 1))
+    out_vals = jax.tree.leaves(summary)
+    for k, (ref, val) in enumerate(zip(out_refs, out_vals)):
+        if val.dtype == jnp.bool_:
+            val = val.astype(jnp.int32)
+        if out_squeeze[k]:
+            val = val[None, None, :]
+        ref[...] = val
+
+
+def simulate_summary_pallas(
+    scene_b: Scene,
+    ic_b: InitialConditions,
+    base_scene: Scene,
+    cfg: SimConfig = SimConfig(),
+    tile: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
+) -> FlightSummary:
+    """Run a dispersed batch fully on-chip. ``scene_b`` has batched leaves
+    (leading axis B, a multiple of ``tile``); ``base_scene`` identifies which
+    leaves are shared. Returns the same FlightSummary as the XLA path."""
+    ic_leaves = jax.tree.leaves(ic_b)
+    B = ic_leaves[0].shape[0]
+    if B % tile != 0:
+        raise ValueError(f"batch {B} must be a multiple of tile {tile}")
+    grid = (B // tile,)
+
+    scene_leaves = jax.tree.leaves(scene_b)
+    base_leaves = jax.tree.leaves(base_scene)
+    scene_treedef = jax.tree.structure(scene_b)
+    ic_treedef = jax.tree.structure(ic_b)
+
+    in_specs = []
+    inputs = []
+    in_squeeze = []
+
+    def add_input(leaf, batched):
+        """Lift 0/1-D arrays to lane-on-last-axis 2-D layouts Mosaic accepts:
+        scalar -> (1,1); shared [K] -> (1,K); batched [B] -> (grid, tile)
+        rows; >=2-D keeps its shape with the lane axis tiled by the grid."""
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim == 0:
+            inputs.append(leaf.reshape(1, 1))
+            in_squeeze.append(2)
+            in_specs.append(pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        elif leaf.ndim == 1 and batched:
+            # (grid, 1, tile): the constrained last-two dims (1, tile) equal
+            # the array dims; the leading grid dim indexes freely.
+            inputs.append(leaf.reshape(grid[0], 1, tile))
+            in_squeeze.append(3)
+            in_specs.append(pl.BlockSpec(
+                (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
+        elif leaf.ndim == 1:
+            inputs.append(leaf.reshape(1, leaf.shape[0]))
+            in_squeeze.append(1)
+            in_specs.append(pl.BlockSpec(
+                (1, leaf.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        elif batched:
+            inputs.append(leaf)
+            in_squeeze.append(0)
+            in_specs.append(pl.BlockSpec(
+                (tile,) + leaf.shape[1:],
+                lambda i, nd=leaf.ndim: (i,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM))
+        else:
+            inputs.append(leaf)
+            in_squeeze.append(0)
+            in_specs.append(pl.BlockSpec(
+                leaf.shape, lambda i, nd=leaf.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM))
+
+    for base, leaf in zip(base_leaves, scene_leaves):
+        add_input(leaf, jnp.ndim(leaf) > jnp.ndim(base))
+    for leaf in ic_leaves:
+        add_input(leaf, True)
+
+    # Output layout: one ref per FlightSummary leaf; 1-D lanes as
+    # (grid, tile) rows, >=2-D tiled on the lane axis.
+    example = _summary_structure(tile, ic_leaves[0].dtype)
+    out_leaves, out_tree = jax.tree.flatten(example)
+    out_squeeze = [l.ndim == 1 for l in out_leaves]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (grid[0], 1, tile) if sq else (B,) + l.shape[1:], l.dtype
+        )
+        for l, sq in zip(out_leaves, out_squeeze)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, tile) if sq else (tile,) + l.shape[1:],
+            (lambda i: (i, 0, 0)) if sq else
+            (lambda i, nd=l.ndim: (i,) + (0,) * (nd - 1)),
+            memory_space=pltpu.VMEM,
+        )
+        for l, sq in zip(out_leaves, out_squeeze)
+    ]
+
+    kernel = functools.partial(
+        _kernel, cfg, scene_treedef, ic_treedef, tuple(in_squeeze),
+        tuple(out_squeeze), len(scene_leaves),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes
+        ),
+    )(*inputs)
+
+    outs = [
+        o.reshape(B) if sq else o for o, sq in zip(outs, out_squeeze)
+    ]
+    summary = jax.tree.unflatten(out_tree, outs)
+    # restore bools
+    return summary.replace(
+        parachute_deployed=summary.parachute_deployed.astype(bool),
+        diverged=summary.diverged.astype(bool),
+    )
+
+
+def _summary_structure(tile: int, dtype) -> FlightSummary:
+    """Shape/dtype template of the per-tile summary outputs."""
+    f = jnp.zeros((tile,), dtype)
+    v3 = jnp.zeros((tile, 3), dtype)
+    i = jnp.zeros((tile,), jnp.int32)
+    rail = RailInfo(
+        rail_exit_time=f, rail_exit_position=v3, rail_exit_velocity=v3,
+        rail_exit_speed=f, rail_exit_euler=v3,
+        rail_exit_angle_of_attack=f, rail_exit_sideslip=f, wind_at_exit=v3,
+    )
+    return FlightSummary(
+        apogee_altitude=f, apogee_time=f, range=f, flight_time=f,
+        landing_position=v3, final_velocity=v3, max_speed=f,
+        parachute_deployed=i, diverged=i, n_steps=i, rail=rail,
+    )

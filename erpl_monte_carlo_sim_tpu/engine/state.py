@@ -75,12 +75,18 @@ class InitialConditions:
 
 
 def initial_state(ic: InitialConditions) -> FlightState:
-    """Build the t=0 state: full propellant, quaternion from Euler ICs."""
-    quat = euler_to_quaternion(ic.attitude[0], ic.attitude[1], ic.attitude[2])
+    """Build the t=0 state: full propellant, quaternion from Euler ICs.
+
+    Shape-polymorphic (``[..., i]`` component indexing) so it runs per-lane
+    under vmap AND on [TILE]-batched lanes inside the Pallas kernel.
+    """
+    quat = euler_to_quaternion(
+        ic.attitude[..., 0], ic.attitude[..., 1], ic.attitude[..., 2]
+    )
     return FlightState(
         position=ic.position,
         velocity=ic.velocity,
         quaternion=quat,
         angular_velocity=ic.angular_velocity,
-        propellant_fraction=jnp.ones_like(ic.position[0]),
+        propellant_fraction=jnp.ones_like(ic.position[..., 0]),
     )

@@ -98,6 +98,16 @@ class RocketParams:
 
     power_off_drag_factor: jnp.ndarray = 1.2
 
+    # OPT-IN stabilization (default False = exact reference parity): the
+    # reference tapers lift/normal/side forces past stall but leaves the
+    # pitch/yaw MOMENTS on the unbounded linear form (`rocket.py:189-206`),
+    # which drives a physical tumble instability under crosswind at high
+    # dynamic pressure (verified: the reference integrator itself blows up
+    # to 1e37-scale ranges; dt-independent). With this flag the same stall
+    # taper is applied to cm/cyaw — physically, stalled fins lose moment
+    # authority exactly like they lose lift.
+    stall_limited_moments: bool = struct.field(pytree_node=False, default=False)
+
     @classmethod
     def create(cls, **overrides) -> "RocketParams":
         """Build params with derived fields (reference area, Barrowman CP)."""
@@ -263,6 +273,19 @@ def aero_coefficients(
     cy = jnp.where(stalled, cl_alpha * beta * stall_factor, cl_alpha * beta)
     cn = jnp.where(stalled, cl_stalled, cl_alpha * alpha)
     cyaw = -cl_alpha * sm * beta  # raw beta (reference quirk)
+
+    if p.stall_limited_moments:
+        # Opt-in: saturate the restoring moments at their stall-onset value
+        # and taper with the same stall factor as the forces.
+        cm_sat = -cl_alpha * sm * stall_angle * stall_factor * jnp.sign(alpha)
+        cm = jnp.where(stalled, cm_sat, cm)
+        abs_beta = jnp.abs(beta)
+        beta_stalled = abs_beta > stall_angle
+        beta_sf = jnp.maximum(
+            0.0, 1.0 - (abs_beta - stall_angle) / (max_angle - stall_angle)
+        )
+        cyaw_sat = -cl_alpha * sm * stall_angle * beta_sf * jnp.sign(beta)
+        cyaw = jnp.where(beta_stalled, cyaw_sat, cyaw)
 
     zero = jnp.zeros_like(cd)
     return AeroCoefficients(

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .math import arctan2
+
 GAMMA_AIR = 1.4
 R_AIR = 287.053  # J/(kg K)
 
@@ -40,7 +42,7 @@ def angle_of_attack(velocity_body: jnp.ndarray) -> jnp.ndarray:
     u = velocity_body[..., 0]
     w = velocity_body[..., 2]
     degenerate = (jnp.abs(u) < 1e-6) & (jnp.abs(w) < 1e-6)
-    return jnp.where(degenerate, 0.0, jnp.arctan2(w, u))
+    return jnp.where(degenerate, 0.0, arctan2(w, u))
 
 
 def sideslip_angle(velocity_body: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +54,7 @@ def sideslip_angle(velocity_body: jnp.ndarray) -> jnp.ndarray:
     v = velocity_body[..., 1]
     w = velocity_body[..., 2]
     v_xz = jnp.sqrt(u * u + w * w)
-    return jnp.where(v_xz < 1e-6, 0.0, jnp.arctan2(v, v_xz))
+    return jnp.where(v_xz < 1e-6, 0.0, arctan2(v, v_xz))
 
 
 def wind_to_body_matrix(alpha, beta) -> jnp.ndarray:

@@ -14,14 +14,40 @@ import jax.numpy as jnp
 __all__ = ["interpolate_1d", "interpolate_vec"]
 
 
+def _knot(x_table, i):
+    """Static endpoint read. Plain ``x_table[0]`` lowers to a
+    ``dynamic_slice`` primitive, which Mosaic (Pallas TPU) cannot lower —
+    ``lax.slice_in_dim`` with literal bounds stays a static ``slice``."""
+    import jax
+
+    n = x_table.shape[-1]
+    i = i % n
+    return jnp.squeeze(jax.lax.slice_in_dim(x_table, i, i + 1, axis=-1), axis=-1)
+
+
 def interpolate_1d(x, x_table: jnp.ndarray, y_table: jnp.ndarray) -> jnp.ndarray:
     """Piecewise-linear interpolation, clamped at the table endpoints.
 
-    Parity: `utils.py:147-149` (``np.interp``). ``x_table`` must be
-    monotonically increasing. ``x`` may be any shape; tables are 1-D along
-    the last axis (batched tables broadcast under vmap).
+    Parity: `utils.py:147-149` (``np.interp``). ``x_table`` must be strictly
+    increasing. ``x`` may be any shape; tables are 1-D.
+
+    Implemented with the same gather-free tent-basis form as
+    ``interpolate_vec`` (clamped linear interp == hat-weighted sum of table
+    values) rather than ``jnp.interp``: the model tables here are tiny
+    (8-10 knots), the [..., K] intermediate is negligible, there is no
+    searchsorted/gather to lower, and — crucially — pure arithmetic runs
+    unchanged inside Pallas kernels, so the physics model code is shared
+    between the XLA and Pallas execution paths.
     """
-    return jnp.interp(x, x_table, y_table)
+    x = jnp.asarray(x)
+    xc = jnp.clip(x, _knot(x_table, 0), _knot(x_table, -1))
+    dx = jnp.maximum(jnp.diff(x_table), 1e-30)
+    left = jnp.concatenate([jnp.ones_like(dx[:1]), dx])
+    right = jnp.concatenate([dx, jnp.ones_like(dx[:1])])
+    up = (xc[..., None] - (x_table - left)) / left
+    down = ((x_table + right) - xc[..., None]) / right
+    w = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)
+    return jnp.sum(w * y_table, axis=-1)
 
 
 def interpolate_vec(x, x_table: jnp.ndarray, y_table: jnp.ndarray) -> jnp.ndarray:
@@ -43,7 +69,7 @@ def interpolate_vec(x, x_table: jnp.ndarray, y_table: jnp.ndarray) -> jnp.ndarra
     x = jnp.asarray(x)
     # Clamp into the table range: tent weights then reproduce endpoint
     # clamping exactly (at x = x_table[0] the first tent is 1, etc.).
-    xc = jnp.clip(x, x_table[0], x_table[-1])
+    xc = jnp.clip(x, _knot(x_table, 0), _knot(x_table, -1))
     # Tent weight for node n: rises over [x_{n-1}, x_n], falls over
     # [x_n, x_{n+1}]; half-infinite plateaus at the two ends.
     dx = jnp.maximum(jnp.diff(x_table), 1e-30)  # guard duplicate knots
@@ -52,4 +78,11 @@ def interpolate_vec(x, x_table: jnp.ndarray, y_table: jnp.ndarray) -> jnp.ndarra
     up = (xc[..., None] - (x_table - left)) / left         # 1 at node, 0 below
     down = ((x_table + right) - xc[..., None]) / right     # 1 at node, 0 above
     w = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)
-    return jnp.sum(w[..., :, None] * y_table, axis=-2)
+    # Per-component sums: a single w[..., :, None] * y_table product would
+    # materialize a [..., N, C] temporary — at Monte Carlo tile sizes that
+    # triples the Pallas kernel's VMEM footprint for no benefit.
+    comps = [
+        jnp.sum(w * y_table[..., :, c], axis=-1)
+        for c in range(y_table.shape[-1])
+    ]
+    return jnp.stack(comps, axis=-1)

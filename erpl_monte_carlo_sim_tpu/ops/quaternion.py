@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .math import arcsin, arctan2
+
 __all__ = [
     "normalize_quaternion",
     "quaternion_multiply",
@@ -35,7 +37,10 @@ def normalize_quaternion(q: jnp.ndarray) -> jnp.ndarray:
     `q` has shape ``(..., 4)``.
     """
     norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    identity = jnp.zeros_like(q).at[..., 0].set(1.0)
+    # identity built by concat (not .at[].set: scatter doesn't lower in Pallas)
+    identity = jnp.concatenate(
+        [jnp.ones_like(q[..., :1]), jnp.zeros_like(q[..., 1:])], axis=-1
+    )
     safe = jnp.where(norm > 1e-12, norm, 1.0)
     return jnp.where(norm > 1e-12, q / safe, identity)
 
@@ -147,16 +152,16 @@ def quaternion_to_euler(q: jnp.ndarray) -> jnp.ndarray:
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     sinr_cosp = 2 * (w * x + y * z)
     cosr_cosp = 1 - 2 * (x * x + y * y)
-    roll = jnp.arctan2(sinr_cosp, cosr_cosp)
+    roll = arctan2(sinr_cosp, cosr_cosp)
 
     sinp = 2 * (w * y - z * x)
     pitch = jnp.where(
         jnp.abs(sinp) >= 1,
         jnp.sign(sinp) * (jnp.pi / 2),
-        jnp.arcsin(jnp.clip(sinp, -1.0, 1.0)),
+        arcsin(jnp.clip(sinp, -1.0, 1.0)),
     )
 
     siny_cosp = 2 * (w * z + x * y)
     cosy_cosp = 1 - 2 * (y * y + z * z)
-    yaw = jnp.arctan2(siny_cosp, cosy_cosp)
+    yaw = arctan2(siny_cosp, cosy_cosp)
     return jnp.stack([roll, pitch, yaw], axis=-1)
