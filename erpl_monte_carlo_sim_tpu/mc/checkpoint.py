@@ -1,0 +1,83 @@
+"""Monte Carlo checkpoint / resume.
+
+The reference's closest notion of resume is 'every trajectory is a JSON file
+and seeds are deterministic' (SURVEY.md §5.4). Here resume is first-class:
+
+  * an analysis' per-lane summaries + masks + dispersion samples round-trip
+    through one compressed ``.npz`` (``save_summaries`` / ``load_summaries``),
+  * determinism-by-key means any subset of lanes is exactly re-creatable
+    from (seed, lane index) — ``MonteCarloAnalyzer.resimulate_trajectories``
+    rebuilds full trajectories on demand,
+  * sharded runs can checkpoint per-host shards independently (each shard's
+    lane indices are global).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import numpy as np
+
+from ..engine.rail import RailInfo
+from ..engine.simulate import FlightSummary
+
+__all__ = ["save_summaries", "load_summaries"]
+
+_META_KEY = "__meta__"
+
+
+def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
+    """Persist the SoA lane results of ``run_monte_carlo`` to one .npz."""
+    arrays = {}
+    summary = analysis["summary"]
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(summary)[0]:
+        name = "summary" + jax.tree_util.keystr(key_path)
+        arrays[name] = np.asarray(leaf)
+    sample = analysis["sample"]
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(sample)[0]:
+        arrays["sample" + jax.tree_util.keystr(key_path)] = np.asarray(leaf)
+    arrays["valid_mask"] = np.asarray(analysis["valid_mask"])
+    arrays["reasons"] = np.asarray(analysis["reasons"])
+    meta = {
+        "n_samples": int(analysis["valid_mask"].shape[0]),
+        "n_valid": int(analysis["n_samples"]),
+        "n_outliers": int(analysis["n_outliers"]),
+        "seed": seed,
+        "stats": {
+            k: analysis[k] for k in ("apogee_altitude", "range", "flight_time")
+        },
+    }
+    arrays[_META_KEY] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_summaries(path: str) -> dict:
+    """Load a checkpoint: returns a dict with ``summary`` (FlightSummary of
+    numpy arrays), ``sample`` arrays, masks, and the saved stats/meta."""
+    data = np.load(path)
+    meta = json.loads(bytes(data[_META_KEY]).decode())
+
+    def grab(prefix, template):
+        leaves_paths = jax.tree_util.tree_flatten_with_path(template)[0]
+        treedef = jax.tree_util.tree_structure(template)
+        leaves = [
+            data[prefix + jax.tree_util.keystr(p)] for p, _ in leaves_paths
+        ]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    # Build templates with the right structure (values replaced on load).
+    z = np.zeros(1)
+    rail_t = RailInfo(z, z, z, z, z, z, z, z)
+    summary_t = FlightSummary(z, z, z, z, z, z, z, z, z, z, rail_t)
+    out = {
+        "summary": grab("summary", summary_t),
+        "valid_mask": data["valid_mask"],
+        "reasons": data["reasons"],
+        "meta": meta,
+    }
+    sample_keys = [k for k in data.files if k.startswith("sample")]
+    out["sample"] = {k[len("sample."):]: data[k] for k in sample_keys}
+    return out
