@@ -75,6 +75,11 @@ class SimConfig:
     # recomputes in its second hot loop (`simulator.py:462-584`), fused into
     # the scan instead.
     record_derived: bool = True
+    # Trajectory mode: record every Nth step (1 = reference-exact history).
+    # At 5 ms steps a full flight is ~41k samples; a stride of 10-100 bounds
+    # HBM when recording trajectory clouds for large batches (SURVEY.md §7
+    # "memory for trajectories"). Physics is unaffected — only recording.
+    record_stride: int = 1
 
     @property
     def max_steps(self) -> int:

@@ -198,11 +198,10 @@ def simulate_flight(
             out["derived"] = _derived_quantities(scene, cfg, t_off, carry.state)
         return out
 
-    def step_fn(carry: StepCarry, _):
+    def masked_advance(carry: StepCarry):
         active = ~carry.events.done
         t = carry.rail_time + carry.step.astype(carry.rail_time.dtype) * cfg.dt
-        in_time = t < cfg.max_time
-        run = active & in_time
+        run = active & (t < cfg.max_time)
         new_carry = advance(scene, cfg, carry)
         carry = jax.tree.map(
             lambda new, old: jnp.where(
@@ -211,11 +210,22 @@ def simulate_flight(
             new_carry,
             carry,
         )
+        return carry, run
+
+    stride = max(1, cfg.record_stride)
+
+    def step_fn(carry: StepCarry, _):
+        carry, ran = masked_advance(carry)
+        if stride > 1:
+            def inner(_, c):
+                return masked_advance(c)[0]
+            carry = jax.lax.fori_loop(0, stride - 1, inner, carry)
         rec = record(carry)
-        rec["valid"] = run
+        rec["valid"] = ran  # at least the first sub-step executed
         return carry, rec
 
-    carry, recs = jax.lax.scan(step_fn, carry0, None, length=cfg.max_steps)
+    n_records = -(-cfg.max_steps // stride)
+    carry, recs = jax.lax.scan(step_fn, carry0, None, length=n_records)
 
     rec0 = record(carry0)
     rec0["valid"] = jnp.ones_like(carry0.events.done)

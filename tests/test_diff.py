@@ -50,3 +50,25 @@ def test_apogee_gradient_vs_finite_difference(scene, ic):
 def test_gradient_wrt_dry_mass_negative(scene, ic):
     _, grad = apogee_and_grad(scene, ic, CFG, wrt="rocket.dry_mass")
     assert float(grad) < 0.0  # heavier rocket flies lower
+
+
+def test_record_stride_consistency(scene, ic):
+    """Strided trajectory recording: same physics, 1/N records."""
+    from erpl_monte_carlo_sim_tpu.engine import simulate_flight
+
+    cfg1 = SimConfig(max_time=20.0, record_stride=1)
+    cfg8 = SimConfig(max_time=20.0, record_stride=8)
+    s1, t1 = jax.jit(simulate_flight, static_argnums=2)(scene, ic, cfg1)
+    s8, t8 = jax.jit(simulate_flight, static_argnums=2)(scene, ic, cfg8)
+    assert float(s1.apogee_altitude) == pytest.approx(
+        float(s8.apogee_altitude), rel=1e-12
+    )
+    assert t8.time.shape[0] - 1 == -(-cfg8.max_steps // 8)
+    # strided samples line up with the dense record
+    import numpy as np
+
+    v1 = np.asarray(t1.valid)
+    v8 = np.asarray(t8.valid)
+    alt1 = np.asarray(t1.position[:, 2])[v1]
+    alt8 = np.asarray(t8.position[:, 2])[v8]
+    np.testing.assert_allclose(alt8[1:40], alt1[8::8][:39], rtol=1e-12)
