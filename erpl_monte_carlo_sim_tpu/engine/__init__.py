@@ -4,6 +4,7 @@ from .config import SimConfig
 from .diff import apogee_and_grad, simulate_apogee_diff
 from .dynamics import rocket_dynamics
 from .integrator import EventState, StepCarry, advance, init_carry, rk4_step
+from .pallas_kernel import simulate_summary_pallas
 from .rail import RailInfo, simulate_rail
 from .simulate import FlightSummary, Trajectory, simulate_flight, simulate_summary
 from .state import FlightState, InitialConditions, initial_state
@@ -11,7 +12,7 @@ from .state import FlightState, InitialConditions, initial_state
 __all__ = [
     "SimConfig", "rocket_dynamics", "EventState", "StepCarry", "advance",
     "init_carry", "rk4_step", "RailInfo", "simulate_rail", "FlightSummary",
-    "apogee_and_grad", "simulate_apogee_diff",
+    "apogee_and_grad", "simulate_apogee_diff", "simulate_summary_pallas",
     "Trajectory", "simulate_flight", "simulate_summary", "FlightState",
     "InitialConditions", "initial_state",
 ]

@@ -59,6 +59,14 @@ class SimConfig:
     # reference's outlier filter would treat it.
     speed_guard: float = float("inf")  # m/s
 
+    # OPT-IN (default False = exact reference parity): evaluate wind ONCE
+    # per RK4 step (at the step's starting altitude) instead of once per
+    # stage. Altitude moves ~2 m within a step, so the wind difference is
+    # ~0.01 m/s on a 100-point profile — far below the dispersion sigma —
+    # while the per-lane wind table is the Monte Carlo hot loop's dominant
+    # bandwidth consumer (measured ~45% of step time at B=131k).
+    wind_eval_per_step: bool = False
+
     # OPT-IN (default False = exact reference parity): energy-consistent
     # aero force decomposition. The reference's wind->body matrix does not
     # map drag exactly opposite the relative wind when alpha AND beta are

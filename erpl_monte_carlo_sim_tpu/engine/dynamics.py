@@ -48,10 +48,13 @@ def rocket_dynamics(
     t,
     s: FlightState,
     parachute_deployed,
+    wind_override=None,
 ):
     """Compute the state derivative and the updated parachute latch.
 
     Returns ``(s_dot: FlightState, parachute_deployed': bool array)``.
+    ``wind_override``: pre-computed wind vector (the per-step wind
+    optimization, see ``SimConfig.wind_eval_per_step``).
     """
     rocket = scene.rocket
     position = s.position
@@ -70,7 +73,10 @@ def rocket_dynamics(
     altitude = position[..., 2]
     atm = atmosphere_properties(scene.atmosphere, altitude)
 
-    wind_velocity = wind_at_altitude(scene.wind, altitude)
+    if wind_override is None:
+        wind_velocity = wind_at_altitude(scene.wind, altitude)
+    else:
+        wind_velocity = wind_override
     velocity_relative = velocity - wind_velocity
     velocity_body = rotate_by_matrix_t(R, velocity_relative)
 

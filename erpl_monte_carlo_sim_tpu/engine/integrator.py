@@ -93,10 +93,19 @@ def rk4_step(scene: Scene, cfg: SimConfig, t, state: FlightState, parachute):
     Parity: `simulator.py:216-227` (stage structure and quaternion renorm).
     """
     dt = cfg.dt
-    k1, p1 = rocket_dynamics(scene, cfg, t, state, parachute)
-    k2, p2 = rocket_dynamics(scene, cfg, t + 0.5 * dt, state + (0.5 * dt) * k1, p1)
-    k3, p3 = rocket_dynamics(scene, cfg, t + 0.5 * dt, state + (0.5 * dt) * k2, p2)
-    k4, p4 = rocket_dynamics(scene, cfg, t + dt, state + dt * k3, p3)
+    wind = None
+    if cfg.wind_eval_per_step:
+        from ..models.wind import wind_at_altitude
+
+        wind = wind_at_altitude(scene.wind, state.position[..., 2])
+    k1, p1 = rocket_dynamics(scene, cfg, t, state, parachute, wind)
+    k2, p2 = rocket_dynamics(
+        scene, cfg, t + 0.5 * dt, state + (0.5 * dt) * k1, p1, wind
+    )
+    k3, p3 = rocket_dynamics(
+        scene, cfg, t + 0.5 * dt, state + (0.5 * dt) * k2, p2, wind
+    )
+    k4, p4 = rocket_dynamics(scene, cfg, t + dt, state + dt * k3, p3, wind)
     new = state + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
     new = new.replace(quaternion=normalize_quaternion(new.quaternion))
     return new, p4
