@@ -115,10 +115,28 @@ def simulate_summary(
             carry.step < cfg.max_steps,
         )
 
-    def body(carry: StepCarry):
-        return advance(scene, cfg, carry)
+    def masked_advance(carry: StepCarry) -> StepCarry:
+        run = cond(carry)
+        new = advance(scene, cfg, carry)
+        return jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(run, jnp.shape(run) + (1,) * (jnp.ndim(a) - jnp.ndim(run))),
+                a, b,
+            ),
+            new, carry,
+        )
 
-    carry = jax.lax.while_loop(cond, body, carry0)
+    if cfg.unroll <= 1:
+        carry = jax.lax.while_loop(
+            cond, lambda c: advance(scene, cfg, c), carry0
+        )
+    else:
+        def body(carry: StepCarry):
+            for _ in range(cfg.unroll):
+                carry = masked_advance(carry)
+            return carry
+
+        carry = jax.lax.while_loop(lambda c: jnp.any(cond(c)), body, carry0)
     return _summary_from_carry(carry, rail_info)
 
 
