@@ -248,7 +248,7 @@ class MonteCarloAnalyzer:
             "initial_position_offset", "initial_velocity_offset",
             "initial_attitude_offset", "initial_angular_velocity_offset",
             "mass_multiplier", "thrust_multiplier", "wind_speed",
-            "wind_direction", "density_multiplier",
+            "wind_direction", "density_multiplier", "random_seed",
         ):
             arr = getattr(sample_np, name)[valid_np]
             out[name] = {

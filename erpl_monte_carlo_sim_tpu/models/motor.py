@@ -73,6 +73,8 @@ class MotorParams:
     # thrust multiplier (`motor.py:119`); liquids draw an independent flow
     # multiplier (`motor.py:175-183`).
     mdot_follows_thrust: bool = struct.field(pytree_node=False, default=False)
+    # Metadata (reference report schema has a `name`, `motor.py:12,136`)
+    name: str = struct.field(pytree_node=False, default="Motor")
 
 
 def solid_motor(
@@ -99,6 +101,7 @@ def solid_motor(
         thrust_sea_level=jnp.asarray(thrust_sea_level),
         thrust_vacuum=jnp.asarray(thrust_vacuum),
         mdot_follows_thrust=True,
+        name="Solid Motor",
     )
 
 
@@ -131,6 +134,7 @@ def liquid_motor(
         thrust_vacuum=jnp.asarray(thrust_vacuum),
         thrust_uncertainty=jnp.asarray(0.05),
         mass_flow_uncertainty=jnp.asarray(0.03),
+        name="Liquid Motor",
     )
 
 

@@ -54,6 +54,9 @@ _CP_SHIFT = (0.0, -0.05, -0.1, -0.05, 0.0, 0.0)
 class RocketParams:
     """Frozen vehicle parameters. Defaults mirror `rocket.py:11-66`."""
 
+    # Metadata (reference report schema has a `name`, `rocket.py:12`)
+    name: str = struct.field(pytree_node=False, default="Sounding Rocket")
+
     # Geometry
     length: jnp.ndarray = 7.62
     diameter: jnp.ndarray = 0.219

@@ -138,3 +138,38 @@ def test_plots(mc_run, single_results):
     p5 = plot_thrust_twr(single_results, out)
     for p in [p1, p2, p3, p4, p5]:
         assert p is not None and os.path.exists(p) and os.path.getsize(p) > 10000
+
+
+def test_report_structure_matches_committed_reference_artifact(mc_run):
+    """Compare our monte_carlo_report.json structure against an actual
+    committed reference report (`outputs/monte_carlo_20250726_150303`)."""
+    import json as _json
+
+    ref_path = ("/root/reference/rocket_simulation/outputs/"
+                "monte_carlo_20250726_150303/monte_carlo_report.json")
+    if not os.path.exists(ref_path):
+        pytest.skip("reference artifact absent")
+    with open(ref_path) as f:
+        ref = _json.load(f)
+
+    mc, analysis, out = mc_run
+    report = save_report(analysis, out, analyzer=mc)
+
+    # Top-level blocks
+    for key in ref.keys():
+        assert key in report, f"missing top-level report block: {key}"
+    # Stats sub-structure
+    for block in ["apogee_altitude_stats", "range_stats", "flight_time_stats"]:
+        for stat in ref[block]:
+            assert stat in report[block], (block, stat)
+        assert len(report[block]["percentiles"]) == len(ref[block]["percentiles"])
+    # Simulation summary + uncertainty blocks
+    for k in ref["simulation_summary"]:
+        assert k in report["simulation_summary"], k
+    for k in ref["uncertainty_parameters"]:
+        assert k in report["uncertainty_parameters"], k
+    for k in ref["parameter_ranges_observed"]:
+        assert k in report["parameter_ranges_observed"], k
+    # Scene metadata blocks exist with names
+    assert report["rocket_parameters"]["name"] == "Sounding Rocket"
+    assert "name" in report["motor_parameters"]
