@@ -6,13 +6,14 @@ from .dynamics import rocket_dynamics
 from .integrator import EventState, StepCarry, advance, init_carry, rk4_step
 from .pallas_kernel import simulate_summary_pallas
 from .rail import RailInfo, simulate_rail
-from .simulate import FlightSummary, Trajectory, simulate_flight, simulate_summary
+from .simulate import (FlightSummary, Trajectory, simulate_batch_chunked,
+                       simulate_flight, simulate_summary)
 from .state import FlightState, InitialConditions, initial_state
 
 __all__ = [
     "SimConfig", "rocket_dynamics", "EventState", "StepCarry", "advance",
     "init_carry", "rk4_step", "RailInfo", "simulate_rail", "FlightSummary",
     "apogee_and_grad", "simulate_apogee_diff", "simulate_summary_pallas",
-    "Trajectory", "simulate_flight", "simulate_summary", "FlightState",
+    "Trajectory", "simulate_flight", "simulate_summary", "simulate_batch_chunked", "FlightState",
     "InitialConditions", "initial_state",
 ]

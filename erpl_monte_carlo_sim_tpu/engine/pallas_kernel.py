@@ -44,95 +44,12 @@ from ..ops.quaternion import (
 )
 from .config import SimConfig
 from .integrator import advance, init_carry
-from .rail import RailInfo
+from .rail import RailInfo, simulate_rail_masked
 from .simulate import FlightSummary, _summary_from_carry
 from .state import FlightState, InitialConditions, initial_state
 from ..ops.math import bcast_where
 
 __all__ = ["simulate_summary_pallas"]
-
-
-def _rail_phase(scene: Scene, cfg: SimConfig, state0: FlightState):
-    """Rail phase on [TILE] lanes with a scalar-cond while_loop (the in-kernel
-    twin of `rail.simulate_rail`; identical per-step math)."""
-    quat = state0.quaternion
-    R = quaternion_to_rotation_matrix(quat)
-    direction = R[..., :, 0]
-    dt = cfg.rail_dt
-    speed0 = jnp.sum(state0.velocity * direction, axis=-1)
-    zero = jnp.zeros_like(speed0)
-
-    def active(carry):
-        pos, speed, dist, step, frac = carry
-        t = step.astype(pos.dtype) * dt
-        return (dist < cfg.rail_length) & (t < scene.motor.burn_time) & (
-            step < cfg.max_rail_steps
-        )
-
-    def cond(carry):
-        return jnp.any(active(carry))
-
-    def body(carry):
-        pos, speed, dist, step, frac = carry
-        on = active(carry)
-        t = step.astype(pos.dtype) * dt
-
-        mp = mass_properties(scene.rocket, frac)
-        atm = atmosphere_properties(scene.atmosphere, pos[..., 2])
-        wind = wind_at_altitude(scene.wind, pos[..., 2])
-        rel_vel = direction * speed[..., None] - wind
-        rel_speed = jnp.sum(rel_vel * direction, axis=-1)
-        mach = mach_number(rel_vel, atm.temperature)
-        coeffs = aero_coefficients(
-            scene.rocket, mach, 0.0, 0.0,
-            center_of_mass=mp.center_of_mass, power_on=True,
-        )
-        drag = (
-            0.5 * atm.density * rel_speed**2 * coeffs.cd * scene.rocket.reference_area
-        )
-        thrust = thrust_at(scene.motor, t, atm.pressure)
-        g = gravity_at(scene.atmosphere, pos[..., 2])
-        accel = (thrust - mp.mass * g - drag) / mp.mass
-
-        new_speed = speed + accel * dt
-        new_pos = pos + direction * (new_speed * dt)[..., None]
-        new_dist = dist + new_speed * dt
-        new_step = step + 1
-        new_frac = propellant_remaining(
-            scene.motor, new_step.astype(pos.dtype) * dt
-        )
-        sel = lambda a, b: jnp.where(on, a, b)
-        return (
-            bcast_where(on, new_pos, pos),
-            sel(new_speed, speed),
-            sel(new_dist, dist),
-            sel(new_step, step),
-            sel(new_frac, frac),
-        )
-
-    step0 = jnp.zeros_like(speed0, dtype=jnp.int32)
-    pos, speed, dist, step, frac = jax.lax.while_loop(
-        cond, body, (state0.position, speed0, zero, step0, state0.propellant_fraction)
-    )
-    rail_time = step.astype(pos.dtype) * dt
-    velocity = direction * speed[..., None]
-    state = FlightState(
-        position=pos, velocity=velocity, quaternion=quat,
-        angular_velocity=state0.angular_velocity, propellant_fraction=frac,
-    )
-    wind_exit = wind_at_altitude(scene.wind, pos[..., 2])
-    vel_body = rotate_by_matrix_t(R, velocity - wind_exit)
-    info = RailInfo(
-        rail_exit_time=rail_time,
-        rail_exit_position=pos,
-        rail_exit_velocity=velocity,
-        rail_exit_speed=jnp.linalg.norm(velocity, axis=-1),
-        rail_exit_euler=quaternion_to_euler(quat),
-        rail_exit_angle_of_attack=angle_of_attack(vel_body),
-        rail_exit_sideslip=sideslip_angle(vel_body),
-        wind_at_exit=wind_exit,
-    )
-    return state, rail_time, info
 
 
 def _kernel(cfg: SimConfig, scene_treedef, ic_treedef, in_squeeze,
@@ -170,7 +87,7 @@ def _kernel_body(cfg: SimConfig, scene_treedef, ic_treedef, in_squeeze,
 
     # ---- integrate
     state0 = initial_state(ic)
-    state_exit, rail_time, rail_info = _rail_phase(scene, cfg, state0)
+    state_exit, rail_time, rail_info = simulate_rail_masked(scene, cfg, state0)
     carry0 = init_carry(state_exit, rail_time)
 
     # Mosaic cannot carry i1 vectors through scf.while — encode the event

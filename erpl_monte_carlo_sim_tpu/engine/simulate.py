@@ -42,7 +42,7 @@ from .integrator import StepCarry, advance, init_carry
 from .rail import RailInfo, simulate_rail
 from .state import FlightState, InitialConditions, initial_state
 
-__all__ = ["FlightSummary", "Trajectory", "simulate_summary", "simulate_flight"]
+__all__ = ["FlightSummary", "Trajectory", "simulate_summary", "simulate_flight", "simulate_batch_chunked"]
 
 
 @struct.dataclass
@@ -265,3 +265,74 @@ def simulate_flight(
         derived=derived,
     )
     return _summary_from_carry(carry, rail_info), traj
+
+
+def simulate_batch_chunked(
+    scene_b: Scene,
+    ic_b: InitialConditions,
+    cfg: SimConfig = SimConfig(),
+    chunk_steps: int = 8192,
+    progress=None,
+):
+    """Batch summaries via host-chunked device execution.
+
+    Operates directly on an already-batched scene/ICs (no vmap — the physics
+    is shape-polymorphic), advancing at most ``chunk_steps`` exactly-masked
+    RK4 steps per jitted call and checking lane liveness on the host between
+    chunks. Two reasons to use this over one giant ``while_loop``:
+
+      * bounds per-call device time (the axon-tunneled TPU kills executions
+        past roughly two minutes; a 131k-lane full-flight batch is ~140 s),
+      * gives the host a progress callback every chunk (``progress(k, n)``),
+        the TPU-native analogue of the reference's every-100-samples prints.
+
+    Results are identical to ``vmap(simulate_summary)`` lane-for-lane.
+    """
+    import numpy as np
+
+    from .rail import simulate_rail_masked
+
+    state0 = initial_state(ic_b)
+    state_exit, rail_time, rail_info = simulate_rail_masked(scene_b, cfg, state0)
+    carry0 = init_carry(state_exit, rail_time)
+
+    def lane_active(carry: StepCarry):
+        t = carry.rail_time + carry.step.astype(carry.rail_time.dtype) * cfg.dt
+        return (~carry.events.done) & (t < cfg.max_time) & (
+            carry.step < cfg.max_steps
+        )
+
+    @jax.jit
+    def run_chunk(scene, carry: StepCarry):
+        def cond(ck):
+            c, k = ck
+            return jnp.logical_and(k < chunk_steps, jnp.any(lane_active(c)))
+
+        def body(ck):
+            c, k = ck
+            run = lane_active(c)
+            new = advance(scene, cfg, c)
+            c = jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(
+                        run, jnp.shape(run) + (1,) * (jnp.ndim(a) - jnp.ndim(run))
+                    ),
+                    a, b,
+                ),
+                new, c,
+            )
+            return c, k + 1
+        carry, _ = jax.lax.while_loop(cond, body, (carry, jnp.int32(0)))
+        return carry, jnp.any(lane_active(carry))
+
+    carry = carry0
+    chunk_idx = 0
+    max_chunks = -(-cfg.max_steps // chunk_steps) + 1
+    while True:
+        carry, any_active = run_chunk(scene_b, carry)
+        chunk_idx += 1
+        if progress is not None:
+            progress(chunk_idx, max_chunks)
+        if not bool(np.asarray(any_active)) or chunk_idx >= max_chunks:
+            break
+    return _summary_from_carry(carry, rail_info)

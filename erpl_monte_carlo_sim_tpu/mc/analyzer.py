@@ -112,12 +112,18 @@ class MonteCarloAnalyzer:
         optimized: bool = False,  # parity flag; there is only the fast path
         seed: int = 0,
         materialize_results: Optional[int] = None,
+        chunk_steps: Optional[int] = None,
     ) -> dict:
         """Run ``n_samples`` dispersed flights and analyze.
 
         Returns the reference-schema analysis dict (`monte_carlo.py:461-471`)
         plus SoA extras (``summary``, ``valid_mask``, ``reasons``,
         ``sample``) and a ``performance`` block.
+
+        ``chunk_steps``: execute at most this many RK4 steps per device call
+        (host-chunked; see ``engine.simulate_batch_chunked``). Use for large
+        full-flight batches on runtimes that bound single-call execution
+        time; results match the vmapped path to f32 compilation noise.
         """
         del n_processes, optimized
         ic = _as_ic(initial_conditions)
@@ -142,11 +148,18 @@ class MonteCarloAnalyzer:
             scene_b = jax.tree.map(put, scene_b)
             ic_b = jax.tree.map(put, ic_b)
 
-        run = jax.jit(
-            jax.vmap(simulate_summary, in_axes=(axes, 0, None)),
-            static_argnums=2,
-        )
-        summary = run(scene_b, ic_b, self.sim_config)
+        if chunk_steps is not None:
+            from ..engine.simulate import simulate_batch_chunked
+
+            summary = simulate_batch_chunked(
+                scene_b, ic_b, self.sim_config, chunk_steps=chunk_steps
+            )
+        else:
+            run = jax.jit(
+                jax.vmap(simulate_summary, in_axes=(axes, 0, None)),
+                static_argnums=2,
+            )
+            summary = run(scene_b, ic_b, self.sim_config)
         valid, reasons = outlier_mask(summary, self.bounds)
 
         stats = {

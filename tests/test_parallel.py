@@ -79,3 +79,38 @@ def test_sharded_run_matches_single_device(mesh):
     )
     # Each lane really lives on its own shard
     assert len(sharded.apogee_altitude.sharding.device_set) == 8
+
+
+def test_chunked_batch_matches_vmap():
+    """Host-chunked batch execution is lane-for-lane equivalent to the
+    vmapped while_loop path (used to bound per-call device time on
+    runtimes that kill long executions)."""
+    import jax.numpy as jnp
+
+    from erpl_monte_carlo_sim_tpu.engine import simulate_batch_chunked
+    from erpl_monte_carlo_sim_tpu.mc import UncertaintyParams
+
+    cfg = SimConfig(max_time=25.0, energy_consistent_aero=True)
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    calm = UncertaintyParams(wind_speed_range=(0.0, 0.5))
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(0), scene, ic, params=calm, n=8
+    )
+    axes = scene_in_axes(scene, scene_b)
+    ref = jax.jit(
+        jax.vmap(simulate_summary, in_axes=(axes, 0, None)), static_argnums=2
+    )(scene_b, ic_b, cfg)
+    chunks_seen = []
+    got = simulate_batch_chunked(
+        scene_b, ic_b, cfg, chunk_steps=700,
+        progress=lambda k, n: chunks_seen.append(k),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.apogee_altitude), np.asarray(ref.apogee_altitude), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.flight_time), np.asarray(ref.flight_time), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got.n_steps), np.asarray(ref.n_steps))
+    assert len(chunks_seen) >= 2  # really chunked
