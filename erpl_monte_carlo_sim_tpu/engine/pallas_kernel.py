@@ -31,23 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.atmosphere import atmosphere_properties, gravity_at
-from ..models.motor import propellant_remaining, thrust_at
-from ..models.rocket import aero_coefficients, mass_properties
 from ..models.scene import Scene
-from ..models.wind import wind_at_altitude
-from ..ops.frames import angle_of_attack, mach_number, sideslip_angle
-from ..ops.quaternion import (
-    quaternion_to_euler,
-    quaternion_to_rotation_matrix,
-    rotate_by_matrix_t,
-)
+from ..ops.math import bcast_where
 from .config import SimConfig
 from .integrator import advance, init_carry
 from .rail import RailInfo, simulate_rail_masked
 from .simulate import FlightSummary, _summary_from_carry
-from .state import FlightState, InitialConditions, initial_state
-from ..ops.math import bcast_where
+from .state import InitialConditions, initial_state
 
 __all__ = ["simulate_summary_pallas"]
 

@@ -22,3 +22,9 @@ def golden_flight_liquid():
 def golden_flight_solid():
     with open(os.path.join(GOLDEN_DIR, "flight_solid_nowind.json")) as f:
         return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def golden_flight_csvwind():
+    with open(os.path.join(GOLDEN_DIR, "flight_liquid_csvwind.json")) as f:
+        return json.load(f)
