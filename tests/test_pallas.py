@@ -55,3 +55,41 @@ def test_interpret_matches_xla_path():
     np.testing.assert_array_equal(
         np.asarray(got.parachute_deployed), np.asarray(ref.parachute_deployed)
     )
+
+
+def test_component_kernel_interpret_matches_xla():
+    """Component-form kernel (flat [P]-lane state, no vector arrays):
+    interpret-mode equivalence on dispersed lanes."""
+    from erpl_monte_carlo_sim_tpu.engine.pallas_component import (
+        simulate_summary_component,
+    )
+
+    cfg = SimConfig(max_time=8.0)
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch(dtype=jnp.float32)
+    scene32 = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        scene,
+    )
+    calm = UncertaintyParams(wind_speed_range=(0.0, 1.0))
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(0), scene32, ic, params=calm, n=8, dtype=jnp.float32
+    )
+    axes = scene_in_axes(scene32, scene_b)
+    ref = jax.jit(
+        jax.vmap(simulate_summary, in_axes=(axes, 0, None)), static_argnums=2
+    )(scene_b, ic_b, cfg)
+    got = simulate_summary_component(
+        scene_b, ic_b, scene32, cfg, tile=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["apogee_altitude"]), np.asarray(ref.apogee_altitude),
+        rtol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["flight_time"]), np.asarray(ref.flight_time), rtol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["n_steps"]), np.asarray(ref.n_steps)
+    )
