@@ -5,7 +5,12 @@ build the scene, load the sample wind forecast, fly one flight, run a
 50-sample dispersed Monte Carlo perturbing the forecast, write the report
 artifacts and all five plot types.
 
-Run:  python -m erpl_monte_carlo_sim_tpu.example [n_samples]
+Run:  python -m erpl_monte_carlo_sim_tpu.example [n_samples] [--stabilized]
+
+``--stabilized`` enables the energy-consistent aero decomposition: the
+reference's physics genuinely diverges under this wind forecast (SURVEY.md
+§6), so the default parity mode filters most lanes as outliers — exactly
+like the reference. Stabilized mode flies every lane to landing.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ SAMPLE_WIND = os.path.join(
 )
 
 
-def main(n_samples: int = 50):
+def main(n_samples: int = 50, stabilized: bool = False):
     print("6DOF Monte Carlo Rocket Simulation (TPU-native)")
     print("=" * 50)
 
@@ -47,7 +52,9 @@ def main(n_samples: int = 50):
     )
 
     ic = InitialConditions.vertical_launch()
-    cfg = SimConfig()
+    cfg = SimConfig(energy_consistent_aero=stabilized)
+    if stabilized:
+        print("(stabilized aero: energy-consistent drag decomposition ON)")
 
     print("\nRunning single simulation...")
     summary, traj = jax.jit(simulate_flight, static_argnums=2)(
@@ -94,5 +101,6 @@ def main(n_samples: int = 50):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    main(n)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 50
+    main(n, stabilized="--stabilized" in sys.argv)
