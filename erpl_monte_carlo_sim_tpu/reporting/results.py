@@ -100,6 +100,11 @@ def to_results_dict(
         "simulation_assumptions": {
             "max_time": cfg.max_time,
             "dt_initial": cfg.dt,
+            # rtol/atol are vestigial in the reference (its solve_ivp was
+            # replaced by fixed-step RK4, `simulator.py:21-22,196-209`) but
+            # part of the result schema; kept for key parity.
+            "rtol": 1e-4,
+            "atol": 1e-7,
             "rail_length": cfg.rail_length,
         },
     }
