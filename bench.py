@@ -23,6 +23,15 @@ import numpy as np
 def main() -> None:
     import jax
 
+    # Persistent compile cache (verified working over the axon remote-compile
+    # path): repeated bench/driver invocations skip the ~1-2 min XLA compile.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from erpl_monte_carlo_sim_tpu.engine import (
         InitialConditions,
         SimConfig,
