@@ -114,3 +114,25 @@ def test_chunked_batch_matches_vmap():
     )
     np.testing.assert_array_equal(np.asarray(got.n_steps), np.asarray(ref.n_steps))
     assert len(chunks_seen) >= 2  # really chunked
+
+
+def test_analyzer_with_mesh(mesh):
+    """MonteCarloAnalyzer(mesh=...) shards the lane axis across devices and
+    produces a normal analysis dict."""
+    from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer, UncertaintyParams
+
+    calm = UncertaintyParams(wind_speed_range=(0.0, 0.3),
+                             initial_attitude=(0.001, 0.001, 0.001))
+    mc = MonteCarloAnalyzer(
+        scene=nominal_scene(liquid_motor()),
+        uncertainty_params=calm,
+        sim_config=SimConfig(max_time=20.0, energy_consistent_aero=True),
+        mesh=mesh,
+    )
+    a = mc.run_monte_carlo(InitialConditions.vertical_launch(), n_samples=16)
+    assert a["n_samples"] == 16
+    assert a["performance"]["cores_used"] == 8
+    assert np.isfinite(a["apogee_altitude"]["mean"])
+    # resimulation still works from the sharded batch
+    _, traj = mc.resimulate_trajectories([0, 1], SimConfig(max_time=5.0))
+    assert traj.position.shape[0] == 2
