@@ -154,3 +154,29 @@ def test_divergence_guard():
     # Either the 100 km guard or the nonfinite guard must have fired well
     # before max_time.
     assert float(s.flight_time) < 290.0
+
+
+def test_solid_trajectory_probes(golden_flight_solid):
+    """Probe-level trajectory parity for the solid motor (thrust-curve
+    interpolation path) against the executed reference."""
+    cfg = SimConfig(max_time=80.0)  # through burnout + well past apogee
+    scene = nominal_scene(solid_motor())
+    ic = InitialConditions.vertical_launch()
+    _, traj = jax.jit(simulate_flight, static_argnums=2)(scene, ic, cfg)
+    valid = np.asarray(traj.valid)
+    t = np.asarray(traj.time)[valid]
+    alt = np.asarray(traj.position[:, 2])[valid]
+    spd = np.asarray(traj.derived["speed"])[valid]
+    mass = np.asarray(traj.derived["mass"])[valid]
+    thrust = np.asarray(traj.derived["thrust"])[valid]
+    for probe in golden_flight_solid["probes"]:
+        if probe["t"] > 75.0:
+            continue
+        i = int(np.argmin(np.abs(t - probe["t"])))
+        assert alt[i] == pytest.approx(probe["alt"], rel=2e-3), probe["t"]
+        assert spd[i] == pytest.approx(probe["speed"], rel=3e-3, abs=0.3), probe["t"]
+        assert mass[i] == pytest.approx(probe["mass"], rel=1e-3), probe["t"]
+        if abs(probe["t"] - 15.0) > 0.02:  # burnout step-discontinuity edge
+            assert thrust[i] == pytest.approx(
+                probe["thrust"], rel=1e-3, abs=2.0
+            ), probe["t"]

@@ -185,3 +185,23 @@ def test_resimulate_trajectories(small_analysis):
     # that reach apogee within the shortened window, OR monotone climb.
     alt = np.asarray(traj.position[..., 2])
     assert np.isfinite(alt[np.asarray(traj.valid)]).all()
+
+
+def test_antithetic_sampling():
+    """Antithetic pairs: mirrored draws, unchanged marginals, centered means."""
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    _, _, s = sample_dispersions(
+        jax.random.PRNGKey(0), scene, ic, n=2000, antithetic=True
+    )
+    mm = np.asarray(s.mass_multiplier)
+    # exact pairwise mirroring around 1.0
+    np.testing.assert_allclose(mm[:1000] + mm[1000:], 2.0, rtol=1e-6)
+    assert mm.mean() == pytest.approx(1.0, abs=1e-9)
+    assert mm.std() == pytest.approx(0.02, abs=0.003)  # marginal unchanged
+    ws = np.asarray(s.wind_speed)
+    np.testing.assert_allclose(ws[:1000] + ws[1000:], 5.0, rtol=1e-5)
+    assert ws.min() >= 0.0 and ws.max() <= 5.0
+
+    with pytest.raises(ValueError, match="even"):
+        sample_dispersions(jax.random.PRNGKey(0), scene, ic, n=3, antithetic=True)
