@@ -1,5 +1,6 @@
 """Flight engine: rail phase, 6DOF RK4 integration, masked events."""
 
+from .batch import simulate_summary_batch
 from .config import SimConfig
 from .diff import apogee_and_grad, simulate_apogee_diff
 from .dynamics import rocket_dynamics
@@ -14,6 +15,7 @@ __all__ = [
     "SimConfig", "rocket_dynamics", "EventState", "StepCarry", "advance",
     "init_carry", "rk4_step", "RailInfo", "simulate_rail", "FlightSummary",
     "apogee_and_grad", "simulate_apogee_diff", "simulate_summary_pallas",
-    "Trajectory", "simulate_flight", "simulate_summary", "simulate_batch_chunked", "FlightState",
+    "Trajectory", "simulate_flight", "simulate_summary",
+    "simulate_summary_batch", "simulate_batch_chunked", "FlightState",
     "InitialConditions", "initial_state",
 ]

@@ -1,0 +1,515 @@
+"""Component-form whole-flight core: every quantity is a flat [...] array.
+
+Why this exists — measured, not guessed: the stacked-vector XLA path's main
+loop compiles to ~560 fusions whose boundaries spill [B,3]/[B,4]/[B,3,3]
+intermediates to HBM; TPU pads a minor dimension of 3 out to a 128-wide
+lane tile, so every such spill costs ~42x its logical bytes. XLA's own cost
+model reports 1.9 GB accessed per loop iteration at B=131072 (~14.6 KB per
+lane-step, vs ~0.25 KB of true carry state + ~1.2 KB of wind table per
+eval); the measured wall time (2.33 s for 1046 iterations) matches HBM
+bandwidth on exactly those bytes. Keeping EVERY loop-carried and spilled
+quantity as a flat [B] f32/int32 vector removes the padding blowup and most
+relayouts.
+
+The same functions run in three contexts (shape-polymorphic, pure jnp):
+  * under plain ``jit`` on [B]-wide arrays — ``engine.batch``, the Monte
+    Carlo hot path,
+  * inside the Pallas whole-flight kernel on [TILE] lanes —
+    ``engine.pallas_component``,
+  * at B=1 for low-latency single flights.
+
+Wind access is a caller-provided closure ``wind_fn(alt) -> (u, v, w)`` so
+each context can pick its own table layout (lanes-minor [N,B] for XLA,
+lanes-major [P,N] inside Pallas tiles).
+
+The physics formulas mirror the reference (cited per function); the
+structural redesign is the flat-component representation. See
+`/root/reference/rocket_simulation/utils.py:100-121,175-205`,
+`simulator.py:42-125,208-264,295-460`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.atmosphere import atmosphere_properties, gravity_at
+from ..models.motor import mass_flow_rate_at, propellant_remaining, thrust_at
+from ..models.rocket import aero_coefficients, mass_properties
+from ..ops.math import arctan2
+
+__all__ = [
+    "quat_normalize_c",
+    "rotmat_c",
+    "qdot_c",
+    "wind_tent_lanes_major",
+    "wind_tent_lanes_minor",
+    "dynamics_c",
+    "rk4_c",
+    "flight_components",
+]
+
+
+# --------------------------------------------------------------------------
+# component-form building blocks (all args/returns are [...] arrays)
+# --------------------------------------------------------------------------
+
+def quat_normalize_c(qw, qx, qy, qz):
+    """`utils.py:76-82` with the identity fallback."""
+    n = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    ok = n > 1e-12
+    inv = 1.0 / jnp.where(ok, n, 1.0)
+    return (
+        jnp.where(ok, qw * inv, 1.0),
+        jnp.where(ok, qx * inv, 0.0),
+        jnp.where(ok, qy * inv, 0.0),
+        jnp.where(ok, qz * inv, 0.0),
+    )
+
+
+def rotmat_c(qw, qx, qy, qz):
+    """Body->inertial DCM components (`utils.py:100-111`), post-normalize."""
+    qw, qx, qy, qz = quat_normalize_c(qw, qx, qy, qz)
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    return (r00, r01, r02, r10, r11, r12, r20, r21, r22)
+
+
+def qdot_c(qw, qx, qy, qz, ox, oy, oz):
+    """Quaternion kinematics + Baumgarte correction (`utils.py:114-121`)."""
+    dw = 0.5 * (-qx * ox - qy * oy - qz * oz)
+    dx = 0.5 * (qw * ox + qy * oz - qz * oy)
+    dy = 0.5 * (qw * oy - qx * oz + qz * ox)
+    dz = 0.5 * (qw * oz + qx * oy - qy * ox)
+    err = qw * qw + qx * qx + qy * qy + qz * qz - 1.0
+    return (
+        dw - 0.5 * err * qw,
+        dx - 0.5 * err * qx,
+        dy - 0.5 * err * qy,
+        dz - 0.5 * err * qz,
+    )
+
+
+def wind_tent_lanes_major(alt, grid, wu, wv, ww):
+    """Tent-basis wind query, lanes-major layout: grid [1,N] shared,
+    wu/wv/ww [P,N] per-lane (the Pallas-tile layout).
+
+    Same clamped-linear semantics as ``ops.interp.interpolate_vec``
+    (`environment.py:267-276`); the only wide intermediate is [P,N].
+    Endpoint reads use static ``lax.slice`` (Mosaic lacks dynamic_slice)."""
+    g = grid  # [1, N]
+    n = g.shape[1]
+    lo = jnp.sum(jax.lax.slice(g, (0, 0), (1, 1)))
+    hi = jnp.sum(jax.lax.slice(g, (0, n - 1), (1, n)))
+    xc = jnp.clip(alt, lo, hi)[:, None]  # [P,1]
+    dg = jnp.maximum(g[:, 1:] - g[:, :-1], 1e-30)
+    left = jnp.concatenate([jnp.ones_like(dg[:, :1]), dg], axis=1)
+    right = jnp.concatenate([dg, jnp.ones_like(dg[:, :1])], axis=1)
+    up = (xc - (g - left)) / left
+    down = ((g + right) - xc) / right
+    w = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)  # [P,N]
+    return (
+        jnp.sum(w * wu, axis=1),
+        jnp.sum(w * wv, axis=1),
+        jnp.sum(w * ww, axis=1),
+    )
+
+
+def wind_tent_lanes_minor(alt, grid, wu, wv, ww):
+    """Tent-basis wind query, lanes-MINOR layout: grid [N], wu/wv/ww [N,B],
+    alt [B]. The XLA batch layout: B rides the 128-wide lane dimension with
+    zero padding (B is a multiple of 128), N=100 pads only the 8-wide
+    sublane axis (~4%), vs ~28% for [B,100]. The reduction runs over
+    sublanes, which the VPU handles natively."""
+    n = grid.shape[0]
+    xc = jnp.clip(alt, grid[0], grid[n - 1])[None, :]  # [1,B]
+    dg = jnp.maximum(grid[1:] - grid[:-1], 1e-30)
+    left = jnp.concatenate([jnp.ones_like(dg[:1]), dg])[:, None]    # [N,1]
+    right = jnp.concatenate([dg, jnp.ones_like(dg[:1])])[:, None]   # [N,1]
+    gcol = grid[:, None]
+    up = (xc - (gcol - left)) / left
+    down = ((gcol + right) - xc) / right
+    w = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)  # [N,B]
+    return (
+        jnp.sum(w * wu, axis=0),
+        jnp.sum(w * wv, axis=0),
+        jnp.sum(w * ww, axis=0),
+    )
+
+
+def dynamics_c(scene, cfg, wind_fn, t, st, para):
+    """Component-form RHS (`simulator.py:295-460`). ``st`` is the state
+    tuple; returns (derivative tuple, new parachute latch[int32])."""
+    (px, py, pz, vx, vy, vz, qw, qx, qy, qz, ox, oy, oz, frac) = st
+    rocket = scene.rocket
+
+    frac = jnp.maximum(frac, 0.0)
+    qw, qx, qy, qz = quat_normalize_c(qw, qx, qy, qz)
+    R = rotmat_c(qw, qx, qy, qz)
+    (r00, r01, r02, r10, r11, r12, r20, r21, r22) = R
+
+    mp = mass_properties(rocket, frac)
+    atm = atmosphere_properties(scene.atmosphere, pz)
+
+    wu_h, wv_h, ww_h = wind_fn(pz)
+    rvx = vx - wu_h
+    rvy = vy - wv_h
+    rvz = vz - ww_h
+    # body frame: R^T @ v_rel
+    ub = r00 * rvx + r10 * rvy + r20 * rvz
+    vb = r01 * rvx + r11 * rvy + r21 * rvz
+    wb = r02 * rvx + r12 * rvy + r22 * rvz
+
+    rel_sq = rvx * rvx + rvy * rvy + rvz * rvz
+    rel_speed = jnp.sqrt(rel_sq)
+    mach = rel_speed / atm.speed_of_sound
+    # aero angles (`utils.py:160-172`)
+    degen = (jnp.abs(ub) < 1e-6) & (jnp.abs(wb) < 1e-6)
+    alpha = jnp.where(degen, 0.0, arctan2(wb, ub))
+    v_xz = jnp.sqrt(ub * ub + wb * wb)
+    beta = jnp.where(v_xz < 1e-6, 0.0, arctan2(vb, v_xz))
+    q_dyn = 0.5 * atm.density * rel_sq
+
+    burning = (frac > 0.0) & (t <= scene.motor.burn_time)
+    thrust = jnp.where(burning, thrust_at(scene.motor, t, atm.pressure), 0.0)
+
+    # parachute latch (`simulator.py:366-369`), int32 representation
+    deploy = (pz <= rocket.parachute_deployment_altitude) & (vz < 0.0)
+    para = jnp.maximum(para, deploy.astype(jnp.int32))
+    is_chute = para > 0
+
+    # chute drag opposes body-frame rel velocity (`simulator.py:372-377`)
+    body_speed = jnp.sqrt(ub * ub + vb * vb + wb * wb)
+    chute_coef = jnp.where(
+        body_speed > 0.0,
+        -0.5 * atm.density * body_speed * rocket.parachute_cd
+        * rocket.parachute_area,
+        0.0,
+    )  # = -(0.5 rho |v|^2 Cd A)/|v|
+    cfx = chute_coef * ub
+    cfy = chute_coef * vb
+    cfz = chute_coef * wb
+
+    coeffs = aero_coefficients(
+        rocket, mach, alpha, beta,
+        center_of_mass=mp.center_of_mass, power_on=(frac > 0.0),
+    )
+    drag = q_dyn * coeffs.cd * rocket.reference_area
+    lift = q_dyn * coeffs.cl * rocket.reference_area
+    side = q_dyn * coeffs.cy * rocket.reference_area
+    # wind->body matrix applied to (-drag, -side, -lift) (`utils.py:175-205`)
+    ca = jnp.cos(alpha)
+    sa = jnp.sin(alpha)
+    cb = jnp.cos(beta)
+    sb = jnp.sin(beta)
+    afx = ca * cb * (-drag) + (-sb) * (-side) + sa * cb * (-lift)
+    afy = ca * sb * (-drag) + cb * (-side) + sa * sb * (-lift)
+    afz = -sa * (-drag) + ca * (-lift)
+    has_q = q_dyn > 0.0
+    afx = jnp.where(has_q, afx, 0.0)
+    afy = jnp.where(has_q, afy, 0.0)
+    afz = jnp.where(has_q, afz, 0.0)
+
+    if cfg.energy_consistent_aero:
+        inv_bs = 1.0 / jnp.maximum(body_speed, 1e-12)
+        vhx = ub * inv_bs
+        vhy = vb * inv_bs
+        vhz = wb * inv_bs
+        lsx = (-sb) * (-side) + sa * cb * (-lift)
+        lsy = cb * (-side) + sa * sb * (-lift)
+        lsz = ca * (-lift)
+        lsx = jnp.where(has_q, lsx, 0.0)
+        lsy = jnp.where(has_q, lsy, 0.0)
+        lsz = jnp.where(has_q, lsz, 0.0)
+        along = lsx * vhx + lsy * vhy + lsz * vhz
+        afx = -drag * vhx + (lsx - along * vhx)
+        afy = -drag * vhy + (lsy - along * vhy)
+        afz = -drag * vhz + (lsz - along * vhz)
+        afx = jnp.where(has_q, afx, 0.0)
+        afy = jnp.where(has_q, afy, 0.0)
+        afz = jnp.where(has_q, afz, 0.0)
+
+    fx = jnp.where(is_chute, cfx, afx) + thrust
+    fy = jnp.where(is_chute, cfy, afy)
+    fz = jnp.where(is_chute, cfz, afz)
+
+    mscale = q_dyn * rocket.reference_area * rocket.reference_diameter
+    my = jnp.where(is_chute | ~has_q, 0.0, mscale * coeffs.cpitch)
+    mz = jnp.where(is_chute | ~has_q, 0.0, mscale * coeffs.cyaw)
+    mx = jnp.zeros_like(my)  # croll == 0 (`rocket.py:215`)
+    # damping outside the branch (`simulator.py:413-415`)
+    my = my - cfg.pitch_damping * oy
+    mz = mz - cfg.yaw_damping * oz
+
+    # inertial forces: R @ f_body, minus m g ez (`simulator.py:417-422`)
+    fix = r00 * fx + r01 * fy + r02 * fz
+    fiy = r10 * fx + r11 * fy + r12 * fz
+    fiz = r20 * fx + r21 * fy + r22 * fz
+    g = gravity_at(scene.atmosphere, pz)
+    inv_m = 1.0 / mp.mass
+    ax = fix * inv_m
+    ay = fiy * inv_m
+    az = (fiz - mp.mass * g) * inv_m
+
+    # Euler rotational equations (`simulator.py:431-436`)
+    dox = (mx - (mp.Izz - mp.Iyy) * oy * oz) / mp.Ixx
+    doy = (my - (mp.Ixx - mp.Izz) * oz * ox) / mp.Iyy
+    doz = (mz - (mp.Iyy - mp.Ixx) * ox * oy) / mp.Izz
+
+    dqw, dqx, dqy, dqz = qdot_c(qw, qx, qy, qz, ox, oy, oz)
+
+    # propellant with the 10 ms burnout ramp (`simulator.py:442-450`)
+    mdot = mass_flow_rate_at(scene.motor, t)
+    nominal = -mdot / rocket.propellant_mass
+    safe = jnp.where(nominal != 0.0, nominal, -1.0)
+    remaining = jnp.where(nominal != 0.0, frac / jnp.abs(safe), jnp.inf)
+    dfrac = jnp.where(remaining < 0.01, -frac / 0.01, nominal)
+    dfrac = jnp.where(burning, dfrac, 0.0)
+
+    deriv = (vx, vy, vz, ax, ay, az, dqw, dqx, dqy, dqz, dox, doy, doz, dfrac)
+    return deriv, para
+
+
+def rk4_c(scene, cfg, wind_fn, t, st, para):
+    """RK4 with the parachute latch threaded through the stages
+    (`simulator.py:216-227`)."""
+    dt = cfg.dt
+
+    def axpy(a, k):
+        return tuple(s + a * d for s, d in zip(st, k))
+
+    if cfg.wind_eval_per_step:
+        # one wind eval at the step's starting altitude (SimConfig flag)
+        w = wind_fn(st[2])
+        eval_wind = lambda alt: w
+    else:
+        eval_wind = wind_fn
+
+    k1, para = dynamics_c(scene, cfg, eval_wind, t, st, para)
+    k2, para = dynamics_c(scene, cfg, eval_wind, t + 0.5 * dt,
+                          axpy(0.5 * dt, k1), para)
+    k3, para = dynamics_c(scene, cfg, eval_wind, t + 0.5 * dt,
+                          axpy(0.5 * dt, k2), para)
+    k4, para = dynamics_c(scene, cfg, eval_wind, t + dt, axpy(dt, k3), para)
+    new = tuple(
+        s + (dt / 6.0) * (a + 2 * b + 2 * c + d)
+        for s, a, b, c, d in zip(st, k1, k2, k3, k4)
+    )
+    qw, qx, qy, qz = quat_normalize_c(new[6], new[7], new[8], new[9])
+    return new[:6] + (qw, qx, qy, qz) + new[10:], para
+
+
+def flight_components(scene, cfg, wind_fn, ics) -> dict:
+    """Full flight (rail + RK4 main loop + events) on flat components.
+
+    ``ics``: 12 arrays (px, py, pz, vx, vy, vz, roll, pitch, yaw, ox, oy,
+    oz), each [...]-shaped. Returns a dict of same-shaped arrays: the Monte
+    Carlo summary metrics, rail diagnostics, and the full final state
+    (int32 for flags/counters).
+    """
+    (px, py, pz, vx, vy, vz, roll, pitch, yaw, ox, oy, oz) = ics
+
+    # initial quaternion from euler (`utils.py:14-35,129-136`)
+    cr, sr = jnp.cos(roll / 2), jnp.sin(roll / 2)
+    cp, sp = jnp.cos(pitch / 2), jnp.sin(pitch / 2)
+    cy, sy = jnp.cos(yaw / 2), jnp.sin(yaw / 2)
+    qw = cr * cp * cy + sr * sp * sy
+    qx = sr * cp * cy - cr * sp * sy
+    qy = cr * sp * cy + sr * cp * sy
+    qz = cr * cp * sy - sr * sp * cy
+
+    # direction = R[:,0]
+    r = rotmat_c(qw, qx, qy, qz)
+    dx, dy, dz = r[0], r[3], r[6]
+
+    # ---------------- rail phase (`simulator.py:42-125`)
+    dt_r = cfg.rail_dt
+    speed0 = vx * dx + vy * dy + vz * dz
+    zero = jnp.zeros_like(speed0)
+
+    def rail_active(c):
+        rpx, rpy, rpz, spd, dist, stp, frac = c
+        t = stp.astype(spd.dtype) * dt_r
+        return (dist < cfg.rail_length) & (t < scene.motor.burn_time) & (
+            stp < cfg.max_rail_steps
+        )
+
+    def rail_body(c):
+        rpx, rpy, rpz, spd, dist, stp, frac = c
+        on = rail_active(c)
+        t = stp.astype(spd.dtype) * dt_r
+        mp = mass_properties(scene.rocket, frac)
+        atm = atmosphere_properties(scene.atmosphere, rpz)
+        wuh, wvh, wwh = wind_fn(rpz)
+        rvx = dx * spd - wuh
+        rvy = dy * spd - wvh
+        rvz = dz * spd - wwh
+        rel_speed_axial = rvx * dx + rvy * dy + rvz * dz
+        mach = jnp.sqrt(rvx * rvx + rvy * rvy + rvz * rvz) / atm.speed_of_sound
+        coeffs = aero_coefficients(
+            scene.rocket, mach, 0.0, 0.0,
+            center_of_mass=mp.center_of_mass, power_on=True,
+        )
+        drag = (0.5 * atm.density * rel_speed_axial**2 * coeffs.cd
+                * scene.rocket.reference_area)
+        thrust = thrust_at(scene.motor, t, atm.pressure)
+        g = gravity_at(scene.atmosphere, rpz)
+        accel = (thrust - mp.mass * g - drag) / mp.mass
+        nspd = spd + accel * dt_r
+        sel = lambda a, b: jnp.where(on, a, b)
+        nstp = stp + 1
+        return (
+            sel(rpx + dx * nspd * dt_r, rpx),
+            sel(rpy + dy * nspd * dt_r, rpy),
+            sel(rpz + dz * nspd * dt_r, rpz),
+            sel(nspd, spd),
+            sel(dist + nspd * dt_r, dist),
+            sel(nstp, stp),
+            sel(propellant_remaining(
+                scene.motor, nstp.astype(spd.dtype) * dt_r), frac),
+        )
+
+    rail0 = (px, py, pz, speed0, zero, jnp.zeros_like(speed0, jnp.int32),
+             jnp.ones_like(speed0))
+    rpx, rpy, rpz, spd, dist, rstp, frac = jax.lax.while_loop(
+        lambda c: jnp.any(rail_active(c)), rail_body, rail0
+    )
+    rail_time = rstp.astype(spd.dtype) * dt_r
+    vx = dx * spd
+    vy = dy * spd
+    vz = dz * spd
+
+    # rail-exit diagnostics
+    wuh, wvh, wwh = wind_fn(rpz)
+    rvx, rvy, rvz = vx - wuh, vy - wvh, vz - wwh
+    ub = r[0] * rvx + r[3] * rvy + r[6] * rvz
+    vb = r[1] * rvx + r[4] * rvy + r[7] * rvz
+    wb = r[2] * rvx + r[5] * rvy + r[8] * rvz
+    degen = (jnp.abs(ub) < 1e-6) & (jnp.abs(wb) < 1e-6)
+    rail_aoa = jnp.where(degen, 0.0, arctan2(wb, ub))
+    v_xz = jnp.sqrt(ub * ub + wb * wb)
+    rail_slip = jnp.where(v_xz < 1e-6, 0.0, arctan2(vb, v_xz))
+    rail_speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+
+    # ---------------- main loop (`simulator.py:208-264`)
+    st = (rpx, rpy, rpz, vx, vy, vz, qw, qx, qy, qz, ox, oy, oz, frac)
+    i0 = jnp.zeros_like(spd, jnp.int32)
+    f0 = jnp.zeros_like(spd)
+    ev = dict(
+        step=i0, para=i0, apod=i0, done=i0, div=i0,
+        apo_t=f0, max_coast=f0,
+        max_alt=rpz, t_max=rail_time,
+        max_spd=rail_speed, end_t=rail_time,
+    )
+
+    def lane_active(c):
+        st, ev = c
+        t = rail_time + ev["step"].astype(spd.dtype) * cfg.dt
+        return (ev["done"] == 0) & (t < cfg.max_time) & (
+            ev["step"] < cfg.max_steps
+        )
+
+    def main_body(c):
+        st, ev = c
+        run = lane_active(c)
+        t = rail_time + ev["step"].astype(spd.dtype) * cfg.dt
+        new_st, para = rk4_c(scene, cfg, wind_fn, t, st, ev["para"])
+        step_new = ev["step"] + 1
+        t_new = rail_time + step_new.astype(spd.dtype) * cfg.dt
+        alt = new_st[2]
+        vzn = new_st[5]
+        speed = jnp.sqrt(
+            new_st[3] ** 2 + new_st[4] ** 2 + new_st[5] ** 2
+        )
+
+        better = alt > ev["max_alt"]
+        max_alt = jnp.where(better, alt, ev["max_alt"])
+        t_max = jnp.where(better, t_new, ev["t_max"])
+        max_spd = jnp.maximum(ev["max_spd"], speed)
+
+        detect = (alt > cfg.apogee_min_altitude) & (vzn < 0.0) & (ev["apod"] == 0)
+        coast_budget = jnp.where(
+            alt > cfg.coast_alt_hi, cfg.coast_time_hi,
+            jnp.where(alt > cfg.coast_alt_mid, cfg.coast_time_mid,
+                      cfg.coast_time_lo),
+        )
+        apod = jnp.maximum(ev["apod"], detect.astype(jnp.int32))
+        apo_t = jnp.where(detect, t_new, ev["apo_t"])
+        max_coast = jnp.where(detect, coast_budget, ev["max_coast"])
+
+        ground = (alt <= cfg.ground_altitude) & (vzn <= 0.0)
+        excessive = alt > cfg.excessive_altitude
+        coast_done = (apod > 0) & (alt > cfg.coast_alt_mid) & (
+            (t_new - apo_t) > max_coast
+        )
+        finite = jnp.isfinite(alt) & jnp.isfinite(vzn) & jnp.isfinite(speed)
+        sane = speed < cfg.speed_guard
+        newly_div = (~finite | ~sane) if cfg.terminate_nonfinite else (
+            jnp.zeros_like(finite)
+        )
+        div = jnp.maximum(ev["div"], newly_div.astype(jnp.int32))
+        done = jnp.maximum(
+            ev["done"],
+            (ground | excessive | coast_done).astype(jnp.int32)
+            | newly_div.astype(jnp.int32),
+        )
+        end_t = jnp.where(ev["done"] > 0, ev["end_t"], t_new)
+
+        new_ev = dict(
+            step=step_new, para=para, apod=apod, done=done, div=div,
+            apo_t=apo_t, max_coast=max_coast, max_alt=max_alt, t_max=t_max,
+            max_spd=max_spd, end_t=end_t,
+        )
+        sel = lambda a, b: jnp.where(run, a, b)
+        st_out = tuple(sel(a, b) for a, b in zip(new_st, st))
+        ev_out = {k: sel(new_ev[k], ev[k]) for k in ev}
+        return st_out, ev_out
+
+    if cfg.unroll <= 1:
+        st, ev = jax.lax.while_loop(
+            lambda c: jnp.any(lane_active(c)), main_body, (st, ev)
+        )
+    else:
+        # K exactly-masked sub-steps per while iteration: identical results
+        # (main_body already selects per-lane on ``lane_active``); the win is
+        # amortizing the per-iteration loop overhead, which dominates at
+        # B=1 (single-flight latency).
+        def unrolled(c):
+            for _ in range(cfg.unroll):
+                c = main_body(c)
+            return c
+
+        st, ev = jax.lax.while_loop(
+            lambda c: jnp.any(lane_active(c)), unrolled, (st, ev)
+        )
+
+    (fpx, fpy, fpz, fvx, fvy, fvz, fqw, fqx, fqy, fqz, fox, foy, foz,
+     ffrac) = st
+    rng = jnp.sqrt(fpx * fpx + fpy * fpy)
+    return {
+        "apogee_altitude": ev["max_alt"],
+        "apogee_time": ev["t_max"] - rail_time,
+        "range": rng,
+        "flight_time": ev["end_t"] - rail_time,
+        "final_px": fpx, "final_py": fpy, "final_pz": fpz,
+        "final_vx": fvx, "final_vy": fvy, "final_vz": fvz,
+        "max_speed": ev["max_spd"],
+        "parachute_deployed": ev["para"],
+        "diverged": ev["div"],
+        "n_steps": ev["step"],
+        "rail_exit_time": rail_time,
+        "rail_exit_speed": rail_speed,
+        "rail_exit_angle_of_attack": rail_aoa,
+        "rail_exit_sideslip": rail_slip,
+        "rail_px": rpx, "rail_py": rpy, "rail_pz": rpz,
+        "rail_vx": vx, "rail_vy": vy, "rail_vz": vz,
+        "rail_wu": wuh, "rail_wv": wvh, "rail_ww": wwh,
+        "quat_w": qw, "quat_x": qx, "quat_y": qy, "quat_z": qz,
+    }

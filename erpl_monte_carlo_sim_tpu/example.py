@@ -21,6 +21,10 @@ import sys
 import jax
 import numpy as np
 
+from .utils.logging import configure, get_logger
+
+log = get_logger("example")
+
 from .engine import InitialConditions, SimConfig, simulate_flight
 from .mc import MonteCarloAnalyzer
 from .models import WindField, liquid_motor, load_wind_profile_from_csv, nominal_scene
@@ -42,8 +46,8 @@ SAMPLE_WIND = os.path.join(
 
 
 def main(n_samples: int = 50, stabilized: bool = False):
-    print("6DOF Monte Carlo Rocket Simulation (TPU-native)")
-    print("=" * 50)
+    log.info("6DOF Monte Carlo Rocket Simulation (TPU-native)")
+    log.info("=" * 50)
 
     scene = nominal_scene(liquid_motor())
     alt_profile, wind_profile = load_wind_profile_from_csv(SAMPLE_WIND)
@@ -54,37 +58,37 @@ def main(n_samples: int = 50, stabilized: bool = False):
     ic = InitialConditions.vertical_launch()
     cfg = SimConfig(energy_consistent_aero=stabilized)
     if stabilized:
-        print("(stabilized aero: energy-consistent drag decomposition ON)")
+        log.info("(stabilized aero: energy-consistent drag decomposition ON)")
 
-    print("\nRunning single simulation...")
+    log.info("\nRunning single simulation...")
     summary, traj = jax.jit(simulate_flight, static_argnums=2)(
         scene_with_wind, ic, cfg
     )
     results = to_results_dict(scene_with_wind, summary, traj, cfg,
                               initial_conditions=ic)
-    print(f"Rail exit speed: {results['rail_exit_speed']:.2f} m/s")
-    print(
+    log.info(f"Rail exit speed: {results['rail_exit_speed']:.2f} m/s")
+    log.info(
         f"Rail AoA: {np.degrees(results['rail_exit_angle_of_attack']):.2f} deg, "
         f"sideslip: {np.degrees(results['rail_exit_sideslip']):.2f} deg"
     )
-    print(
+    log.info(
         f"Apogee altitude: {results['apogee_altitude']:.1f} m "
         f"({results['apogee_altitude'] * 3.28084:.1f} ft)"
     )
-    print(f"Range: {results['range']:.1f} m")
-    print(f"Flight time: {results['flight_time']:.1f} s")
+    log.info(f"Range: {results['range']:.1f} m")
+    log.info(f"Flight time: {results['flight_time']:.1f} s")
 
-    print("\nRunning Monte Carlo analysis...")
+    log.info("\nRunning Monte Carlo analysis...")
     mc = MonteCarloAnalyzer(scene=scene, sim_config=cfg)
     mc.base_altitude_profile = alt_profile
     mc.base_wind_profile = wind_profile
     analysis = mc.run_monte_carlo(ic, n_samples=n_samples)
 
-    print(f"Valid: {analysis['n_samples']}  outliers: {analysis['n_outliers']}  "
+    log.info(f"Valid: {analysis['n_samples']}  outliers: {analysis['n_outliers']}  "
           f"({analysis['performance']['simulations_per_second']:.1f} sims/s)")
     if analysis["n_samples"]:
         s = analysis["apogee_altitude"]
-        print(f"Apogee: mean {s['mean']:.1f} m  std {s['std']:.1f} m  "
+        log.info(f"Apogee: mean {s['mean']:.1f} m  std {s['std']:.1f} m  "
               f"95% CI [{s['percentiles'][0]:.1f}, {s['percentiles'][4]:.1f}] m")
 
     output_dir = create_output_directory()
@@ -96,11 +100,12 @@ def main(n_samples: int = 50, stabilized: bool = False):
         plot_trajectory_cloud_3d(mc, analysis, output_dir)
     plot_single_simulation(results, output_dir)
     plot_thrust_twr(results, output_dir)
-    print(f"Report and plots saved to: {output_dir}")
+    log.info(f"Report and plots saved to: {output_dir}")
     return results, analysis
 
 
 if __name__ == "__main__":
+    configure()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 50
     main(n, stabilized="--stabilized" in sys.argv)

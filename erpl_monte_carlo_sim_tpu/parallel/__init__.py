@@ -1,9 +1,11 @@
 """Scale-out layer: device meshes, sharded MC execution, collective stats."""
 
-from .mesh import BATCH_AXIS, make_mesh, pad_to_devices, replicate, shard_batch
+from .mesh import (BATCH_AXIS, init_distributed, make_global_batch, make_mesh,
+                   pad_to_devices, replicate, shard_batch)
 from .sharded import collective_stats, run_sharded_summaries
 
 __all__ = [
     "BATCH_AXIS", "make_mesh", "pad_to_devices", "replicate", "shard_batch",
-    "collective_stats", "run_sharded_summaries",
+    "collective_stats", "run_sharded_summaries", "init_distributed",
+    "make_global_batch",
 ]

@@ -17,9 +17,64 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "pad_to_devices", "BATCH_AXIS"]
+__all__ = [
+    "make_mesh", "shard_batch", "replicate", "pad_to_devices", "BATCH_AXIS",
+    "init_distributed", "make_global_batch",
+]
 
 BATCH_AXIS = "batch"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host entry point: join a ``jax.distributed`` job.
+
+    The pod-scale replacement for the reference's single-host process pool
+    (`monte_carlo.py:92-154`): after this, ``jax.devices()`` is the GLOBAL
+    device list, a ``make_mesh()`` spans hosts, lane shards ride ICI within
+    a slice and DCN across slices, and ``collective_stats`` reductions are
+    global. No-op (returns 0) when called single-process with no
+    coordinator. Returns this process's id.
+
+    On TPU pods the three arguments are inferred from the environment;
+    pass them explicitly for CPU multi-process validation
+    (``scripts/pod_scale.py --num-processes N --process-id I``).
+    """
+    if coordinator_address is None and num_processes is None:
+        return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
+def make_global_batch(tree, mesh: Mesh, local_batch: int,
+                      axis_name: str = BATCH_AXIS):
+    """Assemble per-process local leaves into global sharded arrays.
+
+    Each process passes ITS lanes (leading axis ``local_batch``); leaves
+    gain a global leading axis of ``local_batch * num_processes``. Shared
+    leaves (no batch axis) must be identical on every process and are
+    replicated. This is the multi-host analogue of ``shard_batch`` (which
+    only works when one process addresses every device).
+    """
+    import numpy as np
+
+    sharded = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == local_batch:
+            return jax.make_array_from_process_local_data(sharded, x)
+        return jax.make_array_from_process_local_data(repl, x)
+
+    return jax.tree.map(put, tree)
 
 
 def make_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = None,

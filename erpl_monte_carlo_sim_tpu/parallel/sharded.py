@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..engine.batch import simulate_summary_batch
 from ..engine.config import SimConfig
-from ..engine.simulate import simulate_summary
 from ..mc.stats import PERCENTILES
 from .mesh import BATCH_AXIS, shard_batch
 
@@ -38,29 +38,40 @@ def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,
 
     Inputs must already be shaped [batch_size, ...] on batched leaves (use
     ``mc.sample_dispersions``); this places them (``shard_batch``) and runs
-    the jitted vmapped summary. XLA's SPMD partitioner splits the lanes per
-    device; each device exits its own while_loop independently (no global
-    barrier until the caller reduces).
+    the component-form batch path (``engine.batch``). XLA's SPMD partitioner
+    splits the lanes per device — the [B,N,3] -> [3,N,B] wind transpose and
+    every [B] carry stay lane-sharded with zero communication; the only
+    per-iteration collective is the 1-bit ``any(lane_active)`` loop
+    condition. ``axes`` is unused (kept for API compatibility with the
+    vmapped path).
     """
+    del axes
     scene_b = shard_batch(scene_b, mesh, batch_size)
     ic_b = shard_batch(ic_b, mesh, batch_size)
-    run = jax.jit(
-        jax.vmap(simulate_summary, in_axes=(axes, 0, None)), static_argnums=2
-    )
-    return run(scene_b, ic_b, cfg)
+    return simulate_summary_batch(scene_b, ic_b, cfg)
 
 
-def collective_stats(values: jnp.ndarray, mask: jnp.ndarray, mesh: Mesh) -> dict:
+def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
+                     mesh: Mesh) -> dict:
     """Masked mean/std/min/max/count/percentiles with explicit collectives.
 
     ``values``/``mask`` are [n] arrays sharded (or shardable) along the batch
-    axis. Moment accumulators ride ``psum`` over ICI; percentiles use one
-    ``all_gather`` of the scalar metric (4 bytes/lane — cheap even at 10M
-    lanes) followed by a replicated sort.
+    axis; ``mask=None`` means all lanes (non-finite values are always
+    excluded). Moment accumulators ride ``psum`` over ICI; percentiles use
+    one ``all_gather`` of the scalar metric (4 bytes/lane — cheap even at
+    10M lanes) followed by a replicated sort.
+
+    Multi-host safe: when ``values`` is already a global sharded array (a
+    ``jax.distributed`` run), the ``device_put`` is a no-op and the psum
+    spans every host; pass ``mask=None`` or a global mask in that case
+    (a host-local mask array cannot be placed onto non-addressable devices).
     """
     n = values.shape[0]
     values = jax.device_put(values, NamedSharding(mesh, P(BATCH_AXIS)))
-    mask = jax.device_put(mask, NamedSharding(mesh, P(BATCH_AXIS)))
+    if mask is None:
+        mask = jnp.ones_like(values, dtype=bool)  # inherits values' sharding
+    else:
+        mask = jax.device_put(mask, NamedSharding(mesh, P(BATCH_AXIS)))
 
     @partial(
         shard_map,

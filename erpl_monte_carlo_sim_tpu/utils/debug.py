@@ -18,7 +18,11 @@ import contextlib
 import jax
 import numpy as np
 
+from .logging import get_logger
+
 __all__ = ["debug_mode", "trace_profile", "check_finite"]
+
+log = get_logger("debug")
 
 
 @contextlib.contextmanager
@@ -41,7 +45,7 @@ def trace_profile(log_dir: str = "/tmp/jax-trace"):
     """Capture a profiler trace of the enclosed block (view with xprof)."""
     with jax.profiler.trace(log_dir):
         yield
-    print(f"profiler trace written to {log_dir}")
+    log.info("profiler trace written to %s", log_dir)
 
 
 def check_finite(tree, name: str = "tree") -> None:

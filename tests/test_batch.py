@@ -1,0 +1,101 @@
+"""Component-form batch path (engine/batch.py) vs the vmapped reference path.
+
+``simulate_summary_batch`` runs the SAME physics through a structurally
+different program (flat [B] carries, lanes-minor wind tables) — these tests
+pin lane-for-lane equivalence with ``jit(vmap(simulate_summary))`` on fully
+dispersed batches, including the per-lane stochastic wind tables.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from erpl_monte_carlo_sim_tpu.engine import (
+    InitialConditions,
+    SimConfig,
+    simulate_summary,
+    simulate_summary_batch,
+)
+from erpl_monte_carlo_sim_tpu.mc import sample_dispersions, scene_in_axes
+from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene, solid_motor
+
+
+def _compare(scene_b, ic_b, axes, cfg, rtol=5e-7):
+    ref = jax.jit(
+        jax.vmap(simulate_summary, in_axes=(axes, 0, None)), static_argnums=2
+    )(scene_b, ic_b, cfg)
+    got = simulate_summary_batch(scene_b, ic_b, cfg)
+
+    ref_l = jax.tree_util.tree_flatten_with_path(ref)[0]
+    got_l = jax.tree.leaves(got)
+    assert len(ref_l) == len(got_l)
+    for (path, a), b in zip(ref_l, got_l):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        assert a.shape == b.shape, (path, a.shape, b.shape)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(
+                b, a, rtol=rtol, atol=1e-6,
+                err_msg=f"mismatch at {jax.tree_util.keystr(path)}",
+            )
+        else:
+            np.testing.assert_array_equal(
+                b, a, err_msg=f"mismatch at {jax.tree_util.keystr(path)}"
+            )
+
+
+@pytest.mark.parametrize("motor", ["liquid", "solid"])
+def test_batch_matches_vmap_dispersed(motor):
+    scene = nominal_scene(liquid_motor() if motor == "liquid" else solid_motor())
+    ic = InitialConditions.vertical_launch()
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(7), scene, ic, n=32
+    )
+    axes = scene_in_axes(scene, scene_b)
+    # ~1k-step window: rail + boost + early coast, per-lane wind active
+    _compare(scene_b, ic_b, axes, SimConfig(max_time=6.0))
+
+
+def test_batch_matches_vmap_full_flight_events():
+    # Full flights to landing: parachute latch, coast timeout, ground stop.
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(3), scene, ic, n=8
+    )
+    axes = scene_in_axes(scene, scene_b)
+    _compare(scene_b, ic_b, axes,
+             SimConfig(energy_consistent_aero=True), rtol=2e-5)
+
+
+def test_batch_matches_vmap_wind_eval_per_step():
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(11), scene, ic, n=16
+    )
+    axes = scene_in_axes(scene, scene_b)
+    _compare(scene_b, ic_b, axes,
+             SimConfig(max_time=6.0, wind_eval_per_step=True))
+
+
+def test_batch_shared_wind_table():
+    # Shared [N,3] wind table (no per-lane dispersion) broadcasts correctly.
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    n = 4
+    ic_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), ic)
+    axes = jax.tree.map(lambda _: None, scene)
+    ref = jax.jit(
+        jax.vmap(simulate_summary, in_axes=(None, 0, None)), static_argnums=2
+    )(scene, ic_b, SimConfig(max_time=4.0))
+    got = simulate_summary_batch(scene, ic_b, SimConfig(max_time=4.0))
+    np.testing.assert_allclose(
+        np.asarray(got.apogee_altitude), np.asarray(ref.apogee_altitude),
+        rtol=5e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.rail.rail_exit_speed),
+        np.asarray(ref.rail.rail_exit_speed), rtol=5e-7,
+    )
