@@ -472,23 +472,18 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
         ev_out = {k: sel(new_ev[k], ev[k]) for k in ev}
         return st_out, ev_out
 
-    if cfg.unroll <= 1:
-        st, ev = jax.lax.while_loop(
-            lambda c: jnp.any(lane_active(c)), main_body, (st, ev)
-        )
-    else:
-        # K exactly-masked sub-steps per while iteration: identical results
-        # (main_body already selects per-lane on ``lane_active``); the win is
-        # amortizing the per-iteration loop overhead, which dominates at
-        # B=1 (single-flight latency).
-        def unrolled(c):
-            for _ in range(cfg.unroll):
-                c = main_body(c)
-            return c
+    def body(c):
+        for _ in range(max(1, cfg.unroll)):
+            # unroll>1: K exactly-masked sub-steps per iteration — identical
+            # results (main_body selects per-lane on ``lane_active``).
+            # NOTE: measured no-op for latency on this runtime (cost is
+            # per fusion execution, and unrolling keeps total fusions).
+            c = main_body(c)
+        return c
 
-        st, ev = jax.lax.while_loop(
-            lambda c: jnp.any(lane_active(c)), unrolled, (st, ev)
-        )
+    st, ev = jax.lax.while_loop(
+        lambda c: jnp.any(lane_active(c)), body, (st, ev)
+    )
 
     (fpx, fpy, fpz, fvx, fvy, fvz, fqw, fqx, fqy, fqz, fox, foy, foz,
      ffrac) = st

@@ -78,6 +78,26 @@ def _stats_to_py(s: dict) -> dict:
     }
 
 
+@jax.jit
+def _ranges_kernel(sample, valid) -> dict:
+    """Masked per-parameter (min, max) over valid lanes, plus the valid
+    count — the device side of ``_parameter_ranges_device``."""
+    out = {"__n_valid__": jnp.sum(valid)}
+    for name in MonteCarloAnalyzer._RANGE_FIELDS:
+        arr = getattr(sample, name)
+        m = valid if arr.ndim == 1 else valid[:, None]
+        if jnp.issubdtype(arr.dtype, jnp.integer):
+            lo_fill = jnp.iinfo(arr.dtype).max
+            hi_fill = jnp.iinfo(arr.dtype).min
+        else:
+            lo_fill, hi_fill = jnp.inf, -jnp.inf
+        out[name] = (
+            jnp.min(jnp.where(m, arr, lo_fill), axis=0),
+            jnp.max(jnp.where(m, arr, hi_fill), axis=0),
+        )
+    return out
+
+
 class MonteCarloAnalyzer:
     """Dispersion analysis over a scene. Mirrors the reference's constructor
     shape (`monte_carlo.py:20-50`) — pass a full ``scene`` or the parts.
@@ -328,19 +348,26 @@ class MonteCarloAnalyzer:
             valid_parts.append(valid_np)
             reason_parts.append(reasons_np)
 
-            sample_np = jax.tree.map(np.asarray, sample)
-            pr = self._parameter_ranges(sample_np, valid_np)
+            # Parameter ranges reduce ON DEVICE (18 scalars back per slab,
+            # not the 19 MB dispersion SoA — the tunnel is the slow path).
+            pr = self._parameter_ranges_device(sample, valid)
             pranges = pr if pranges is None else self._merge_ranges(pranges, pr)
 
-            if len(records) < limit or len(outlier_records) < limit:
+            # Full summary/sample readback ONLY while per-sim records are
+            # still being materialized AND this slab has lanes of the kind
+            # still needed (an all-valid slab contributes no outliers).
+            need_valid = len(records) < limit and valid_np.any()
+            need_outlier = len(outlier_records) < limit and (~valid_np).any()
+            if need_valid or need_outlier:
                 summary_np = jax.tree.map(np.asarray, summary)
-                if len(records) < limit:
+                sample_np = jax.tree.map(np.asarray, sample)
+                if need_valid:
                     records.extend(self._materialize_records(
                         summary_np, sample_np, valid_np, reasons_np,
                         want_valid=True, limit=limit - len(records),
                         offset=n_done,
                     ))
-                if len(outlier_records) < limit:
+                if need_outlier:
                     outlier_records.extend(self._materialize_records(
                         summary_np, sample_np, valid_np, reasons_np,
                         want_valid=False, limit=limit - len(outlier_records),
@@ -391,6 +418,27 @@ class MonteCarloAnalyzer:
             "outliers": outlier_records,
         }
         return analysis
+
+    _RANGE_FIELDS = (
+        "initial_position_offset", "initial_velocity_offset",
+        "initial_attitude_offset", "initial_angular_velocity_offset",
+        "mass_multiplier", "thrust_multiplier", "wind_speed",
+        "wind_direction", "density_multiplier", "random_seed",
+    )
+
+    @classmethod
+    def _parameter_ranges_device(cls, sample, valid) -> dict:
+        """On-device masked min/max per dispersion parameter: one jitted
+        call + one small readback per slab, vs hauling the full 19 MB
+        dispersion SoA to the host (`_parameter_ranges` semantics)."""
+        reduced = jax.device_get(_ranges_kernel(sample, valid))
+        n_valid = reduced.pop("__n_valid__")
+        if int(n_valid) == 0:
+            return {}
+        return {
+            name: {"min": mn.tolist(), "max": mx.tolist()}
+            for name, (mn, mx) in reduced.items()
+        }
 
     @staticmethod
     def _merge_ranges(a: dict, b: dict) -> dict:

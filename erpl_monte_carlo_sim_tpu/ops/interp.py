@@ -33,21 +33,29 @@ def interpolate_1d(x, x_table: jnp.ndarray, y_table: jnp.ndarray) -> jnp.ndarray
 
     Implemented with the same gather-free tent-basis form as
     ``interpolate_vec`` (clamped linear interp == hat-weighted sum of table
-    values) rather than ``jnp.interp``: the model tables here are tiny
-    (8-10 knots), the [..., K] intermediate is negligible, there is no
-    searchsorted/gather to lower, and — crucially — pure arithmetic runs
-    unchanged inside Pallas kernels, so the physics model code is shared
-    between the XLA and Pallas execution paths.
+    values) rather than ``jnp.interp``: there is no searchsorted/gather to
+    lower, and pure arithmetic runs unchanged inside Pallas kernels, so the
+    physics model code is shared between the XLA and Pallas paths.
+
+    LAYOUT: the knot axis K leads — intermediates are [K, ...x-shape], NOT
+    [..., K]. On TPU the minor-most dimension tiles to 128 lanes; a batched
+    query with a trailing 8-10 knot axis pads 8->128 (16x wasted vregs/HBM
+    on every Mach-table op in the hot loop), while knots-leading puts the
+    batch on the lane axis with zero padding and the tiny K on sublanes.
+    Per-element math is identical (elementwise ops commute with layout).
     """
     x = jnp.asarray(x)
     xc = jnp.clip(x, _knot(x_table, 0), _knot(x_table, -1))
     dx = jnp.maximum(jnp.diff(x_table), 1e-30)
     left = jnp.concatenate([jnp.ones_like(dx[:1]), dx])
     right = jnp.concatenate([dx, jnp.ones_like(dx[:1])])
-    up = (xc[..., None] - (x_table - left)) / left
-    down = ((x_table + right) - xc[..., None]) / right
-    w = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)
-    return jnp.sum(w * y_table, axis=-1)
+    kshape = x_table.shape + (1,) * x.ndim  # [K, 1...1] broadcasts vs [K, ...]
+    lo = (x_table - left).reshape(kshape)
+    hi = (x_table + right).reshape(kshape)
+    up = (xc[None, ...] - lo) / left.reshape(kshape)
+    down = (hi - xc[None, ...]) / right.reshape(kshape)
+    w = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)  # [K, ...]
+    return jnp.sum(w * y_table.reshape(kshape), axis=0)
 
 
 def interpolate_vec(x, x_table: jnp.ndarray, y_table: jnp.ndarray) -> jnp.ndarray:
