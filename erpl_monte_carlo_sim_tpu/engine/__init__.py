@@ -5,7 +5,7 @@ from .config import SimConfig
 from .diff import apogee_and_grad, simulate_apogee_diff
 from .dynamics import rocket_dynamics
 from .integrator import EventState, StepCarry, advance, init_carry, rk4_step
-from .pallas_kernel import simulate_summary_pallas
+from ..experimental.pallas_kernel import simulate_summary_pallas
 from .rail import RailInfo, simulate_rail
 from .simulate import (FlightSummary, Trajectory, simulate_batch_chunked,
                        simulate_flight, simulate_summary)

@@ -15,7 +15,7 @@ The same functions run in three contexts (shape-polymorphic, pure jnp):
   * under plain ``jit`` on [B]-wide arrays — ``engine.batch``, the Monte
     Carlo hot path,
   * inside the Pallas whole-flight kernel on [TILE] lanes —
-    ``engine.pallas_component``,
+    ``experimental.pallas_component``,
   * at B=1 for low-latency single flights.
 
 Wind access is a caller-provided closure ``wind_fn(alt) -> (u, v, w)`` so

@@ -25,9 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import Scene
 from ..ops.math import pallas_math
-from .component import flight_components, wind_tent_lanes_major
-from .config import SimConfig
-from .state import InitialConditions
+from ..engine.component import flight_components, wind_tent_lanes_major
+from ..engine.config import SimConfig
+from ..engine.state import InitialConditions
 
 __all__ = ["simulate_summary_component"]
 

@@ -33,11 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import Scene
 from ..ops.math import bcast_where
-from .config import SimConfig
-from .integrator import advance, init_carry
-from .rail import RailInfo, simulate_rail_masked
-from .simulate import FlightSummary, _summary_from_carry
-from .state import InitialConditions, initial_state
+from ..engine.config import SimConfig
+from ..engine.integrator import advance, init_carry
+from ..engine.rail import RailInfo, simulate_rail_masked
+from ..engine.simulate import FlightSummary, _summary_from_carry
+from ..engine.state import InitialConditions, initial_state
 
 __all__ = ["simulate_summary_pallas"]
 

@@ -28,10 +28,10 @@ def main(round_tag: str = "r02") -> dict:
     from erpl_monte_carlo_sim_tpu.engine import (
         InitialConditions, SimConfig, simulate_summary_batch,
     )
-    from erpl_monte_carlo_sim_tpu.engine.pallas_component import (
+    from erpl_monte_carlo_sim_tpu.experimental.pallas_component import (
         simulate_summary_component,
     )
-    from erpl_monte_carlo_sim_tpu.engine.pallas_kernel import (
+    from erpl_monte_carlo_sim_tpu.experimental.pallas_kernel import (
         simulate_summary_pallas,
     )
     from erpl_monte_carlo_sim_tpu.mc import sample_dispersions

@@ -60,7 +60,7 @@ def test_interpret_matches_xla_path():
 def test_component_kernel_interpret_matches_xla():
     """Component-form kernel (flat [P]-lane state, no vector arrays):
     interpret-mode equivalence on dispersed lanes."""
-    from erpl_monte_carlo_sim_tpu.engine.pallas_component import (
+    from erpl_monte_carlo_sim_tpu.experimental.pallas_component import (
         simulate_summary_component,
     )
 
