@@ -68,6 +68,20 @@ def main() -> None:
     t = min(times)
     steps = int(np.asarray(r.n_steps).max())
 
+    # Fast mode (documented opt-ins, both sub-noise for dispersed MC):
+    # one wind eval per step + bf16 wind-table storage.
+    fast_cfg = SimConfig(max_time=6.0, wind_eval_per_step=True,
+                         wind_table_bf16=True)
+    rf = run(scene_b, ic_b, fast_cfg)
+    np.asarray(rf.apogee_altitude)
+    fast_times = []
+    for _ in range(3):
+        t0 = time.time()
+        rf = run(scene_b, ic_b, fast_cfg)
+        np.asarray(rf.apogee_altitude)
+        fast_times.append(time.time() - t0)
+    t_fast = min(fast_times)
+
     # Single-flight p50 latency (full nominal flight to landing, ~41k steps)
     full_cfg = SimConfig()
     ic_1 = jax.tree.map(
@@ -96,6 +110,7 @@ def main() -> None:
         "batch": B,
         "steps": steps,
         "wall_s": round(t, 4),
+        "fast_mode_traj_per_s": round(B / t_fast, 1),
         "single_flight_p50_s": round(sorted(lat)[1], 3),
         "single_flight_apogee_m": round(float(np.asarray(s.apogee_altitude)[0]), 1),
         "device": str(jax.devices()[0]),

@@ -57,7 +57,16 @@ def prepare_batch(scene_b: Scene, ic_b: InitialConditions):
 
 @functools.partial(jax.jit, static_argnums=3)
 def _run_components(scene_nw, grid, wT, cfg, ics):
-    wind_fn = lambda alt: wind_tent_lanes_minor(alt, grid, wT[0], wT[1], wT[2])
+    def wind_fn(alt):
+        u, v, w = wT[0], wT[1], wT[2]
+        if u.dtype != alt.dtype:
+            # bf16-stored table (SimConfig.wind_table_bf16): the upcast
+            # fuses into the tent multiply — no f32 copy materializes.
+            u = u.astype(alt.dtype)
+            v = v.astype(alt.dtype)
+            w = w.astype(alt.dtype)
+        return wind_tent_lanes_minor(alt, grid, u, v, w)
+
     return flight_components(scene_nw, cfg, wind_fn, ics)
 
 
@@ -71,6 +80,8 @@ def simulate_summary_batch(
     returns an identical ``FlightSummary`` pytree.
     """
     scene_nw, grid, wT, ics = prepare_batch(scene_b, ic_b)
+    if cfg.wind_table_bf16:
+        wT = wT.astype(jnp.bfloat16)
     res = _run_components(scene_nw, grid, wT, cfg, ics)
 
     def stack3(x, y, z):

@@ -67,6 +67,16 @@ class SimConfig:
     # bandwidth consumer (measured ~45% of step time at B=131k).
     wind_eval_per_step: bool = False
 
+    # OPT-IN (default False = exact reference parity): store the per-lane
+    # wind table in bfloat16 (compute stays f32 — the upcast fuses into the
+    # tent-basis multiply). The table is the Monte Carlo hot loop's dominant
+    # HBM traffic once the component path removed the padding spills;
+    # halving it measures +38% throughput (199k vs 144k traj/s/chip at
+    # B=131k). Wind values are AR(1) dispersion noise with sigma ~2 m/s;
+    # bf16 rounding (~0.4% relative) is far below that — median apogee
+    # shifts <0.01 m (pinned by tests/test_batch.py).
+    wind_table_bf16: bool = False
+
     # OPT-IN (default False = exact reference parity): energy-consistent
     # aero force decomposition. The reference's wind->body matrix does not
     # map drag exactly opposite the relative wind when alpha AND beta are

@@ -80,6 +80,26 @@ def test_batch_matches_vmap_wind_eval_per_step():
              SimConfig(max_time=6.0, wind_eval_per_step=True))
 
 
+def test_batch_bf16_wind_stats_drift_below_noise():
+    # SimConfig.wind_table_bf16 rounds the stored wind table (~0.4% rel) —
+    # far below the AR(1) turbulence sigma (~2 m/s). Pin that the summary
+    # statistics barely move vs f32 storage.
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(2), scene, ic, n=256
+    )
+    cfg32 = SimConfig(max_time=6.0)
+    cfg16 = SimConfig(max_time=6.0, wind_table_bf16=True)
+    a = simulate_summary_batch(scene_b, ic_b, cfg32)
+    b = simulate_summary_batch(scene_b, ic_b, cfg16)
+    apo_a = np.asarray(a.apogee_altitude)
+    apo_b = np.asarray(b.apogee_altitude)
+    assert abs(apo_a.mean() - apo_b.mean()) < 0.5  # m; sigma is ~50 m
+    assert abs(apo_a.std() - apo_b.std()) / apo_a.std() < 0.02
+    np.testing.assert_array_equal(np.asarray(a.diverged), np.asarray(b.diverged))
+
+
 def test_batch_shared_wind_table():
     # Shared [N,3] wind table (no per-lane dispersion) broadcasts correctly.
     scene = nominal_scene(liquid_motor())
