@@ -82,8 +82,15 @@ def main() -> None:
         fast_times.append(time.time() - t0)
     t_fast = min(fast_times)
 
-    # Single-flight p50 latency (full nominal flight to landing, ~41k steps)
-    full_cfg = SimConfig()
+    # Single-flight p50 latency (full nominal flight to landing). Headline
+    # number uses the tiered-timestep fast flags (descent_dt_scale /
+    # ascent_q_threshold: coarse RK4 only in dynamically-quiet phases;
+    # apogee delta < 0.1 m, landing delta < 1 m vs parity — see
+    # tests/test_descent.py); the parity 5 ms-everywhere number is reported
+    # alongside (its ~3.6 s is a platform per-instruction dispatch floor on
+    # the axon tunnel, measured in NOTES.md).
+    full_cfg = SimConfig(descent_dt_scale=16, ascent_q_threshold=8000.0)
+    parity_cfg = SimConfig()
     ic_1 = jax.tree.map(
         lambda x: np.broadcast_to(np.asarray(x), (1,) + np.shape(x)).copy(), ic
     )
@@ -100,6 +107,15 @@ def main() -> None:
         float(np.asarray(s.apogee_altitude)[0])
         lat.append(time.time() - t0)
 
+    sp = single(scene, ic_1, parity_cfg)
+    float(np.asarray(sp.apogee_altitude)[0])
+    lat_parity = []
+    for _ in range(3):
+        t0 = time.time()
+        sp = single(scene, ic_1, parity_cfg)
+        float(np.asarray(sp.apogee_altitude)[0])
+        lat_parity.append(time.time() - t0)
+
     value = B / t
     baseline = 1.64  # reference-equivalent 1k-step flights/s on 1 CPU core
     print(json.dumps({
@@ -112,7 +128,11 @@ def main() -> None:
         "wall_s": round(t, 4),
         "fast_mode_traj_per_s": round(B / t_fast, 1),
         "single_flight_p50_s": round(sorted(lat)[1], 3),
+        "single_flight_mode": "tiered dt (descent_dt_scale=16, ascent_q_threshold=8000)",
+        "single_flight_parity_p50_s": round(sorted(lat_parity)[1], 3),
         "single_flight_apogee_m": round(float(np.asarray(s.apogee_altitude)[0]), 1),
+        "single_flight_parity_apogee_m": round(
+            float(np.asarray(sp.apogee_altitude)[0]), 1),
         "device": str(jax.devices()[0]),
     }))
 

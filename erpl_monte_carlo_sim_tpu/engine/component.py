@@ -277,10 +277,12 @@ def dynamics_c(scene, cfg, wind_fn, t, st, para):
     return deriv, para
 
 
-def rk4_c(scene, cfg, wind_fn, t, st, para):
+def rk4_c(scene, cfg, wind_fn, t, st, para, dt=None):
     """RK4 with the parachute latch threaded through the stages
-    (`simulator.py:216-227`)."""
-    dt = cfg.dt
+    (`simulator.py:216-227`). ``dt`` may be a traced per-lane array
+    (descent_dt_scale); None means the static cfg.dt."""
+    if dt is None:
+        dt = cfg.dt
 
     def axpy(a, k):
         return tuple(s + a * d for s, d in zip(st, k))
@@ -408,21 +410,68 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
         max_alt=rpz, t_max=rail_time,
         max_spd=rail_speed, end_t=rail_time,
     )
+    # descent_dt_scale > 1 needs true time as a carry (dt varies per lane)
+    # plus the chute-deploy time; parity (scale=1) derives t from the step
+    # counter so its carry — and its per-iteration strand count — is
+    # unchanged.
+    tiered = cfg.descent_dt_scale > 1
+    if tiered:
+        ev["t"] = rail_time + f0
+        ev["dep_t"] = jnp.full_like(f0, jnp.inf)
+
+    def t_of(ev):
+        if tiered:
+            return ev["t"]
+        return rail_time + ev["step"].astype(spd.dtype) * cfg.dt
 
     def lane_active(c):
         st, ev = c
-        t = rail_time + ev["step"].astype(spd.dtype) * cfg.dt
-        return (ev["done"] == 0) & (t < cfg.max_time) & (
+        return (ev["done"] == 0) & (t_of(ev) < cfg.max_time) & (
             ev["step"] < cfg.max_steps
         )
 
     def main_body(c):
         st, ev = c
         run = lane_active(c)
-        t = rail_time + ev["step"].astype(spd.dtype) * cfg.dt
-        new_st, para = rk4_c(scene, cfg, wind_fn, t, st, ev["para"])
+        t = t_of(ev)
+        if tiered:
+            # Coarse step only in settled descent, per lane: (a) ballistic
+            # fall, once the apogee pitch-over transient has passed and the
+            # lane cannot reach the chute-deploy altitude within 1.5 coarse
+            # steps (the opening shock at ~200 m/s is stiff — RK4 needs the
+            # fine dt through the latch), (b) under canopy after the opening
+            # transient settles (terminal descent: lambda*dt << 1).
+            dt_big = cfg.dt * cfg.descent_dt_scale
+            settle = cfg.descent_settle_time
+            fall_speed = jnp.maximum(-st[5], 0.0)
+            clear = st[2] > (scene.rocket.parachute_deployment_altitude
+                             + 1.5 * fall_speed * dt_big)
+            ballistic = (
+                (ev["apod"] > 0) & (ev["para"] == 0)
+                & (t - ev["apo_t"] > settle) & clear
+            )
+            chuted = (ev["para"] > 0) & (t - ev["dep_t"] > settle)
+            coarse = ballistic | chuted
+            if cfg.ascent_q_threshold > 0.0:
+                # quiet coast ascent: post-burnout, pre-apogee, low dynamic
+                # pressure (attitude oscillation ~ sqrt(q) -> slow)
+                atm_g = atmosphere_properties(scene.atmosphere, st[2])
+                q_est = 0.5 * atm_g.density * (
+                    st[3] * st[3] + st[4] * st[4] + st[5] * st[5]
+                )
+                coarse = coarse | (
+                    (t > scene.motor.burn_time) & (ev["apod"] == 0)
+                    & (q_est < cfg.ascent_q_threshold)
+                )
+            dt_lane = jnp.where(coarse, dt_big, cfg.dt)
+            new_st, para = rk4_c(scene, cfg, wind_fn, t, st, ev["para"],
+                                 dt=dt_lane)
+            t_new = t + dt_lane
         step_new = ev["step"] + 1
-        t_new = rail_time + step_new.astype(spd.dtype) * cfg.dt
+        if not tiered:
+            new_st, para = rk4_c(scene, cfg, wind_fn, t, st, ev["para"])
+            # same rounding as the parity t_of derivation (golden-pinned)
+            t_new = rail_time + step_new.astype(spd.dtype) * cfg.dt
         alt = new_st[2]
         vzn = new_st[5]
         speed = jnp.sqrt(
@@ -467,6 +516,11 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
             apo_t=apo_t, max_coast=max_coast, max_alt=max_alt, t_max=t_max,
             max_spd=max_spd, end_t=end_t,
         )
+        if tiered:
+            new_ev["t"] = t_new
+            new_ev["dep_t"] = jnp.where(
+                para > ev["para"], t_new, ev["dep_t"]
+            )
         sel = lambda a, b: jnp.where(run, a, b)
         st_out = tuple(sel(a, b) for a, b in zip(new_st, st))
         ev_out = {k: sel(new_ev[k], ev[k]) for k in ev}

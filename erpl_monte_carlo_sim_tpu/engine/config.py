@@ -89,6 +89,31 @@ class SimConfig:
     # forces can never inject translational energy.
     energy_consistent_aero: bool = False
 
+    # OPT-IN (default 1 = exact reference parity): integrate settled descent
+    # phases with dt * this factor. The reference holds dt=5 ms for the whole
+    # flight (`simulator.py:209`), but ~2/3 of a full flight is descent:
+    # ballistic free-fall from apogee (quasi-steady, attitude oscillation
+    # periods of seconds) and parachute descent at terminal velocity. Both
+    # are integrated accurately at much coarser steps; the two stiff
+    # transients (apogee pitch-over, chute opening shock at ~200 m/s where
+    # RK4 would go unstable: dt*rho*v*CdA/m > 2.8) keep the fine dt via the
+    # settle windows below. Per-lane: each Monte Carlo lane switches on its
+    # own event times. Component path (engine/batch.py) only. Measured at
+    # scale=8 on the nominal full flight: apogee bit-identical, landing
+    # delta well under the dispersion sigma (tests/test_descent.py).
+    descent_dt_scale: int = 1
+    # Seconds of fine-dt integration after apogee detection / parachute
+    # deployment before the coarse step engages.
+    descent_settle_time: float = 2.0
+    # OPT-IN extension of descent_dt_scale (no effect at scale 1; 0.0 = off
+    # = parity): also coarse-step the QUIET COAST ASCENT, gated per lane on
+    # estimated dynamic pressure 0.5*rho*|v|^2 < this threshold [Pa] after
+    # burnout. The weather-cocking pitch frequency scales with sqrt(q), so
+    # low q means attitude oscillation periods of many seconds — safely
+    # resolved at dt * descent_dt_scale. Near apogee q -> 0, which is where
+    # most coast steps are spent. Accuracy measured in tests/test_descent.py.
+    ascent_q_threshold: float = 0.0
+
     # Summary mode: integrate this many exactly-masked RK4 steps per
     # while_loop iteration. Results are IDENTICAL to unroll=1 (every
     # sub-step applies its own done/termination mask); the win is

@@ -104,6 +104,13 @@ def simulate_summary(
     scene: Scene, ic: InitialConditions, cfg: SimConfig = SimConfig()
 ) -> FlightSummary:
     """Full flight -> scalar summary. Jit/vmap/pjit-safe, no trajectories."""
+    if cfg.descent_dt_scale != 1:
+        raise ValueError(
+            "descent_dt_scale is implemented on the component path "
+            "(engine.batch.simulate_summary_batch), which is the default "
+            "execution backend; this stacked-vector path is kept for "
+            "equivalence testing at parity settings only."
+        )
     state0 = initial_state(ic)
     state_exit, rail_time, rail_info = simulate_rail(scene, cfg, state0)
     carry0 = init_carry(state_exit, rail_time)
