@@ -40,7 +40,9 @@ def main() -> None:
     from erpl_monte_carlo_sim_tpu.mc import sample_dispersions
     from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    # 262144 lanes is the measured best per-chip operating point (NOTES.md
+    # ledger: ~150k traj/s vs ~139k at 131072; HBM pressure degrades 1M).
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
     # ~1k main-loop steps: rail exit ~0.87 s + 1024 * 5 ms
     cfg = SimConfig(max_time=6.0)
 

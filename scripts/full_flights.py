@@ -1,0 +1,67 @@
+"""Capstone: 1M full wind-dispersed 6DOF flights TO LANDING on ONE chip.
+
+Re-measurement of the r1 capstone (16.3 min, vmap path, parity dt) on the
+r2 component batch core with the tiered-timestep opt-ins: coarse RK4 only
+in dynamically-quiet phases (ballistic fall, canopy descent, low-q coast),
+fine 5 ms through the rail/burn/transonic/apogee/chute-shock transients
+(accuracy pinned in tests/test_descent.py). Stabilized aero
+(energy_consistent_aero) keeps 100% of wind-dispersed lanes valid — the
+reference's own wind-dispersed runs diverge and get filtered (SURVEY.md §6).
+
+Reference equivalent: ~25 s/flight single-core -> ~18 days on 16 cores.
+
+Run: PYTHONPATH=.:/root/.axon_site python scripts/full_flights.py
+"""
+import time, json
+import jax, numpy as np
+from erpl_monte_carlo_sim_tpu.engine import SimConfig, InitialConditions
+from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
+from erpl_monte_carlo_sim_tpu.mc import sample_dispersions, outlier_mask
+from erpl_monte_carlo_sim_tpu.models import nominal_scene, liquid_motor
+
+SLAB = 262_144
+N_SLABS = 4  # 4 x 262144 = 1,048,576 flights
+
+cfg = SimConfig(
+    energy_consistent_aero=True,   # stabilized: no wind-divergence outliers
+    descent_dt_scale=16,           # coarse dt in quiet phases only
+    ascent_q_threshold=8000.0,     # + quiet coast ascent
+)
+scene = nominal_scene(liquid_motor())
+ic = InitialConditions.vertical_launch()
+
+# Compile once on the slab shape (persistent cache makes re-runs warm).
+sb, ib, _ = sample_dispersions(jax.random.PRNGKey(0), scene, ic, n=SLAB)
+np.asarray(simulate_summary_batch(sb, ib, cfg).apogee_altitude)
+
+t0 = time.time()
+apo, rng, ft, valid, steps = [], [], [], [], 0
+for seed in range(1, N_SLABS + 1):
+    sb, ib, _ = sample_dispersions(jax.random.PRNGKey(seed), scene, ic, n=SLAB)
+    r = simulate_summary_batch(sb, ib, cfg)
+    m, _ = outlier_mask(r)
+    apo.append(np.asarray(r.apogee_altitude))
+    rng.append(np.asarray(r.range))
+    ft.append(np.asarray(r.flight_time))
+    valid.append(np.asarray(m))
+    steps = max(steps, int(np.asarray(r.n_steps).max()))
+t = time.time() - t0
+
+apo = np.concatenate(apo)
+rng = np.concatenate(rng)
+ft = np.concatenate(ft)
+valid = np.concatenate(valid)
+print(json.dumps({
+    "total_flights": int(apo.shape[0]),
+    "wall_s_incl_sampling": round(t, 1),
+    "full_traj_per_s": round(apo.shape[0] / t, 0),
+    "max_lane_steps": steps,
+    "valid_frac": round(float(valid.mean()), 6),
+    "apogee_mean_m": round(float(apo[valid].mean()), 1),
+    "apogee_std_m": round(float(apo[valid].std()), 1),
+    "range_mean_m": round(float(rng[valid].mean()), 1),
+    "flight_time_mean_s": round(float(ft[valid].mean()), 1),
+    "mode": "stabilized aero + tiered dt (descent_dt_scale=16, q_thresh=8000)",
+    "chips": 1,
+    "r1_capstone": "16.3 min (vmap path, parity dt)",
+}))

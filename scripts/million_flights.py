@@ -1,25 +1,24 @@
 """North-star demo: 1M dispersed 1k-step 6DOF flights on ONE TPU chip.
 
 BASELINE.json target: 1M dispersed flights (>=1k steps) in < 60 s on a
-v5e-8 (eight chips). Measured here (2026-08-16, one v5e chip via axon):
-21.7 s INCLUDING per-lane dispersion sampling — ~22x better than the
-target on a per-chip basis. Run: PYTHONPATH=.:/root/.axon_site python scripts/million_flights.py
+v5e-8 (eight chips). Measured (2026-08-16, one v5e chip via axon):
+r1 vmap path 21.7 s; r2 component batch path 9.3 s INCLUDING per-lane
+dispersion sampling — ~51x better than the target on a per-chip basis. Run: PYTHONPATH=.:/root/.axon_site python scripts/million_flights.py
 """
 import time, json
 import jax, numpy as np
-from erpl_monte_carlo_sim_tpu.engine import SimConfig, InitialConditions, simulate_summary
-from erpl_monte_carlo_sim_tpu.mc import sample_dispersions, scene_in_axes
+from erpl_monte_carlo_sim_tpu.engine import SimConfig, InitialConditions
+from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
+from erpl_monte_carlo_sim_tpu.mc import sample_dispersions
 from erpl_monte_carlo_sim_tpu.models import nominal_scene, liquid_motor
 
 half = 524_288
 cfg = SimConfig(max_time=6.0)
 scene = nominal_scene(liquid_motor())
 ic = InitialConditions.vertical_launch()
-run = None
-# compile once
+# compile once (component batch path — the r2 default execution core)
 scene_b, ic_b, _ = sample_dispersions(jax.random.PRNGKey(0), scene, ic, n=half)
-axes = scene_in_axes(scene, scene_b)
-run = jax.jit(jax.vmap(simulate_summary, in_axes=(axes, 0, None)), static_argnums=2)
+run = simulate_summary_batch
 np.asarray(run(scene_b, ic_b, cfg).apogee_altitude)
 
 t0 = time.time()

@@ -54,7 +54,12 @@ def test_two_process_pod_scale_identical_stats():
         outs.append(json.loads(line))
 
     a, b = outs
-    assert a == b, f"process stats diverged: {a} vs {b}"
+    # Compare only the deterministic fields — wall_s/traj_per_s are
+    # per-process timings and legitimately differ by scheduling jitter.
+    timing = {"wall_s", "traj_per_s"}
+    a_det = {k: v for k, v in a.items() if k not in timing}
+    b_det = {k: v for k, v in b.items() if k not in timing}
+    assert a_det == b_det, f"process stats diverged: {a} vs {b}"
     assert a["processes"] == 2
     assert a["devices"] == 8
     assert a["lanes"] == 256
