@@ -454,13 +454,19 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
             coarse = ballistic | chuted
             if cfg.ascent_q_threshold > 0.0:
                 # quiet coast ascent: post-burnout, pre-apogee, low dynamic
-                # pressure (attitude oscillation ~ sqrt(q) -> slow)
+                # pressure (attitude oscillation ~ sqrt(q) -> slow). Guards:
+                # a lane whose peak never exceeds apogee_min_altitude keeps
+                # apod==0 through its whole DESCENT, so this term must also
+                # require the chute latch unfired and the deploy-altitude
+                # margin (``clear``) — otherwise marginal low-apogee lanes
+                # would coarse-step through the stiff opening shock.
                 atm_g = atmosphere_properties(scene.atmosphere, st[2])
                 q_est = 0.5 * atm_g.density * (
                     st[3] * st[3] + st[4] * st[4] + st[5] * st[5]
                 )
                 coarse = coarse | (
                     (t > scene.motor.burn_time) & (ev["apod"] == 0)
+                    & (ev["para"] == 0) & clear
                     & (q_est < cfg.ascent_q_threshold)
                 )
             dt_lane = jnp.where(coarse, dt_big, cfg.dt)

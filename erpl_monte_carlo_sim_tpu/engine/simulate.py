@@ -100,17 +100,27 @@ def _summary_from_carry(carry: StepCarry, rail_info: RailInfo) -> FlightSummary:
     )
 
 
+def _require_parity_dt(cfg: SimConfig) -> None:
+    """The tiered timestep (descent_dt_scale) is implemented on the
+    component path (engine.batch.simulate_summary_batch), which is the
+    default execution backend. The stacked-vector paths here are kept for
+    equivalence testing and trajectory recording at parity settings only —
+    refuse the flag rather than silently integrating different physics."""
+    if cfg.descent_dt_scale != 1:
+        raise ValueError(
+            "descent_dt_scale is implemented on the component path "
+            "(engine.batch.simulate_summary_batch); this stacked-vector "
+            "path supports parity settings only. Use descent_dt_scale=1 "
+            "(e.g. dataclasses.replace(cfg, descent_dt_scale=1, "
+            "ascent_q_threshold=0.0))."
+        )
+
+
 def simulate_summary(
     scene: Scene, ic: InitialConditions, cfg: SimConfig = SimConfig()
 ) -> FlightSummary:
     """Full flight -> scalar summary. Jit/vmap/pjit-safe, no trajectories."""
-    if cfg.descent_dt_scale != 1:
-        raise ValueError(
-            "descent_dt_scale is implemented on the component path "
-            "(engine.batch.simulate_summary_batch), which is the default "
-            "execution backend; this stacked-vector path is kept for "
-            "equivalence testing at parity settings only."
-        )
+    _require_parity_dt(cfg)
     state0 = initial_state(ic)
     state_exit, rail_time, rail_info = simulate_rail(scene, cfg, state0)
     carry0 = init_carry(state_exit, rail_time)
@@ -203,6 +213,7 @@ def simulate_flight(
     trajectory has static length ``cfg.max_steps + 1`` with a ``valid`` mask;
     hosts trim it with ``reporting.results.to_results_dict``.
     """
+    _require_parity_dt(cfg)
     state0 = initial_state(ic)
     state_exit, rail_time, rail_info = simulate_rail(scene, cfg, state0)
     carry0 = init_carry(state_exit, rail_time)
@@ -295,6 +306,7 @@ def simulate_batch_chunked(
 
     Results are identical to ``vmap(simulate_summary)`` lane-for-lane.
     """
+    _require_parity_dt(cfg)
     import numpy as np
 
     from .rail import simulate_rail_masked

@@ -295,11 +295,9 @@ class MonteCarloAnalyzer:
         """
         t_start = time.time()
         key = jax.random.PRNGKey(seed)
-        limit = n_samples if materialize_results is None else materialize_results
         # Record materialization at 10M+ lanes would build millions of
         # Python dicts; slabbed runs default to the first 1000 of each kind.
-        if materialize_results is None:
-            limit = 1000
+        limit = 1000 if materialize_results is None else materialize_results
 
         metrics = {k: [] for k in
                    ("apogee_altitude", "range", "flight_time", "max_speed")}
@@ -468,6 +466,13 @@ class MonteCarloAnalyzer:
         strategy, `monte_carlo.py:510-517`): the Monte Carlo pass stores only
         summaries, and plotting/export re-simulates the handful of lanes it
         needs. Returns ``(summary, trajectory)`` batched over ``lane_ids``.
+
+        Tiered-timestep configs (``descent_dt_scale``/``ascent_q_threshold``)
+        are downgraded to parity dt here: trajectory recording runs on the
+        stacked-vector path, which only implements parity stepping. The
+        re-simulated summaries then differ from tiered MC metrics by the
+        tiered-dt accuracy bound (sub-meter; pinned in tests/test_descent.py)
+        rather than matching to float noise.
         """
         if self._last_batch is None:
             raise RuntimeError("run_monte_carlo first")
@@ -486,11 +491,27 @@ class MonteCarloAnalyzer:
         ]
         scene_sel = jax.tree.unflatten(jax.tree.structure(scene_b), sel_leaves)
         ic_sel = jax.tree.map(lambda x: jnp.take(x, ids, axis=0), ic_b)
-        cfg = sim_config or self.sim_config
+        cfg = self._parity_cfg(sim_config or self.sim_config)
         run = jax.jit(
             jax.vmap(simulate_flight, in_axes=(axes, 0, None)), static_argnums=2
         )
         return run(scene_sel, ic_sel, cfg)
+
+    @staticmethod
+    def _parity_cfg(cfg: SimConfig) -> SimConfig:
+        """Downgrade tiered-dt flags for the trajectory-recording path (which
+        implements parity stepping only; see resimulate_trajectories)."""
+        if cfg.descent_dt_scale != 1 or cfg.ascent_q_threshold != 0.0:
+            import dataclasses
+
+            log.info(
+                "resimulating trajectories at parity dt (tiered-dt flags "
+                "apply to the summary path only)"
+            )
+            return dataclasses.replace(
+                cfg, descent_dt_scale=1, ascent_q_threshold=0.0
+            )
+        return cfg
 
     def _resimulate_slabbed(self, lane_ids, sim_config: Optional[SimConfig] = None):
         """Re-create selected lanes of a slabbed run by key (determinism: a
@@ -499,7 +520,7 @@ class MonteCarloAnalyzer:
         ``(summary, trajectory)`` batched in ``lane_ids`` order."""
         info = self._last_batch
         ids = np.asarray(lane_ids, dtype=np.int64)
-        cfg = sim_config or self.sim_config
+        cfg = self._parity_cfg(sim_config or self.sim_config)
         slab = info["slab"]
         ic = info["ic"]
 

@@ -54,7 +54,7 @@ def init_distributed(
 
 
 def make_global_batch(tree, mesh: Mesh, local_batch: int,
-                      axis_name: str = BATCH_AXIS):
+                      axis_name: str = BATCH_AXIS, base_tree=None):
     """Assemble per-process local leaves into global sharded arrays.
 
     Each process passes ITS lanes (leading axis ``local_batch``); leaves
@@ -62,18 +62,34 @@ def make_global_batch(tree, mesh: Mesh, local_batch: int,
     leaves (no batch axis) must be identical on every process and are
     replicated. This is the multi-host analogue of ``shard_batch`` (which
     only works when one process addresses every device).
+
+    ``base_tree``: the UNBATCHED twin of ``tree`` (same structure, leaves
+    without the lane axis — e.g. the nominal scene for a dispersed scene
+    batch). When given, a leaf is classified as batched iff it gained a
+    dimension over its base leaf — the same rule as ``mc.scene_in_axes``.
+    Pass it whenever available: the shape heuristic alone misclassifies a
+    SHARED leaf whose leading dim happens to equal ``local_batch`` (e.g. a
+    100-point wind grid with 100 local lanes), and unlike ``shard_batch``
+    (where jax arrays stay logically global) assembly from process-local
+    data CONCATENATES misclassified leaves into a corrupt global value.
     """
     import numpy as np
 
     sharded = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
-    def put(x):
+    def put(x, base=None):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] == local_batch:
+        if base is not None:
+            batched = x.ndim > np.ndim(base)
+        else:
+            batched = x.ndim >= 1 and x.shape[0] == local_batch
+        if batched:
             return jax.make_array_from_process_local_data(sharded, x)
         return jax.make_array_from_process_local_data(repl, x)
 
+    if base_tree is not None:
+        return jax.tree.map(put, tree, base_tree)
     return jax.tree.map(put, tree)
 
 

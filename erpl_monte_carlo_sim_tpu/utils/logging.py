@@ -11,6 +11,19 @@ _LOGGER_NAME = "erpl_monte_carlo_sim_tpu"
 
 
 def get_logger(name: str | None = None) -> logging.Logger:
+    """Package logger; progress/info messages are visible by default.
+
+    If neither this package's logger nor the root logger has been
+    configured, a stderr handler at INFO is attached lazily — otherwise
+    library calls like ``MonteCarloAnalyzer.run_monte_carlo`` or
+    ``example.main`` would silently drop all their progress output
+    (Python's last-resort handler only emits WARNING+). Applications that
+    configure logging themselves (root handlers, or ``configure()``) are
+    left alone.
+    """
+    pkg = logging.getLogger(_LOGGER_NAME)
+    if not pkg.handlers and not logging.getLogger().handlers:
+        configure()
     full = _LOGGER_NAME if name is None else f"{_LOGGER_NAME}.{name}"
     return logging.getLogger(full)
 

@@ -93,7 +93,12 @@ def main(total_lanes: int, n_devices: int | None = None,
                 jax.random.fold_in(slab_key, pid), scene, ic, n=local_n
             )
             host = jax.tree.map(np.asarray, (scene_l, ic_l))
-            scene_g, ic_g = make_global_batch(host, mesh, local_n)
+            # base_tree: batched-leaf classification by gained dim (not by
+            # the local_n shape coincidence — a shared 100-knot grid with
+            # local_n=100 lanes must stay replicated, not concatenated).
+            scene_g, ic_g = make_global_batch(
+                host, mesh, local_n, base_tree=(scene, ic)
+            )
             summary = simulate_summary_batch(scene_g, ic_g, cfg)
         else:
             scene_b, ic_b, _ = sample_dispersions(slab_key, scene, ic, n=n)

@@ -87,10 +87,81 @@ def test_tiered_dt_step_reduction(dispersed_runs):
 
 
 def test_stacked_path_refuses_tiered_flag():
+    """EVERY stacked-vector entry point must refuse the tiered flags rather
+    than silently integrating parity physics under a tiered config."""
+    from erpl_monte_carlo_sim_tpu.engine import simulate_flight
+    from erpl_monte_carlo_sim_tpu.engine.simulate import simulate_batch_chunked
+
     scene = nominal_scene(liquid_motor())
     ic = InitialConditions.vertical_launch()
+    cfg = SimConfig(descent_dt_scale=8)
     with pytest.raises(ValueError, match="component path"):
-        simulate_summary(scene, ic, SimConfig(descent_dt_scale=8))
+        simulate_summary(scene, ic, cfg)
+    with pytest.raises(ValueError, match="component path"):
+        simulate_flight(scene, ic, cfg)
+    ic_b = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (2,) + np.shape(x)).copy(), ic
+    )
+    with pytest.raises(ValueError, match="component path"):
+        simulate_batch_chunked(scene, ic_b, cfg)
+
+
+def test_tiered_dt_low_apogee_guard():
+    """Lanes whose peak stays below apogee_min_altitude keep apod==0 through
+    their whole DESCENT; the quiet-coast gate must still fine-step the
+    deploy-altitude approach and the chute latch (regression: without the
+    para==0/clear guards the latch integrated at 16x dt — flight time off
+    by 0.16 s at propellant_mass=7)."""
+    from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
+    from erpl_monte_carlo_sim_tpu.models.rocket import RocketParams
+
+    ic1 = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (1,) + np.shape(x)).copy(),
+        InitialConditions.vertical_launch(),
+    )
+    fast = SimConfig(energy_consistent_aero=True, descent_dt_scale=16,
+                     ascent_q_threshold=8000.0)
+    parity = SimConfig(energy_consistent_aero=True)
+    for pm in (5.0, 7.0):  # apogee ~476 m / ~880 m, both below the 1 km gate
+        scene = nominal_scene(liquid_motor(propellant_mass=pm))
+        scene = scene.replace(rocket=RocketParams.create(propellant_mass=pm))
+        p = simulate_summary_batch(scene, ic1, parity)
+        t = simulate_summary_batch(scene, ic1, fast)
+        assert float(p.apogee_altitude[0]) < 1000.0  # scenario really is sub-gate
+        assert not bool(t.diverged[0]) and not bool(p.diverged[0])
+        assert bool(t.parachute_deployed[0]) == bool(p.parachute_deployed[0])
+        np.testing.assert_allclose(
+            float(t.apogee_altitude[0]), float(p.apogee_altitude[0]), atol=0.05
+        )
+        # flight time within one coarse quantum (pre-guard: 0.16 s off)
+        assert abs(float(t.flight_time[0]) - float(p.flight_time[0])) < 0.1
+        # tiering must still engage for these lanes (guard isn't "always fine")
+        assert int(t.n_steps[0]) < int(p.n_steps[0]) / 3
+
+
+def test_resimulate_downgrades_tiered_cfg():
+    """Trajectory re-simulation (stacked path, parity-only) must work for an
+    analyzer configured with the tiered flags — by downgrading to parity dt,
+    not by raising or silently mis-integrating."""
+    from erpl_monte_carlo_sim_tpu.mc.analyzer import MonteCarloAnalyzer
+
+    an = MonteCarloAnalyzer(
+        scene=nominal_scene(liquid_motor()),
+        sim_config=SimConfig(max_time=8.0, descent_dt_scale=16,
+                             ascent_q_threshold=8000.0),
+    )
+    a = an.run_monte_carlo(InitialConditions.vertical_launch(), n_samples=4)
+    summary, traj = an.resimulate_trajectories([0, 1])
+    assert np.asarray(traj.position).shape[0] == 2
+    # parity re-simulation matches the tiered MC summary. At a max_time
+    # CUTOFF the tiered path's accumulated-f32 time carry can terminate a
+    # lane +-2 steps from the parity step-counter derivation (~1.25 m of
+    # ascent per step here); full flights land on events, not cutoffs, so
+    # this quantization is a cutoff-window artifact only.
+    np.testing.assert_allclose(
+        np.asarray(summary.apogee_altitude),
+        np.asarray(a["summary"].apogee_altitude)[:2], atol=5.0,
+    )
 
 
 def test_parity_path_unchanged_by_flag_default():

@@ -136,3 +136,31 @@ def test_analyzer_with_mesh(mesh):
     # resimulation still works from the sharded batch
     _, traj = mc.resimulate_trajectories([0, 1], SimConfig(max_time=5.0))
     assert traj.position.shape[0] == 2
+
+
+def test_make_global_batch_base_tree_classification(mesh):
+    """A SHARED leaf whose leading dim coincidentally equals local_batch must
+    stay replicated when the unbatched base tree is provided — assembly from
+    process-local data would otherwise CONCATENATE it into a corrupt global
+    value on a real multi-process run (e.g. a 100-knot wind grid with 100
+    local lanes)."""
+    from jax.sharding import PartitionSpec as P
+
+    from erpl_monte_carlo_sim_tpu.parallel import make_global_batch
+
+    local = 8  # == leading dim of the shared leaf below
+    tree = {
+        "batched": np.zeros((local, 3), np.float32),
+        "shared_grid": np.arange(local, dtype=np.float32),  # NOT per-lane
+    }
+    base = {
+        "batched": np.zeros((3,), np.float32),
+        "shared_grid": np.arange(local, dtype=np.float32),
+    }
+    out = make_global_batch(tree, mesh, local, base_tree=base)
+    assert out["batched"].sharding.spec == P("batch")
+    assert out["shared_grid"].sharding.spec == P()
+    # without the base tree, the shape heuristic misclassifies the grid —
+    # the documented reason base_tree exists
+    out2 = make_global_batch(tree, mesh, local)
+    assert out2["shared_grid"].sharding.spec == P("batch")
