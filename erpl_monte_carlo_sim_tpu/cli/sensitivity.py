@@ -1,0 +1,177 @@
+"""First-order apogee sensitivity / variance budget via one reverse pass.
+
+The reference answers "which dispersion drives apogee spread?" only
+empirically — run the Monte Carlo, eyeball `parameter_ranges_observed` and
+the scatter plots (`monte_carlo.py:400-473`). Because this engine is
+differentiable end-to-end (``engine.diff``), the same question has a
+first-order analytic answer: ONE reverse pass through the full 6DOF flight
+yields d(apogee)/d(channel) for every dispersion channel simultaneously,
+and pairing each gradient with its dispersion sigma gives the per-channel
+apogee-sigma contribution (a linearized variance budget):
+
+    sigma_apogee^2  ~=  sum_i (d apogee / d c_i)^2 * sigma_i^2
+
+The perturbation semantics per channel mirror ``mc.sample_dispersions``
+exactly (mass scales dry+prop together; the motor re-syncs burn time;
+mdot follows thrust for solids but draws its own multiplier for liquids;
+density multiplies the working ``density_scale``) so the linearization is
+of the SAME map the Monte Carlo samples.
+
+Usage:
+  python -m erpl_monte_carlo_sim_tpu.cli.sensitivity [max_time] [--solid]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from ..engine import InitialConditions, SimConfig
+from ..engine.diff import simulate_apogee_diff
+from ..mc.dispersions import UncertaintyParams
+from ..models.scene import Scene
+
+__all__ = ["apogee_sensitivities", "variance_budget"]
+
+
+# The differentiated channels, in report order. Each is a scalar "offset
+# from nominal": multipliers sit at 1.0, additive offsets at 0.0.
+CHANNELS = (
+    "mass_multiplier",
+    "thrust_multiplier",
+    "flow_multiplier",
+    "density_multiplier",
+    "pitch_offset",
+    "wind_u_offset",
+)
+
+
+def _perturbed_scene(scene: Scene, ic: InitialConditions, c: dict):
+    """Apply one scalar per channel with ``mc.sample_dispersions`` semantics
+    (`dispersions.py:173-197`, `monte_carlo.py:225-260`)."""
+    rocket = scene.rocket.replace(
+        dry_mass=scene.rocket.dry_mass * c["mass_multiplier"],
+        propellant_mass=scene.rocket.propellant_mass * c["mass_multiplier"],
+    )
+    # mdot_follows_thrust is a STATIC field (struct.field(pytree_node=False))
+    mdot_mult = (
+        c["thrust_multiplier"] if scene.motor.mdot_follows_thrust
+        else c["flow_multiplier"]
+    )
+    new_prop = scene.rocket.propellant_mass * c["mass_multiplier"]
+    new_mdot = scene.motor.mass_flow_rate * mdot_mult
+    motor = scene.motor.replace(
+        thrust_scale=scene.motor.thrust_scale * c["thrust_multiplier"],
+        mass_flow_rate=new_mdot,
+        propellant_mass=new_prop,
+        burn_time=new_prop / new_mdot,
+    )
+    atmosphere = scene.atmosphere.replace(
+        density_scale=scene.atmosphere.density_scale * c["density_multiplier"]
+    )
+    offset = jnp.stack(
+        [c["wind_u_offset"], jnp.zeros_like(c["wind_u_offset"]),
+         jnp.zeros_like(c["wind_u_offset"])]
+    )
+    wind = scene.wind.replace(wind=scene.wind.wind + offset)
+    att = jnp.asarray(ic.attitude) + jnp.stack(
+        [jnp.zeros_like(c["pitch_offset"]), c["pitch_offset"],
+         jnp.zeros_like(c["pitch_offset"])]
+    )
+    ic2 = ic.replace(attitude=att)
+    scene2 = Scene(rocket=rocket, motor=motor, atmosphere=atmosphere,
+                   wind=wind, wind_model=scene.wind_model)
+    return scene2, ic2
+
+
+def apogee_sensitivities(
+    scene: Scene, ic: InitialConditions, cfg: SimConfig = None, **kw
+) -> tuple:
+    """(apogee, {channel: d(apogee)/d(channel)}) in one reverse pass."""
+    cfg = cfg or SimConfig(max_time=120.0)
+
+    def f(c):
+        s2, ic2 = _perturbed_scene(scene, ic, c)
+        return simulate_apogee_diff(s2, ic2, cfg, **kw)
+
+    nominal = {
+        k: jnp.asarray(1.0 if k.endswith("multiplier") else 0.0)
+        for k in CHANNELS
+    }
+    apogee, grads = jax.value_and_grad(f)(nominal)
+    return apogee, grads
+
+
+def _channel_sigmas(scene: Scene, params: UncertaintyParams) -> dict:
+    """Per-channel dispersion sigmas as the Monte Carlo actually draws them
+    (`dispersions.py:145-171`). The wind u-offset sigma is the standard
+    deviation of one horizontal component of a uniform-speed,
+    uniform-direction offset: Var(u) = E[S^2]/2, E[S^2]=(a^2+ab+b^2)/3."""
+    a, b = params.wind_speed_range
+    wind_u_sigma = float(jnp.sqrt((a * a + a * b + b * b) / 3.0 / 2.0))
+    return {
+        "mass_multiplier": float(params.mass_uncertainty),
+        # the acting thrust sigma is the motor's own (reference quirk:
+        # the analyzer's 0.03 is recorded but unused, `motor.py:95-125`)
+        "thrust_multiplier": float(scene.motor.thrust_uncertainty),
+        "flow_multiplier": (
+            0.0 if bool(scene.motor.mdot_follows_thrust)
+            else float(scene.motor.mass_flow_uncertainty)
+        ),
+        "density_multiplier": float(params.atmospheric_density_uncertainty),
+        "pitch_offset": float(params.initial_attitude[1]),
+        "wind_u_offset": wind_u_sigma,
+    }
+
+
+def variance_budget(
+    scene: Scene, ic: InitialConditions, cfg: SimConfig = None,
+    params: UncertaintyParams = UncertaintyParams(), **kw
+) -> dict:
+    """Linearized apogee variance budget over the dispersion channels.
+
+    Returns {"apogee": m, "channels": {name: {gradient, sigma,
+    apogee_sigma_contribution}}, "apogee_sigma_first_order": m}. First-order
+    only: wind TURBULENCE (the AR(1) profile) and IC offsets other than
+    pitch are omitted; compare against the Monte Carlo sigma to see how
+    much of the spread is linear response vs. nonlinear/turbulent.
+    """
+    apogee, grads = apogee_sensitivities(scene, ic, cfg, **kw)
+    sigmas = _channel_sigmas(scene, params)
+    channels = {}
+    total_var = 0.0
+    for name in CHANNELS:
+        g = float(grads[name])
+        s = sigmas[name]
+        contrib = abs(g) * s
+        total_var += contrib * contrib
+        channels[name] = {
+            "gradient": g,
+            "sigma": s,
+            "apogee_sigma_contribution_m": contrib,
+        }
+    return {
+        "apogee_m": float(apogee),
+        "channels": channels,
+        "apogee_sigma_first_order_m": float(jnp.sqrt(total_var)),
+    }
+
+
+def main(argv=None) -> dict:
+    argv = sys.argv[1:] if argv is None else argv
+    from ..models import liquid_motor, nominal_scene, solid_motor
+
+    max_time = float(argv[0]) if argv and not argv[0].startswith("-") else 120.0
+    motor = solid_motor() if "--solid" in argv else liquid_motor()
+    scene = nominal_scene(motor)
+    ic = InitialConditions.vertical_launch()
+    out = variance_budget(scene, ic, SimConfig(max_time=max_time))
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,7 @@ from ..ops.quaternion import (
 )
 from .config import SimConfig
 from .state import FlightState
-from ..ops.math import bcast_where
+from ..ops.math import bcast_where, safe_norm
 
 __all__ = ["rocket_dynamics"]
 
@@ -83,7 +83,7 @@ def rocket_dynamics(
     mach = mach_number(velocity_relative, atm.temperature)
     alpha = angle_of_attack(velocity_body)
     beta = sideslip_angle(velocity_body)
-    rel_speed = jnp.linalg.norm(velocity_relative, axis=-1)
+    rel_speed = safe_norm(velocity_relative)
     q_dynamic = 0.5 * atm.density * rel_speed**2
 
     # --- thrust: gated on propellant AND burn time (`simulator.py:359-363`)
@@ -99,7 +99,7 @@ def rocket_dynamics(
 
     # --- parachute drag branch (`simulator.py:372-377`): opposes body-frame
     # relative velocity; replaces ALL aero forces and moments.
-    body_speed = jnp.linalg.norm(velocity_body, axis=-1)
+    body_speed = safe_norm(velocity_body)
     safe_body_speed = jnp.maximum(body_speed, 1e-12)
     chute_mag = (
         0.5 * atm.density * body_speed**2 * rocket.parachute_cd * rocket.parachute_area
@@ -122,7 +122,7 @@ def rocket_dynamics(
         # the reference matrix, projected perpendicular to the flow so they
         # can do no work (see SimConfig.energy_consistent_aero).
         v_hat = velocity_body / jnp.maximum(
-            jnp.linalg.norm(velocity_body, axis=-1, keepdims=True), 1e-12
+            safe_norm(velocity_body, keepdims=True), 1e-12
         )
         ls_force = rotate_by_matrix(
             R_wb, jnp.stack([jnp.zeros_like(drag), -side, -lift], axis=-1)

@@ -26,6 +26,7 @@ from ..models.scene import Scene
 from .config import SimConfig
 from .dynamics import rocket_dynamics
 from .state import FlightState
+from ..ops.math import safe_norm
 from ..ops.quaternion import normalize_quaternion
 
 __all__ = ["EventState", "StepCarry", "rk4_step", "init_carry", "advance"]
@@ -63,7 +64,7 @@ def init_carry(state_exit: FlightState, rail_time, speed_of_sound_sl=340.294
     appends it before the loop, `simulator.py:213-214`), so summaries start
     from it."""
     alt = state_exit.position[..., 2]
-    speed = jnp.linalg.norm(state_exit.velocity, axis=-1)
+    speed = safe_norm(state_exit.velocity)
     f = jnp.asarray(rail_time)
     b = jnp.zeros_like(alt, dtype=bool)
     events = EventState(
@@ -116,7 +117,7 @@ def _update_events(cfg: SimConfig, t_new, state: FlightState, ev: EventState,
     """Apply the reference's post-step event logic (`simulator.py:233-264`)."""
     alt = state.position[..., 2]
     vz = state.velocity[..., 2]
-    speed = jnp.linalg.norm(state.velocity, axis=-1)
+    speed = safe_norm(state.velocity)
 
     # Running summaries (strict > keeps the FIRST max, matching np.argmax).
     better = alt > ev.max_altitude

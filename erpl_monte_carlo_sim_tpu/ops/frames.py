@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .math import arctan2
+from .math import arctan2, safe_norm
 
 GAMMA_AIR = 1.4
 R_AIR = 287.053  # J/(kg K)
@@ -30,7 +30,7 @@ def mach_number(velocity: jnp.ndarray, temperature) -> jnp.ndarray:
     ``velocity`` has shape ``(..., 3)``.
     """
     speed_of_sound = jnp.sqrt(GAMMA_AIR * R_AIR * temperature)
-    return jnp.linalg.norm(velocity, axis=-1) / speed_of_sound
+    return safe_norm(velocity) / speed_of_sound
 
 
 def angle_of_attack(velocity_body: jnp.ndarray) -> jnp.ndarray:
@@ -42,7 +42,12 @@ def angle_of_attack(velocity_body: jnp.ndarray) -> jnp.ndarray:
     u = velocity_body[..., 0]
     w = velocity_body[..., 2]
     degenerate = (jnp.abs(u) < 1e-6) & (jnp.abs(w) < 1e-6)
-    return jnp.where(degenerate, 0.0, arctan2(w, u))
+    # Sanitize the guarded branch's inputs: atan2's vjp at (0, 0) is NaN
+    # and 0-cotangent * NaN poisons reverse-mode (engine/diff.py). Primal
+    # unchanged: the degenerate output is the same literal 0.
+    u_s = jnp.where(degenerate, 1.0, u)
+    w_s = jnp.where(degenerate, 0.0, w)
+    return jnp.where(degenerate, 0.0, arctan2(w_s, u_s))
 
 
 def sideslip_angle(velocity_body: jnp.ndarray) -> jnp.ndarray:
@@ -53,8 +58,13 @@ def sideslip_angle(velocity_body: jnp.ndarray) -> jnp.ndarray:
     u = velocity_body[..., 0]
     v = velocity_body[..., 1]
     w = velocity_body[..., 2]
-    v_xz = jnp.sqrt(u * u + w * w)
-    return jnp.where(v_xz < 1e-6, 0.0, arctan2(v, v_xz))
+    sq = u * u + w * w
+    degenerate = sq < 1e-12  # == (sqrt(sq) < 1e-6), sqrt monotonic
+    # Grad-safe double-where (see angle_of_attack): sqrt never sees 0 and
+    # atan2 never sees (0, 0); primal values are unchanged.
+    v_xz = jnp.sqrt(jnp.where(degenerate, 1.0, sq))
+    v_s = jnp.where(degenerate, 0.0, v)
+    return jnp.where(degenerate, 0.0, arctan2(v_s, v_xz))
 
 
 def wind_to_body_matrix(alpha, beta) -> jnp.ndarray:

@@ -22,7 +22,22 @@ import contextlib
 
 import jax.numpy as jnp
 
-__all__ = ["arctan", "arctan2", "arcsin", "pallas_math", "bcast_where", "powf"]
+__all__ = ["arctan", "arctan2", "arcsin", "pallas_math", "bcast_where",
+           "powf", "safe_norm"]
+
+
+def safe_norm(v, axis=-1, keepdims=False):
+    """L2 norm with a NaN-free gradient at exactly zero.
+
+    ``jnp.linalg.norm``'s vjp at 0 is 0 * inf even when the primal is
+    guarded downstream (the sqrt rule computes cotangent * 0.5/sqrt(0)).
+    Double-where keeps the primal bit-identical (sqrt of the same sum of
+    squares) while the zero-point subgradient becomes 0 — which makes
+    reverse-mode through the flight finite at the zero-velocity rail start
+    (engine/diff.py differentiates the SAME stacked-path physics)."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    ok = sq > 0.0
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
 
 
 def powf(x, y):
