@@ -120,6 +120,7 @@ class MonteCarloAnalyzer:
         bounds: OutlierBounds = OutlierBounds(),
         mesh=None,
         max_lanes_per_call: int = 262_144,
+        sampler: str = "prng",
     ):
         if scene is None:
             if motor is None:
@@ -136,6 +137,11 @@ class MonteCarloAnalyzer:
         self.sim_config = sim_config
         self.bounds = bounds
         self.mesh = mesh
+        # Dispersion sampler: "prng" (reference-equivalent) or "sobol"
+        # (scrambled quasi-Monte Carlo over the scalar channels — see
+        # mc.sample_dispersions). Stored so slabbed runs and by-key lane
+        # re-simulation regenerate identical lanes.
+        self.sampler = sampler
         # Auto-slab threshold: a single device call tops out between 512k
         # and 1M lanes on one v5e chip (HBM headroom for the per-lane wind
         # tables + RK4 stage intermediates); beyond this the lane axis is
@@ -199,7 +205,7 @@ class MonteCarloAnalyzer:
         key = jax.random.PRNGKey(seed)
         scene_b, ic_b, sample = sample_dispersions(
             key, self.scene, ic, self.uncertainty_params, n_samples,
-            base_wind=base_wind,
+            base_wind=base_wind, sampler=self.sampler,
         )
         axes = scene_in_axes(self.scene, scene_b)
 
@@ -312,6 +318,7 @@ class MonteCarloAnalyzer:
             scene_b, ic_b, sample = sample_dispersions(
                 jax.random.fold_in(key, slab_idx), self.scene, ic,
                 self.uncertainty_params, n_s, base_wind=base_wind,
+                sampler=self.sampler,
             )
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -530,7 +537,7 @@ class MonteCarloAnalyzer:
             scene_b, ic_b, _ = sample_dispersions(
                 jax.random.fold_in(info["key"], int(slab_idx)), self.scene,
                 ic, self.uncertainty_params, n_s,
-                base_wind=info["base_wind"],
+                base_wind=info["base_wind"], sampler=self.sampler,
             )
             axes = scene_in_axes(self.scene, scene_b)
             locals_ = np.asarray(

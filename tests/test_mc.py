@@ -205,3 +205,51 @@ def test_antithetic_sampling():
 
     with pytest.raises(ValueError, match="even"):
         sample_dispersions(jax.random.PRNGKey(0), scene, ic, n=3, antithetic=True)
+
+
+def test_sobol_sampling():
+    """Scrambled-Sobol QMC: deterministic in key, identical marginals,
+    far tighter stratification than PRNG, correct uniform ranges."""
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    k = jax.random.PRNGKey(3)
+    _, _, s = sample_dispersions(k, scene, ic, n=1024, sampler="sobol")
+    _, _, s2 = sample_dispersions(k, scene, ic, n=1024, sampler="sobol")
+    # determinism-by-key (the analyzer's by-key re-simulation contract)
+    np.testing.assert_array_equal(
+        np.asarray(s.mass_multiplier), np.asarray(s2.mass_multiplier)
+    )
+    mm = np.asarray(s.mass_multiplier)
+    # low-discrepancy stratification: measured mean error 2.5e-6 at n=1024
+    # (PRNG: ~4e-4); bound at 50x the measurement
+    assert abs(mm.mean() - 1.0) < 1.25e-4
+    assert mm.std() == pytest.approx(0.02, abs=0.003)  # marginal unchanged
+    wd = np.asarray(s.wind_direction)
+    assert wd.min() >= 0.0 and wd.max() <= 2 * np.pi
+    assert abs(wd.mean() - np.pi) < 0.01
+    ws = np.asarray(s.wind_speed)
+    assert ws.min() >= 0.0 and ws.max() <= 5.0
+
+    with pytest.raises(ValueError, match="antithetic"):
+        sample_dispersions(k, scene, ic, n=8, sampler="sobol", antithetic=True)
+    with pytest.raises(ValueError, match="unknown sampler"):
+        sample_dispersions(k, scene, ic, n=8, sampler="halton")
+
+
+def test_analyzer_sobol_end_to_end():
+    """MonteCarloAnalyzer(sampler='sobol') runs, produces finite stats, and
+    re-simulates lanes deterministically."""
+    from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer
+
+    an = MonteCarloAnalyzer(
+        scene=nominal_scene(liquid_motor()),
+        sim_config=SimConfig(max_time=6.0),
+        sampler="sobol",
+    )
+    a = an.run_monte_carlo(InitialConditions.vertical_launch(), n_samples=16)
+    assert np.isfinite(a["apogee_altitude"]["mean"])
+    summary, _ = an.resimulate_trajectories([0, 1])
+    np.testing.assert_allclose(
+        np.asarray(summary.apogee_altitude),
+        np.asarray(a["summary"].apogee_altitude)[:2], rtol=5e-5,
+    )
