@@ -132,6 +132,11 @@ class MonteCarloAnalyzer:
                 scene = scene.replace(atmosphere=atmosphere)
             if wind_model is not None:
                 scene = scene.replace(wind_model=wind_model)
+        from ..utils.cache import enable_persistent_cache
+
+        # Cold XLA compiles of the hot loop are minutes on the tunneled TPU;
+        # every entry point shares the repo-local persistent cache.
+        enable_persistent_cache()
         self.scene = scene
         self.uncertainty_params = uncertainty_params
         self.sim_config = sim_config
@@ -315,9 +320,13 @@ class MonteCarloAnalyzer:
         n_slabs = -(-n_samples // slab)
         while n_done < n_samples:
             n_s = min(slab, n_samples - n_done)
+            # Always draw a FULL slab and drop the excess host-side: a
+            # ragged final slab is a different XLA program (measured ~40 s
+            # recompile for the 38k-lane tail of a 10M run). Lane values
+            # for a given global id depend on (key, slab_idx, slab) only.
             scene_b, ic_b, sample = sample_dispersions(
                 jax.random.fold_in(key, slab_idx), self.scene, ic,
-                self.uncertainty_params, n_s, base_wind=base_wind,
+                self.uncertainty_params, slab, base_wind=base_wind,
                 sampler=self.sampler,
             )
             if self.mesh is not None:
@@ -326,7 +335,7 @@ class MonteCarloAnalyzer:
                 shard = NamedSharding(self.mesh, P("batch"))
                 put = lambda x: (
                     jax.device_put(x, shard)
-                    if jnp.ndim(x) >= 1 and x.shape[0] == n_s else x
+                    if jnp.ndim(x) >= 1 and x.shape[0] == slab else x
                 )
                 scene_b = jax.tree.map(put, scene_b)
                 ic_b = jax.tree.map(put, ic_b)
@@ -344,18 +353,19 @@ class MonteCarloAnalyzer:
                     scene_b, ic_b, self.sim_config
                 )
             valid, reasons = outlier_mask(summary, self.bounds)
+            in_range = jnp.arange(slab) < n_s  # mask padding lanes
 
             # Host readback: metrics only (device->host is the slow path).
-            valid_np = np.asarray(valid)
-            reasons_np = np.asarray(reasons)
+            valid_np = np.asarray(valid)[:n_s]
+            reasons_np = np.asarray(reasons)[:n_s]
             for k in metrics:
-                metrics[k].append(np.asarray(getattr(summary, k)))
+                metrics[k].append(np.asarray(getattr(summary, k))[:n_s])
             valid_parts.append(valid_np)
             reason_parts.append(reasons_np)
 
             # Parameter ranges reduce ON DEVICE (18 scalars back per slab,
             # not the 19 MB dispersion SoA — the tunnel is the slow path).
-            pr = self._parameter_ranges_device(sample, valid)
+            pr = self._parameter_ranges_device(sample, valid & in_range)
             pranges = pr if pranges is None else self._merge_ranges(pranges, pr)
 
             # Full summary/sample readback ONLY while per-sim records are
@@ -364,8 +374,8 @@ class MonteCarloAnalyzer:
             need_valid = len(records) < limit and valid_np.any()
             need_outlier = len(outlier_records) < limit and (~valid_np).any()
             if need_valid or need_outlier:
-                summary_np = jax.tree.map(np.asarray, summary)
-                sample_np = jax.tree.map(np.asarray, sample)
+                summary_np = jax.tree.map(lambda x: np.asarray(x)[:n_s], summary)
+                sample_np = jax.tree.map(lambda x: np.asarray(x)[:n_s], sample)
                 if need_valid:
                     records.extend(self._materialize_records(
                         summary_np, sample_np, valid_np, reasons_np,
@@ -533,10 +543,12 @@ class MonteCarloAnalyzer:
 
         parts = {}
         for slab_idx in np.unique(ids // slab):
-            n_s = min(slab, info["n_samples"] - int(slab_idx) * slab)
+            # Mirror _run_slabbed's padded draw: lane values for a global id
+            # depend on (key, slab_idx, slab), so re-simulation must sample
+            # the same full-slab batch.
             scene_b, ic_b, _ = sample_dispersions(
                 jax.random.fold_in(info["key"], int(slab_idx)), self.scene,
-                ic, self.uncertainty_params, n_s,
+                ic, self.uncertainty_params, slab,
                 base_wind=info["base_wind"], sampler=self.sampler,
             )
             axes = scene_in_axes(self.scene, scene_b)

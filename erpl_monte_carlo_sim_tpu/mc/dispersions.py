@@ -95,7 +95,7 @@ class DispersionSample:
     random_seed: jnp.ndarray  # [n] lane index, schema parity
 
 
-def sample_dispersions(
+def _sample_impl(
     key: jax.Array,
     scene: Scene,
     ic: InitialConditions,
@@ -302,6 +302,47 @@ def select_lane(batched: Scene, base: Scene, lane) -> Scene:
         for bb, b in zip(base_leaves, batch_leaves)
     ]
     return jax.tree.unflatten(jax.tree.structure(batched), sel)
+
+
+# One jit object for the prng path, shared by every caller: sampling was
+# measured to be a multi-second per-call cost when executed EAGERLY on the
+# tunneled TPU (dozens of individually-dispatched ops at ~28 ms RTT plus an
+# eager AR(1) scan); under jit it is one dispatch. The sobol path stays
+# eager (host-side scipy Sobol generation cannot be traced).
+_sample_impl_jit = jax.jit(
+    _sample_impl,
+    static_argnames=("params", "n", "wind_grid_points", "wind_grid_top",
+                     "dtype", "antithetic", "sampler"),
+)
+
+
+def sample_dispersions(
+    key: jax.Array,
+    scene: Scene,
+    ic: InitialConditions,
+    params: UncertaintyParams = UncertaintyParams(),
+    n: int = 1000,
+    base_wind: Optional[tuple] = None,
+    wind_grid_points: int = 100,
+    wind_grid_top: float = 25000.0,
+    dtype=None,
+    antithetic: bool = False,
+    sampler: str = "prng",
+):
+    """Draw ``n`` dispersed (Scene, InitialConditions) lanes — see
+    ``_sample_impl`` for the full contract. The prng path runs as ONE jitted
+    dispatch (keyed on the static sampling configuration)."""
+    if sampler == "sobol":
+        return _sample_impl(key, scene, ic, params, n, base_wind,
+                            wind_grid_points, wind_grid_top, dtype,
+                            antithetic, sampler)
+    if base_wind is not None:
+        base_wind = (jnp.asarray(base_wind[0]), jnp.asarray(base_wind[1]))
+    return _sample_impl_jit(
+        key, scene, ic, params=params, n=n, base_wind=base_wind,
+        wind_grid_points=wind_grid_points, wind_grid_top=wind_grid_top,
+        dtype=dtype, antithetic=antithetic, sampler=sampler,
+    )
 
 
 def scene_in_axes(base: Scene, batched: Scene) -> Scene:

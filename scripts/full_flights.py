@@ -9,16 +9,20 @@ fine 5 ms through the rail/burn/transonic/apogee/chute-shock transients
 reference's own wind-dispersed runs diverge and get filtered (SURVEY.md §6).
 
 Reference equivalent: ~25 s/flight single-core -> ~18 days on 16 cores.
+Measured 2026-08-17: 54.5 s / 19.3k full trajectories/s on one chip
+(71.5 s before the jitted-sampling fix).
 
 Run: PYTHONPATH=.:/root/.axon_site python scripts/full_flights.py
 """
 import time, json
 import jax, numpy as np
+from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
 from erpl_monte_carlo_sim_tpu.engine import SimConfig, InitialConditions
 from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
 from erpl_monte_carlo_sim_tpu.mc import sample_dispersions, outlier_mask
 from erpl_monte_carlo_sim_tpu.models import nominal_scene, liquid_motor
 
+enable_persistent_cache()
 SLAB = 262_144
 N_SLABS = 4  # 4 x 262144 = 1,048,576 flights
 

@@ -2,16 +2,19 @@
 
 BASELINE.json target: 1M dispersed flights (>=1k steps) in < 60 s on a
 v5e-8 (eight chips). Measured (2026-08-16, one v5e chip via axon):
-r1 vmap path 21.7 s; r2 component batch path 9.3 s INCLUDING per-lane
-dispersion sampling — ~51x better than the target on a per-chip basis. Run: PYTHONPATH=.:/root/.axon_site python scripts/million_flights.py
+r1 vmap path 21.7 s; r2 component batch path 9.3 s; 7.0 s with jitted
+dispersion sampling (INCLUDED in the time) — ~68x better than the target
+on a per-chip basis. Run: PYTHONPATH=.:/root/.axon_site python scripts/million_flights.py
 """
 import time, json
 import jax, numpy as np
+from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
 from erpl_monte_carlo_sim_tpu.engine import SimConfig, InitialConditions
 from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
 from erpl_monte_carlo_sim_tpu.mc import sample_dispersions
 from erpl_monte_carlo_sim_tpu.models import nominal_scene, liquid_motor
 
+enable_persistent_cache()
 half = 524_288
 cfg = SimConfig(max_time=6.0)
 scene = nominal_scene(liquid_motor())

@@ -49,6 +49,9 @@ def main(total_lanes: int, n_devices: int | None = None,
         except Exception:
             pass
 
+    from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from erpl_monte_carlo_sim_tpu.engine import (
         InitialConditions, SimConfig, simulate_summary_batch,
     )
