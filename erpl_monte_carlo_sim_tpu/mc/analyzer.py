@@ -353,7 +353,12 @@ class MonteCarloAnalyzer:
                     scene_b, ic_b, self.sim_config
                 )
             valid, reasons = outlier_mask(summary, self.bounds)
-            in_range = jnp.arange(slab) < n_s  # mask padding lanes
+            # Padding-lane mask: only the final ragged slab needs it — the
+            # extra eager device ops (~3 tunneled dispatches) would otherwise
+            # run on every slab for a mask that is all-True.
+            ranges_mask = (
+                valid if n_s == slab else valid & (jnp.arange(slab) < n_s)
+            )
 
             # Host readback: metrics only (device->host is the slow path).
             valid_np = np.asarray(valid)[:n_s]
@@ -365,7 +370,7 @@ class MonteCarloAnalyzer:
 
             # Parameter ranges reduce ON DEVICE (18 scalars back per slab,
             # not the 19 MB dispersion SoA — the tunnel is the slow path).
-            pr = self._parameter_ranges_device(sample, valid & in_range)
+            pr = self._parameter_ranges_device(sample, ranges_mask)
             pranges = pr if pranges is None else self._merge_ranges(pranges, pr)
 
             # Full summary/sample readback ONLY while per-sim records are

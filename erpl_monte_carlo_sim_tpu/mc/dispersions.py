@@ -29,6 +29,7 @@ Reference quirks preserved:
 from __future__ import annotations
 
 import dataclasses
+import inspect
 from typing import Optional
 
 import jax
@@ -316,33 +317,25 @@ _sample_impl_jit = jax.jit(
 )
 
 
-def sample_dispersions(
-    key: jax.Array,
-    scene: Scene,
-    ic: InitialConditions,
-    params: UncertaintyParams = UncertaintyParams(),
-    n: int = 1000,
-    base_wind: Optional[tuple] = None,
-    wind_grid_points: int = 100,
-    wind_grid_top: float = 25000.0,
-    dtype=None,
-    antithetic: bool = False,
-    sampler: str = "prng",
-):
+_SAMPLE_SIG = inspect.signature(_sample_impl)
+
+
+def sample_dispersions(*args, **kwargs):
     """Draw ``n`` dispersed (Scene, InitialConditions) lanes — see
-    ``_sample_impl`` for the full contract. The prng path runs as ONE jitted
-    dispatch (keyed on the static sampling configuration)."""
-    if sampler == "sobol":
-        return _sample_impl(key, scene, ic, params, n, base_wind,
-                            wind_grid_points, wind_grid_top, dtype,
-                            antithetic, sampler)
-    if base_wind is not None:
-        base_wind = (jnp.asarray(base_wind[0]), jnp.asarray(base_wind[1]))
-    return _sample_impl_jit(
-        key, scene, ic, params=params, n=n, base_wind=base_wind,
-        wind_grid_points=wind_grid_points, wind_grid_top=wind_grid_top,
-        dtype=dtype, antithetic=antithetic, sampler=sampler,
-    )
+    ``_sample_impl`` for the full signature and contract. The prng path runs
+    as ONE jitted dispatch (keyed on the static sampling configuration); the
+    sobol path stays eager (host-side scipy). Defaults are bound from
+    ``_sample_impl``'s own signature so the two can never drift."""
+    bound = _SAMPLE_SIG.bind(*args, **kwargs)
+    bound.apply_defaults()
+    a = dict(bound.arguments)
+    if a["sampler"] == "sobol":
+        return _sample_impl(**a)
+    if a["base_wind"] is not None:
+        a["base_wind"] = (
+            jnp.asarray(a["base_wind"][0]), jnp.asarray(a["base_wind"][1])
+        )
+    return _sample_impl_jit(**a)
 
 
 def scene_in_axes(base: Scene, batched: Scene) -> Scene:

@@ -18,12 +18,24 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 def enable_persistent_cache(path: str | None = None) -> bool:
     """Point jax at the repo-local persistent compile cache. Returns True if
-    the config was applied (False on very old jax without the knobs)."""
+    the config was applied. Respects an existing user configuration: if a
+    cache dir is already set (env var or explicit jax.config), nothing is
+    overridden. Failure (e.g. renamed knobs in a future jax) is logged, not
+    swallowed silently — a cold compile here is minutes."""
     import jax
 
     try:
+        current = jax.config.jax_compilation_cache_dir
+        if current:
+            return True  # user already configured a cache; leave it alone
         jax.config.update("jax_compilation_cache_dir", path or _DEFAULT_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
         return True
-    except Exception:
+    except Exception as e:  # pragma: no cover - depends on jax version
+        from .logging import get_logger
+
+        get_logger("cache").warning(
+            "persistent compile cache unavailable (%s); expect cold compiles",
+            e,
+        )
         return False
