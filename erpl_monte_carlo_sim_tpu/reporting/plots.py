@@ -40,10 +40,19 @@ def plot_results(analysis: dict, output_dir: str | None = None,
     _, axes = plt.subplots(2, 2, figsize=(12, 10))
 
     summary = analysis["summary"]
-    valid = analysis["valid_mask"]
-    apogees = np.asarray(summary.apogee_altitude)[valid]
-    ranges = np.asarray(summary.range)[valid]
-    times = np.asarray(summary.flight_time)[valid]
+    valid = np.asarray(analysis["valid_mask"])
+    if summary is not None:
+        apogees = np.asarray(summary.apogee_altitude)[valid]
+        ranges = np.asarray(summary.range)[valid]
+        times = np.asarray(summary.flight_time)[valid]
+    else:
+        # Slabbed (auto-slab) runs keep per-lane headline metrics only —
+        # the full FlightSummary SoA is never materialized at 10M+ lanes
+        # (mc/analyzer._run_slabbed).
+        m = analysis["metrics"]
+        apogees = np.asarray(m["apogee_altitude"])[valid]
+        ranges = np.asarray(m["range"])[valid]
+        times = np.asarray(m["flight_time"])[valid]
 
     axes[0, 0].hist(apogees[np.isfinite(apogees)], bins=50, alpha=0.7,
                     edgecolor="black")

@@ -108,3 +108,19 @@ def test_slabbed_1m_lanes_cpu():
     )
     assert analysis["n_samples"] + analysis["n_outliers"] == 1_000_000
     assert len(analysis["metrics"]["apogee_altitude"]) == 1_000_000
+
+
+def test_slabbed_reporting_and_plots(slabbed_analysis, tmp_path):
+    """A slabbed analysis (summary=None, per-lane metrics dict) must flow
+    through the reporting/plotting layer — the natural follow-up to a big
+    auto-slabbed run is save_report + plot_results."""
+    an, a = slabbed_analysis
+    from erpl_monte_carlo_sim_tpu.reporting import plots, report
+
+    out = str(tmp_path)
+    rep = report.save_report(a, out, analyzer=an)
+    assert rep["simulation_summary"]["total_simulations"] == a["n_samples"]
+    path = plots.plot_results(a, out)
+    import os
+
+    assert path is not None and os.path.exists(path)
