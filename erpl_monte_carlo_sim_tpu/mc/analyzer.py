@@ -121,6 +121,7 @@ class MonteCarloAnalyzer:
         mesh=None,
         max_lanes_per_call: int = 262_144,
         sampler: str = "prng",
+        sobol_scrambles: int = 1,
     ):
         if scene is None:
             if motor is None:
@@ -147,6 +148,11 @@ class MonteCarloAnalyzer:
         # mc.sample_dispersions). Stored so slabbed runs and by-key lane
         # re-simulation regenerate identical lanes.
         self.sampler = sampler
+        # Randomized-QMC replication: >1 partitions each sobol draw into K
+        # independently scrambled blocks; block means yield a valid
+        # ``qmc_error`` stderr in the analysis (a single scramble's
+        # std/sqrt(n) is not a valid QMC error estimate).
+        self.sobol_scrambles = sobol_scrambles
         # Auto-slab threshold: a single device call tops out between 512k
         # and 1M lanes on one v5e chip (HBM headroom for the per-lane wind
         # tables + RK4 stage intermediates); beyond this the lane axis is
@@ -211,6 +217,7 @@ class MonteCarloAnalyzer:
         scene_b, ic_b, sample = sample_dispersions(
             key, self.scene, ic, self.uncertainty_params, n_samples,
             base_wind=base_wind, sampler=self.sampler,
+            sobol_scrambles=self.sobol_scrambles,
         )
         axes = scene_in_axes(self.scene, scene_b)
 
@@ -277,6 +284,21 @@ class MonteCarloAnalyzer:
                 ),
             },
         }
+        if self.sampler == "sobol" and self.sobol_scrambles > 1:
+            K = self.sobol_scrambles
+            block = n_samples // K
+            bm = {}
+            for name in ("apogee_altitude", "range", "flight_time"):
+                arr = np.asarray(getattr(summary_np, name))
+                bm[name] = [
+                    float(np.mean(arr[i * block:(i + 1) * block][
+                        valid_np[i * block:(i + 1) * block]
+                    ])) if valid_np[i * block:(i + 1) * block].any()
+                    else float("nan")
+                    for i in range(K)
+                ]
+            analysis["qmc_error"] = self._qmc_error(bm)
+
         limit = n_samples if materialize_results is None else materialize_results
         analysis["results"] = self._materialize_records(
             summary_np, sample_np, valid_np, reasons_np, want_valid=True, limit=limit
@@ -292,6 +314,21 @@ class MonteCarloAnalyzer:
         optimized path; ``chunk_size`` is meaningless on a device mesh."""
         del chunk_size
         return self.run_monte_carlo(initial_conditions, n_samples, **kw)
+
+    @staticmethod
+    def _qmc_error(block_means: dict) -> dict:
+        """Randomized-QMC error bars: ``block_means[metric]`` are means over
+        independently scrambled Sobol blocks (i.i.d. estimates of the
+        target); stderr = std(blocks, ddof=1)/sqrt(K)."""
+        out = {}
+        for name, means in block_means.items():
+            m = np.asarray([x for x in means if np.isfinite(x)], float)
+            stderr = (
+                float(m.std(ddof=1) / np.sqrt(m.size)) if m.size > 1
+                else float("nan")
+            )
+            out[name] = {"block_means": m.tolist(), "mean_stderr": stderr}
+        return out
 
     # ---------------------------------------------------------- slab loop
     def _run_slabbed(self, ic, n_samples, slab, seed, materialize_results,
@@ -312,6 +349,8 @@ class MonteCarloAnalyzer:
 
         metrics = {k: [] for k in
                    ("apogee_altitude", "range", "flight_time", "max_speed")}
+        qmc_blocks = {k: [] for k in
+                      ("apogee_altitude", "range", "flight_time")}
         valid_parts, reason_parts = [], []
         records, outlier_records = [], []
         pranges = None
@@ -328,6 +367,7 @@ class MonteCarloAnalyzer:
                 jax.random.fold_in(key, slab_idx), self.scene, ic,
                 self.uncertainty_params, slab, base_wind=base_wind,
                 sampler=self.sampler,
+                sobol_scrambles=self.sobol_scrambles,
             )
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -367,6 +407,15 @@ class MonteCarloAnalyzer:
                 metrics[k].append(np.asarray(getattr(summary, k))[:n_s])
             valid_parts.append(valid_np)
             reason_parts.append(reasons_np)
+            if self.sampler == "sobol":
+                # Each slab draws from its own fold of the run key — its own
+                # scramble — so slab means are independent RQMC replicates.
+                for kname in qmc_blocks:
+                    arr = metrics[kname][-1]
+                    qmc_blocks[kname].append(
+                        float(arr[valid_np].mean()) if valid_np.any()
+                        else float("nan")
+                    )
 
             # Parameter ranges reduce ON DEVICE (18 scalars back per slab,
             # not the 19 MB dispersion SoA — the tunnel is the slow path).
@@ -437,6 +486,8 @@ class MonteCarloAnalyzer:
             "results": records,
             "outliers": outlier_records,
         }
+        if self.sampler == "sobol" and len(qmc_blocks["apogee_altitude"]) > 1:
+            analysis["qmc_error"] = self._qmc_error(qmc_blocks)
         return analysis
 
     _RANGE_FIELDS = (
@@ -555,6 +606,7 @@ class MonteCarloAnalyzer:
                 jax.random.fold_in(info["key"], int(slab_idx)), self.scene,
                 ic, self.uncertainty_params, slab,
                 base_wind=info["base_wind"], sampler=self.sampler,
+                sobol_scrambles=self.sobol_scrambles,
             )
             axes = scene_in_axes(self.scene, scene_b)
             locals_ = np.asarray(

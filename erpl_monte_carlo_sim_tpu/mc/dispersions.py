@@ -108,6 +108,7 @@ def _sample_impl(
     dtype=None,
     antithetic: bool = False,
     sampler: str = "prng",
+    sobol_scrambles: int = 1,
 ):
     """Draw ``n`` dispersed (Scene, InitialConditions) lanes.
 
@@ -121,6 +122,13 @@ def _sample_impl(
     the first half (n must be even). Marginal distributions are unchanged;
     the variance of batch means drops because parameter effects cancel in
     pairs. Per-lane wind turbulence keys remain independent.
+
+    ``sobol_scrambles``: with ``sampler="sobol"``, partition the batch into
+    this many contiguous blocks, each drawn from its OWN independently
+    scrambled Sobol sequence (randomized QMC). Block means are then i.i.d.
+    estimates of the target, so their spread gives a statistically valid
+    error bar for the QMC result — a single scramble's in-sample std/sqrt(n)
+    is NOT a valid QMC error estimate. ``n`` must divide evenly.
 
     ``sampler``: ``"prng"`` (default, reference-equivalent pseudo-random) or
     ``"sobol"`` — scrambled-Sobol quasi-Monte Carlo over the 19 scalar
@@ -143,6 +151,8 @@ def _sample_impl(
         raise ValueError(f"unknown sampler {sampler!r}")
     if sampler == "sobol" and antithetic:
         raise ValueError("sobol sampling is already balanced; drop antithetic")
+    if sobol_scrambles < 1 or (sampler == "sobol" and n % sobol_scrambles):
+        raise ValueError("n must be a positive multiple of sobol_scrambles")
     keys = jax.random.split(key, 12)
 
     if sampler == "sobol":
@@ -153,9 +163,15 @@ def _sample_impl(
         import numpy as _np
         from scipy.stats import qmc as _qmc
 
-        seed = int(jax.random.bits(keys[0], (1,), "uint32")[0])
-        u = _qmc.Sobol(d=19, scramble=True, rng=_np.random.default_rng(seed)
-                       ).random(n)
+        seeds = _np.asarray(
+            jax.random.bits(keys[0], (sobol_scrambles,), "uint32")
+        )
+        block = n // sobol_scrambles
+        u = _np.concatenate([
+            _qmc.Sobol(d=19, scramble=True,
+                       rng=_np.random.default_rng(int(s))).random(block)
+            for s in seeds
+        ], axis=0)
         # guard against exact 0/1 before the inverse normal CDF
         tiny = _np.finfo(_np.float64).tiny
         u = _np.clip(u, tiny, 1.0 - 1e-12)
@@ -313,7 +329,7 @@ def select_lane(batched: Scene, base: Scene, lane) -> Scene:
 _sample_impl_jit = jax.jit(
     _sample_impl,
     static_argnames=("params", "n", "wind_grid_points", "wind_grid_top",
-                     "dtype", "antithetic", "sampler"),
+                     "dtype", "antithetic", "sampler", "sobol_scrambles"),
 )
 
 

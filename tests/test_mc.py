@@ -253,3 +253,45 @@ def test_analyzer_sobol_end_to_end():
         np.asarray(summary.apogee_altitude),
         np.asarray(a["summary"].apogee_altitude)[:2], rtol=5e-5,
     )
+
+
+def test_sobol_scrambles_rqmc_error():
+    """Randomized-QMC replication: K independently scrambled blocks give a
+    valid error bar (qmc_error) in both the single-call and slabbed paths."""
+    from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer
+
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    k = jax.random.PRNGKey(11)
+
+    _, _, s = sample_dispersions(k, scene, ic, n=64, sampler="sobol",
+                                 sobol_scrambles=4)
+    mm = np.asarray(s.mass_multiplier).reshape(4, 16)
+    # blocks come from different scrambles
+    assert not np.allclose(mm[0], mm[1])
+    # determinism-by-key still holds
+    _, _, s2 = sample_dispersions(k, scene, ic, n=64, sampler="sobol",
+                                  sobol_scrambles=4)
+    np.testing.assert_array_equal(np.asarray(s.mass_multiplier),
+                                  np.asarray(s2.mass_multiplier))
+    with pytest.raises(ValueError, match="multiple"):
+        sample_dispersions(k, scene, ic, n=10, sampler="sobol",
+                           sobol_scrambles=4)
+
+    an = MonteCarloAnalyzer(scene=scene, sim_config=SimConfig(max_time=6.0),
+                            sampler="sobol", sobol_scrambles=4)
+    a = an.run_monte_carlo(ic, n_samples=32)
+    qe = a["qmc_error"]
+    assert set(qe) == {"apogee_altitude", "range", "flight_time"}
+    assert len(qe["apogee_altitude"]["block_means"]) == 4
+    assert qe["apogee_altitude"]["mean_stderr"] >= 0.0
+    # stderr is the replicate-spread definitionally
+    bm = np.asarray(qe["apogee_altitude"]["block_means"])
+    np.testing.assert_allclose(qe["apogee_altitude"]["mean_stderr"],
+                               bm.std(ddof=1) / 2.0, rtol=1e-6)
+
+    # slabbed path: slab means are the replicates
+    an2 = MonteCarloAnalyzer(scene=scene, sim_config=SimConfig(max_time=6.0),
+                             sampler="sobol")
+    a2 = an2.run_monte_carlo(ic, n_samples=96, lane_slab=32)
+    assert len(a2["qmc_error"]["apogee_altitude"]["block_means"]) == 3
