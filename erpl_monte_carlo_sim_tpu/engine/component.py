@@ -313,8 +313,11 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
 
     ``ics``: 12 arrays (px, py, pz, vx, vy, vz, roll, pitch, yaw, ox, oy,
     oz), each [...]-shaped. Returns a dict of same-shaped arrays: the Monte
-    Carlo summary metrics, rail diagnostics, and the full final state
-    (int32 for flags/counters).
+    Carlo summary metrics, rail diagnostics, and the final position/velocity
+    (int32 for flags/counters). NOTE: ``quat_w..quat_z`` are the RAIL-EXIT
+    attitude (== the launch attitude; the rail phase does not rotate), used
+    by ``engine.batch`` for ``rail_exit_euler`` — NOT the landing attitude,
+    which is not a reference summary metric and is not returned.
     """
     (px, py, pz, vx, vy, vz, roll, pitch, yaw, ox, oy, oz) = ics
 
@@ -545,8 +548,7 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
         lambda c: jnp.any(lane_active(c)), body, (st, ev)
     )
 
-    (fpx, fpy, fpz, fvx, fvy, fvz, fqw, fqx, fqy, fqz, fox, foy, foz,
-     ffrac) = st
+    fpx, fpy, fpz, fvx, fvy, fvz = st[:6]
     rng = jnp.sqrt(fpx * fpx + fpy * fpy)
     return {
         "apogee_altitude": ev["max_alt"],

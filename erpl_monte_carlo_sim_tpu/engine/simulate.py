@@ -22,6 +22,8 @@ exit time, matching `simulator.py:169,273`.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -285,6 +287,44 @@ def simulate_flight(
     return _summary_from_carry(carry, rail_info), traj
 
 
+def _chunk_lane_active(carry: StepCarry, cfg: SimConfig):
+    t = carry.rail_time + carry.step.astype(carry.rail_time.dtype) * cfg.dt
+    return (~carry.events.done) & (t < cfg.max_time) & (
+        carry.step < cfg.max_steps
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _run_chunk(scene, carry: StepCarry, cfg: SimConfig, chunk_steps: int):
+    """One bounded chunk of exactly-masked RK4 steps. MODULE-LEVEL jit:
+    defining (and jitting) this inside simulate_batch_chunked would key the
+    jit cache on a fresh closure per call, recompiling the whole-flight
+    chunk program on every invocation — including once per slab in the
+    analyzer's slab loop (~40 s each on the tunneled TPU)."""
+    def cond(ck):
+        c, k = ck
+        return jnp.logical_and(k < chunk_steps,
+                               jnp.any(_chunk_lane_active(c, cfg)))
+
+    def body(ck):
+        c, k = ck
+        run = _chunk_lane_active(c, cfg)
+        new = advance(scene, cfg, c)
+        c = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(
+                    run, jnp.shape(run) + (1,) * (jnp.ndim(a) - jnp.ndim(run))
+                ),
+                a, b,
+            ),
+            new, c,
+        )
+        return c, k + 1
+
+    carry, _ = jax.lax.while_loop(cond, body, (carry, jnp.int32(0)))
+    return carry, jnp.any(_chunk_lane_active(carry, cfg))
+
+
 def simulate_batch_chunked(
     scene_b: Scene,
     ic_b: InitialConditions,
@@ -315,40 +355,11 @@ def simulate_batch_chunked(
     state_exit, rail_time, rail_info = simulate_rail_masked(scene_b, cfg, state0)
     carry0 = init_carry(state_exit, rail_time)
 
-    def lane_active(carry: StepCarry):
-        t = carry.rail_time + carry.step.astype(carry.rail_time.dtype) * cfg.dt
-        return (~carry.events.done) & (t < cfg.max_time) & (
-            carry.step < cfg.max_steps
-        )
-
-    @jax.jit
-    def run_chunk(scene, carry: StepCarry):
-        def cond(ck):
-            c, k = ck
-            return jnp.logical_and(k < chunk_steps, jnp.any(lane_active(c)))
-
-        def body(ck):
-            c, k = ck
-            run = lane_active(c)
-            new = advance(scene, cfg, c)
-            c = jax.tree.map(
-                lambda a, b: jnp.where(
-                    jnp.reshape(
-                        run, jnp.shape(run) + (1,) * (jnp.ndim(a) - jnp.ndim(run))
-                    ),
-                    a, b,
-                ),
-                new, c,
-            )
-            return c, k + 1
-        carry, _ = jax.lax.while_loop(cond, body, (carry, jnp.int32(0)))
-        return carry, jnp.any(lane_active(carry))
-
     carry = carry0
     chunk_idx = 0
     max_chunks = -(-cfg.max_steps // chunk_steps) + 1
     while True:
-        carry, any_active = run_chunk(scene_b, carry)
+        carry, any_active = _run_chunk(scene_b, carry, cfg, chunk_steps)
         chunk_idx += 1
         if progress is not None:
             progress(chunk_idx, max_chunks)

@@ -165,6 +165,11 @@ class MonteCarloAnalyzer:
 
         # Kept for re-simulation (trajectory clouds, per-sim exports).
         self._last_batch = None
+        # Single-slot memo for resimulate_trajectories: the reporting
+        # pipeline (per-sim exports + 2D cloud + 3D cloud) asks for the
+        # SAME first-N lanes three times in a row; each re-simulation is a
+        # full trajectory-recording run (minutes on the tunneled TPU).
+        self._resim_memo = None
 
     # ------------------------------------------------------------------ run
     def run_monte_carlo(
@@ -257,6 +262,7 @@ class MonteCarloAnalyzer:
         elapsed = time.time() - t_start
 
         self._last_batch = (scene_b, ic_b, axes)
+        self._resim_memo = None
 
         n_valid = int(valid_np.sum())
         n_outliers = n_samples - n_valid
@@ -453,6 +459,7 @@ class MonteCarloAnalyzer:
         reasons_np = np.concatenate(reason_parts)
         elapsed = time.time() - t_start
 
+        self._resim_memo = None
         self._last_batch = {
             "slabbed": True, "key": key, "slab": slab,
             "n_samples": n_samples, "base_wind": base_wind, "ic": ic,
@@ -531,6 +538,36 @@ class MonteCarloAnalyzer:
         return out
 
     # ------------------------------------------------------- trajectories
+    def lane_scenes(self, lane_ids) -> list:
+        """The single-lane perturbed Scene for each global lane id, for both
+        batch layouts (single-call and auto-slabbed). Slabbed runs re-create
+        each touched slab's dispersions by key (same padded draw as
+        ``_resimulate_slabbed``) and select the slab-local lane."""
+        from .dispersions import select_lane
+
+        if self._last_batch is None:
+            raise RuntimeError("run_monte_carlo first")
+        if isinstance(self._last_batch, dict) and self._last_batch.get("slabbed"):
+            info = self._last_batch
+            slab = info["slab"]
+            ids = np.asarray(lane_ids, dtype=np.int64)
+            out = {}
+            for slab_idx in np.unique(ids // slab):
+                scene_b, _, _ = sample_dispersions(
+                    jax.random.fold_in(info["key"], int(slab_idx)),
+                    self.scene, info["ic"], self.uncertainty_params, slab,
+                    base_wind=info["base_wind"], sampler=self.sampler,
+                    sobol_scrambles=self.sobol_scrambles,
+                )
+                for g in ids[ids // slab == slab_idx]:
+                    out[int(g)] = select_lane(
+                        scene_b, self.scene, int(g % slab)
+                    )
+            return [out[int(g)] for g in ids]
+        scene_b, _, _ = self._last_batch
+        return [select_lane(scene_b, self.scene, int(i)) for i in lane_ids]
+
+
     def resimulate_trajectories(self, lane_ids, sim_config: Optional[SimConfig] = None):
         """Re-run selected lanes with full trajectory recording.
 
@@ -549,8 +586,14 @@ class MonteCarloAnalyzer:
         """
         if self._last_batch is None:
             raise RuntimeError("run_monte_carlo first")
+        memo_key = (tuple(int(i) for i in lane_ids),
+                    sim_config or self.sim_config)
+        if self._resim_memo is not None and self._resim_memo[0] == memo_key:
+            return self._resim_memo[1]
         if isinstance(self._last_batch, dict) and self._last_batch.get("slabbed"):
-            return self._resimulate_slabbed(lane_ids, sim_config)
+            out = self._resimulate_slabbed(lane_ids, sim_config)
+            self._resim_memo = (memo_key, out)
+            return out
         scene_b, ic_b, axes = self._last_batch
         ids = jnp.asarray(lane_ids)
 
@@ -568,7 +611,9 @@ class MonteCarloAnalyzer:
         run = jax.jit(
             jax.vmap(simulate_flight, in_axes=(axes, 0, None)), static_argnums=2
         )
-        return run(scene_sel, ic_sel, cfg)
+        out = run(scene_sel, ic_sel, cfg)
+        self._resim_memo = (memo_key, out)
+        return out
 
     @staticmethod
     def _parity_cfg(cfg: SimConfig) -> SimConfig:

@@ -116,7 +116,6 @@ def save_simulation_results(analyzer, analysis: dict, output_dir: str,
     out of its worker pool; at vmap scale that's neither possible nor
     needed — any lane is exactly re-creatable from its key).
     """
-    from ..mc.dispersions import select_lane
     from .results import to_results_dict
 
     sims_dir = os.path.join(output_dir, "simulation_results")
@@ -125,9 +124,11 @@ def save_simulation_results(analyzer, analysis: dict, output_dir: str,
     if not ids:
         return 0
     summary, traj = analyzer.resimulate_trajectories(ids)
-    scene_b, _, _ = analyzer._last_batch
+    # lane_scenes handles BOTH batch layouts (single-call and auto-slabbed;
+    # a slabbed run's _last_batch is a by-key recipe, not a scene batch).
+    scenes = analyzer.lane_scenes(ids)
     for k, sim_id in enumerate(ids):
-        scene_lane = select_lane(scene_b, analyzer.scene, sim_id)
+        scene_lane = scenes[k]
         results = to_results_dict(
             scene_lane, summary, traj, analyzer.sim_config,
             initial_conditions=None, lane=k,

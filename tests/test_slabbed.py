@@ -124,3 +124,12 @@ def test_slabbed_reporting_and_plots(slabbed_analysis, tmp_path):
     import os
 
     assert path is not None and os.path.exists(path)
+    # per-sim exports from a slabbed run (regression: _last_batch is a
+    # by-key recipe dict here, not a (scene, ic, axes) tuple — this used to
+    # crash with a tuple-unpack error AFTER the expensive re-simulation)
+    n = report.save_simulation_results(an, a, out, max_sims=2)
+    assert n == 2
+    sim_id = a["results"][0]["simulation_id"]
+    assert os.path.exists(
+        os.path.join(out, "simulation_results", f"sim_{sim_id}.json")
+    )
