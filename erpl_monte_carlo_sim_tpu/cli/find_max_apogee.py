@@ -15,21 +15,26 @@ import sys
 
 
 def main(dir_path: str) -> tuple:
-    max_apogee = 0.0
-    max_sim = -1
+    max_apogee = None
+    max_sim = None
     for path in sorted(glob.glob(os.path.join(dir_path, "sim_*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
-            apo = data["apogee_altitude"]
+            # null / missing / non-numeric apogee (failed export) must not
+            # abort the scan this tool exists to make robust
+            apo = float(data["apogee_altitude"])
         except Exception:
             continue
-        if apo > max_apogee:
+        if max_apogee is None or apo > max_apogee:
             max_apogee = apo
             max_sim = data.get(
                 "simulation_id",
                 int(os.path.basename(path)[4:-5]),
             )
+    if max_sim is None:
+        print(f"No valid sim_*.json with an apogee in {dir_path}")
+        return None, None
     print(f"Max apogee in sim_{max_sim}.json: {max_apogee}")
     return max_sim, max_apogee
 

@@ -60,7 +60,13 @@ def optimize(param: str = "rocket.fin_span", steps: int = 10, lr: float = None,
         if verbose:
             print(f"step {k}: {param}={value:.6g}  apogee={apogee:.1f} m  "
                   f"d(apogee)/d({param})={grad:.3g}")
-        step = (lr if lr is not None else 0.02 * abs(v0) / (abs(grad) + 1e-12))
+        # Sign-of-gradient ascent with a FIXED step magnitude (lr, or 2%
+        # of the starting value). The old form divided by |grad| and then
+        # multiplied by sign(grad), so the step exploded as the optimum was
+        # approached (grad -> 0) and stalled for steep objectives.
+        step = lr if lr is not None else 0.02 * abs(v0)
+        if grad == 0.0:
+            break
         value = value + step * (1.0 if grad > 0 else -1.0)
     return history
 

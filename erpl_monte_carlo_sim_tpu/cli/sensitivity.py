@@ -108,10 +108,22 @@ def apogee_sensitivities(
 def _channel_sigmas(scene: Scene, params: UncertaintyParams) -> dict:
     """Per-channel dispersion sigmas as the Monte Carlo actually draws them
     (`dispersions.py:145-171`). The wind u-offset sigma is the standard
-    deviation of one horizontal component of a uniform-speed,
-    uniform-direction offset: Var(u) = E[S^2]/2, E[S^2]=(a^2+ab+b^2)/3."""
+    deviation of the x component of a uniform-speed, uniform-direction
+    offset u = S cos(theta), computed for the ACTUAL direction range (not
+    the isotropic special case): Var(u) = E[S^2]E[cos^2 t] - (E[S]E[cos t])^2
+    with E[S]=(a+b)/2, E[S^2]=(a^2+ab+b^2)/3, E[cos t]=(sin d1 - sin d0)/W,
+    E[cos^2 t]=1/2 + (sin 2d1 - sin 2d0)/(4W). For the default full-circle
+    range this reduces to sqrt(E[S^2]/2)."""
+    import math
+
     a, b = params.wind_speed_range
-    wind_u_sigma = float(jnp.sqrt((a * a + a * b + b * b) / 3.0 / 2.0))
+    d0, d1 = params.wind_direction_range
+    W = max(d1 - d0, 1e-12)
+    e_s = 0.5 * (a + b)
+    e_s2 = (a * a + a * b + b * b) / 3.0
+    e_c = (math.sin(d1) - math.sin(d0)) / W
+    e_c2 = 0.5 + (math.sin(2 * d1) - math.sin(2 * d0)) / (4.0 * W)
+    wind_u_sigma = float(math.sqrt(max(e_s2 * e_c2 - (e_s * e_c) ** 2, 0.0)))
     return {
         "mass_multiplier": float(params.mass_uncertainty),
         # the acting thrust sigma is the motor's own (reference quirk:

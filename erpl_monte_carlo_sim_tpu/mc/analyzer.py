@@ -170,6 +170,24 @@ class MonteCarloAnalyzer:
         # SAME first-N lanes three times in a row; each re-simulation is a
         # full trajectory-recording run (minutes on the tunneled TPU).
         self._resim_memo = None
+        # jit(vmap(simulate_flight)) executables keyed by the in_axes tree:
+        # jax.vmap returns a FRESH function object per call, so re-wrapping
+        # in jax.jit on every resimulate call (and once per slab) always
+        # missed the jit cache and re-compiled the trajectory-recording
+        # flight (minutes cold on the tunneled TPU).
+        self._flight_runners = {}
+
+    def _get_flight_runner(self, axes):
+        leaves, treedef = jax.tree_util.tree_flatten(axes)
+        k = (treedef, tuple(leaves))
+        runner = self._flight_runners.get(k)
+        if runner is None:
+            runner = jax.jit(
+                jax.vmap(simulate_flight, in_axes=(axes, 0, None)),
+                static_argnums=2,
+            )
+            self._flight_runners[k] = runner
+        return runner
 
     # ------------------------------------------------------------------ run
     def run_monte_carlo(
@@ -230,10 +248,18 @@ class MonteCarloAnalyzer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             shard = NamedSharding(self.mesh, P("batch"))
-            def put(x):
-                return jax.device_put(x, shard) if jnp.ndim(x) >= 1 and x.shape[0] == n_samples else x
-            scene_b = jax.tree.map(put, scene_b)
-            ic_b = jax.tree.map(put, ic_b)
+
+            # Classify batched leaves by GAINED DIMENSION vs the base tree
+            # (same rule as scene_in_axes / make_global_batch): the bare
+            # shape[0]==n heuristic would shard a SHARED table whose length
+            # happens to equal n (e.g. the 100-knot wind grid at n=100),
+            # putting collectives into the hot loop.
+            def put(x, base):
+                if jnp.ndim(x) > jnp.ndim(base):
+                    return jax.device_put(x, shard)
+                return x
+            scene_b = jax.tree.map(put, scene_b, self.scene)
+            ic_b = jax.tree.map(put, ic_b, ic)
 
         if chunk_steps is not None:
             from ..engine.simulate import simulate_batch_chunked
@@ -305,7 +331,11 @@ class MonteCarloAnalyzer:
                 ]
             analysis["qmc_error"] = self._qmc_error(bm)
 
-        limit = n_samples if materialize_results is None else materialize_results
+        # Same default cap as the slab path: materializing a Python dict
+        # per lane at 100k+ lanes costs tens of seconds of host time and GBs
+        # of RAM when the caller only wants statistics. Pass
+        # materialize_results=n_samples for the old exhaustive behavior.
+        limit = 1000 if materialize_results is None else materialize_results
         analysis["results"] = self._materialize_records(
             summary_np, sample_np, valid_np, reasons_np, want_valid=True, limit=limit
         )
@@ -379,12 +409,12 @@ class MonteCarloAnalyzer:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 shard = NamedSharding(self.mesh, P("batch"))
-                put = lambda x: (
+                put = lambda x, base: (
                     jax.device_put(x, shard)
-                    if jnp.ndim(x) >= 1 and x.shape[0] == slab else x
+                    if jnp.ndim(x) > jnp.ndim(base) else x
                 )
-                scene_b = jax.tree.map(put, scene_b)
-                ic_b = jax.tree.map(put, ic_b)
+                scene_b = jax.tree.map(put, scene_b, self.scene)
+                ic_b = jax.tree.map(put, ic_b, ic)
 
             if chunk_steps is not None:
                 from ..engine.simulate import simulate_batch_chunked
@@ -398,6 +428,11 @@ class MonteCarloAnalyzer:
                 summary = simulate_summary_batch(
                     scene_b, ic_b, self.sim_config
                 )
+            # Globalize the per-slab lane ids: dispersions stamps
+            # random_seed = arange(slab) (slab-LOCAL); records and parameter
+            # ranges must report the GLOBAL id so seed == simulation_id
+            # holds across slabs exactly as in a single-call run.
+            sample = sample.replace(random_seed=sample.random_seed + n_done)
             valid, reasons = outlier_mask(summary, self.bounds)
             # Padding-lane mask: only the final ragged slab needs it — the
             # extra eager device ops (~3 tunneled dispatches) would otherwise
@@ -608,9 +643,7 @@ class MonteCarloAnalyzer:
         scene_sel = jax.tree.unflatten(jax.tree.structure(scene_b), sel_leaves)
         ic_sel = jax.tree.map(lambda x: jnp.take(x, ids, axis=0), ic_b)
         cfg = self._parity_cfg(sim_config or self.sim_config)
-        run = jax.jit(
-            jax.vmap(simulate_flight, in_axes=(axes, 0, None)), static_argnums=2
-        )
+        run = self._get_flight_runner(axes)
         out = run(scene_sel, ic_sel, cfg)
         self._resim_memo = (memo_key, out)
         return out
@@ -666,10 +699,7 @@ class MonteCarloAnalyzer:
             ]
             scene_sel = jax.tree.unflatten(jax.tree.structure(scene_b), sel_leaves)
             ic_sel = jax.tree.map(lambda x: jnp.take(x, sel, axis=0), ic_b)
-            run = jax.jit(
-                jax.vmap(simulate_flight, in_axes=(axes, 0, None)),
-                static_argnums=2,
-            )
+            run = self._get_flight_runner(axes)
             out = run(scene_sel, ic_sel, cfg)
             for j, loc in enumerate(locals_):
                 parts[int(slab_idx) * slab + int(loc)] = jax.tree.map(
@@ -686,12 +716,7 @@ class MonteCarloAnalyzer:
         out = {}
         if valid_np.sum() == 0:
             return out
-        for name in (
-            "initial_position_offset", "initial_velocity_offset",
-            "initial_attitude_offset", "initial_angular_velocity_offset",
-            "mass_multiplier", "thrust_multiplier", "wind_speed",
-            "wind_direction", "density_multiplier", "random_seed",
-        ):
+        for name in MonteCarloAnalyzer._RANGE_FIELDS:
             arr = getattr(sample_np, name)[valid_np]
             out[name] = {
                 "min": arr.min(axis=0).tolist(),

@@ -31,12 +31,21 @@ def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
     """Persist the SoA lane results of ``run_monte_carlo`` to one .npz."""
     arrays = {}
     summary = analysis["summary"]
-    for key_path, leaf in jax.tree_util.tree_flatten_with_path(summary)[0]:
-        name = "summary" + jax.tree_util.keystr(key_path)
-        arrays[name] = np.asarray(leaf)
-    sample = analysis["sample"]
-    for key_path, leaf in jax.tree_util.tree_flatten_with_path(sample)[0]:
-        arrays["sample" + jax.tree_util.keystr(key_path)] = np.asarray(leaf)
+    slabbed = summary is None
+    if slabbed:
+        # Auto-slabbed analyses keep per-lane headline metrics only (the
+        # full SoA is never materialized at 10M+ lanes). Persist those —
+        # silently writing an unloadable checkpoint would lose exactly the
+        # runs the slab path exists for.
+        for name, arr in analysis["metrics"].items():
+            arrays["metrics." + name] = np.asarray(arr)
+    else:
+        for key_path, leaf in jax.tree_util.tree_flatten_with_path(summary)[0]:
+            name = "summary" + jax.tree_util.keystr(key_path)
+            arrays[name] = np.asarray(leaf)
+        sample = analysis["sample"]
+        for key_path, leaf in jax.tree_util.tree_flatten_with_path(sample)[0]:
+            arrays["sample" + jax.tree_util.keystr(key_path)] = np.asarray(leaf)
     arrays["valid_mask"] = np.asarray(analysis["valid_mask"])
     arrays["reasons"] = np.asarray(analysis["reasons"])
     meta = {
@@ -44,6 +53,7 @@ def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
         "n_valid": int(analysis["n_samples"]),
         "n_outliers": int(analysis["n_outliers"]),
         "seed": seed,
+        "slabbed": slabbed,
         "stats": {
             k: analysis[k] for k in ("apogee_altitude", "range", "flight_time")
         },
@@ -59,6 +69,18 @@ def load_summaries(path: str) -> dict:
     numpy arrays), ``sample`` arrays, masks, and the saved stats/meta."""
     data = np.load(path)
     meta = json.loads(bytes(data[_META_KEY]).decode())
+
+    if meta.get("slabbed"):
+        return {
+            "summary": None,
+            "metrics": {
+                k[len("metrics."):]: data[k]
+                for k in data.files if k.startswith("metrics.")
+            },
+            "valid_mask": data["valid_mask"],
+            "reasons": data["reasons"],
+            "meta": meta,
+        }
 
     def grab(prefix, template):
         leaves_paths = jax.tree_util.tree_flatten_with_path(template)[0]

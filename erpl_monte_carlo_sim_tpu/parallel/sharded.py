@@ -92,7 +92,15 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
         vmax = jax.lax.pmax(jnp.max(jnp.where(m, v, -big)), BATCH_AXIS)
         denom = jnp.maximum(cnt, 1).astype(v.dtype)
         mean = s1 / denom
-        var = jnp.maximum(s2 / denom - mean * mean, 0.0)
+        del s2  # one-pass E[x^2]-mean^2 catastrophically cancels in f32
+        # Two-pass variance (one extra psum): matches mc.stats.masked_stats'
+        # numerically stable form — for flight_time-like data (mean ~1e2,
+        # std ~1e-1) the one-pass form loses ~1e-3 absolute to rounding of
+        # the large accumulators, a ~percent-level std error at f32.
+        d = jnp.where(m, v - mean, 0.0)
+        var = jnp.maximum(
+            jax.lax.psum(jnp.sum(d * d), BATCH_AXIS) / denom, 0.0
+        )
 
         # Exact percentiles: gather every shard's masked metric, sort once.
         all_v = jax.lax.all_gather(jnp.where(m, v, big), BATCH_AXIS, tiled=True)

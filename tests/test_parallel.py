@@ -164,3 +164,14 @@ def test_make_global_batch_base_tree_classification(mesh):
     # the documented reason base_tree exists
     out2 = make_global_batch(tree, mesh, local)
     assert out2["shared_grid"].sharding.spec == P("batch")
+
+
+def test_collective_stats_variance_catastrophic_cancellation(mesh):
+    """Two-pass variance: large-mean/small-std f32 data must not lose the
+    std to E[x^2]-mean^2 cancellation (flight_time-like: mean ~1e2, std
+    ~1e-1 — the one-pass form was ~percent-level wrong)."""
+    rng = np.random.default_rng(3)
+    vals = jnp.asarray(rng.normal(100.0, 0.1, size=1024), jnp.float32)
+    st = collective_stats(vals, None, mesh)
+    ref = float(np.asarray(vals, np.float64).std())
+    np.testing.assert_allclose(float(st["std"]), ref, rtol=2e-3)

@@ -173,3 +173,23 @@ def test_report_structure_matches_committed_reference_artifact(mc_run):
     # Scene metadata blocks exist with names
     assert report["rocket_parameters"]["name"] == "Sounding Rocket"
     assert "name" in report["motor_parameters"]
+
+
+def test_find_max_apogee_handles_null_and_empty(tmp_path):
+    """Null apogees must not abort the scan; an empty/invalid directory must
+    report no result instead of sim_-1."""
+    import json as _json
+
+    from erpl_monte_carlo_sim_tpu.cli.find_max_apogee import main as fma
+
+    d = tmp_path / "sims"
+    d.mkdir()
+    (d / "sim_0.json").write_text(_json.dumps({"apogee_altitude": None}))
+    (d / "sim_1.json").write_text(
+        _json.dumps({"apogee_altitude": 1234.5, "simulation_id": 1})
+    )
+    sim, apo = fma(str(d))
+    assert sim == 1 and apo == 1234.5
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert fma(str(empty)) == (None, None)

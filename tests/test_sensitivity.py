@@ -68,3 +68,31 @@ def test_variance_budget_structure():
                                rtol=1e-6)
     # liquid motor: flow multiplier acts independently (sigma > 0)
     assert out["channels"]["flow_multiplier"]["sigma"] > 0
+
+
+def test_wind_sigma_respects_direction_range():
+    from erpl_monte_carlo_sim_tpu.cli.sensitivity import _channel_sigmas
+    from erpl_monte_carlo_sim_tpu.mc.dispersions import UncertaintyParams
+    from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+    scene = nominal_scene(liquid_motor())
+    # default full circle reduces to the isotropic formula sqrt(E[S^2]/2)
+    iso = _channel_sigmas(scene, UncertaintyParams())["wind_u_offset"]
+    np.testing.assert_allclose(iso, np.sqrt(25.0 / 3.0 / 2.0), rtol=1e-6)
+    # near-constant direction: Var(u) -> Var(S) = (b-a)^2/12
+    narrow = _channel_sigmas(
+        scene, UncertaintyParams(wind_direction_range=(0.0, 1e-4))
+    )["wind_u_offset"]
+    np.testing.assert_allclose(narrow, np.sqrt(25.0 / 12.0), rtol=1e-3)
+
+
+def test_optimizer_fixed_relative_step():
+    """Sign-ascent step magnitude is lr (or 2% of v0) — regression: the old
+    rule divided by |grad|, exploding near the optimum."""
+    from erpl_monte_carlo_sim_tpu.cli.optimize_apogee import optimize
+
+    hist = optimize("rocket.fin_span", steps=2, cfg=CFG, verbose=False)
+    assert len(hist) == 2
+    v0 = hist[0][0]
+    dv = abs(hist[1][0] - v0)
+    np.testing.assert_allclose(dv, 0.02 * abs(v0), rtol=1e-6)

@@ -133,3 +133,34 @@ def test_slabbed_reporting_and_plots(slabbed_analysis, tmp_path):
     assert os.path.exists(
         os.path.join(out, "simulation_results", f"sim_{sim_id}.json")
     )
+
+
+def test_slabbed_random_seed_is_global(slabbed_analysis):
+    """Records must report the GLOBAL lane id as random_seed (the reference
+    contract: seed == simulation id), not the slab-local arange value."""
+    _, a = slabbed_analysis
+    later = [r for r in a["results"] if r["simulation_id"] >= 384]
+    assert later, "fixture must materialize records beyond slab 0"
+    for r in a["results"]:
+        assert r["parameters"]["random_seed"] == r["simulation_id"]
+    pr = a["parameter_ranges_observed"]["random_seed"]
+    assert pr["max"] > 384  # spans slabs, not slab-local
+
+
+def test_slabbed_checkpoint_roundtrip(slabbed_analysis, tmp_path):
+    """save_summaries/load_summaries must round-trip a slabbed analysis
+    (regression: it silently wrote an unloadable .npz)."""
+    from erpl_monte_carlo_sim_tpu.mc.checkpoint import (
+        load_summaries,
+        save_summaries,
+    )
+
+    _, a = slabbed_analysis
+    path = str(tmp_path / "slabbed.npz")
+    save_summaries(path, a, seed=5)
+    back = load_summaries(path)
+    assert back["summary"] is None and back["meta"]["slabbed"]
+    np.testing.assert_array_equal(back["valid_mask"], a["valid_mask"])
+    np.testing.assert_allclose(
+        back["metrics"]["apogee_altitude"], a["metrics"]["apogee_altitude"]
+    )
