@@ -1,8 +1,9 @@
 """Flight engine: rail phase, 6DOF RK4 integration, masked events."""
 
-from .batch import simulate_summary_batch
+from .batch import simulate_flight_batch, simulate_summary_batch
 from .config import SimConfig
-from .diff import apogee_and_grad, simulate_apogee_diff
+from .diff import (apogee_and_grad, metric_and_grad, simulate_apogee_diff,
+                   simulate_metrics_diff)
 from .dynamics import rocket_dynamics
 from .integrator import EventState, StepCarry, advance, init_carry, rk4_step
 from ..experimental.pallas_kernel import simulate_summary_pallas
@@ -14,8 +15,10 @@ from .state import FlightState, InitialConditions, initial_state
 __all__ = [
     "SimConfig", "rocket_dynamics", "EventState", "StepCarry", "advance",
     "init_carry", "rk4_step", "RailInfo", "simulate_rail", "FlightSummary",
-    "apogee_and_grad", "simulate_apogee_diff", "simulate_summary_pallas",
+    "apogee_and_grad", "metric_and_grad", "simulate_apogee_diff",
+    "simulate_metrics_diff", "simulate_summary_pallas",
     "Trajectory", "simulate_flight", "simulate_summary",
-    "simulate_summary_batch", "simulate_batch_chunked", "FlightState",
+    "simulate_summary_batch", "simulate_flight_batch",
+    "simulate_batch_chunked", "FlightState",
     "InitialConditions", "initial_state",
 ]

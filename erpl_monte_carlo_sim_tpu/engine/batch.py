@@ -23,13 +23,17 @@ import jax.numpy as jnp
 
 from ..models.scene import Scene
 from ..ops.quaternion import quaternion_to_euler
-from .component import flight_components, wind_tent_lanes_minor
+from .component import (
+    flight_components,
+    flight_components_trajectory,
+    wind_tent_lanes_minor,
+)
 from .config import SimConfig
 from .rail import RailInfo
-from .simulate import FlightSummary
+from .simulate import FlightSummary, Trajectory
 from .state import InitialConditions
 
-__all__ = ["simulate_summary_batch", "prepare_batch"]
+__all__ = ["simulate_summary_batch", "simulate_flight_batch", "prepare_batch"]
 
 
 def prepare_batch(scene_b: Scene, ic_b: InitialConditions):
@@ -71,6 +75,19 @@ def _run_components(scene_nw, grid, wT, cfg, ics):
     return flight_components(scene_nw, cfg, wind_fn, ics)
 
 
+@functools.partial(jax.jit, static_argnums=3)
+def _run_components_trajectory(scene_nw, grid, wT, cfg, ics):
+    def wind_fn(alt):
+        u, v, w = wT[0], wT[1], wT[2]
+        if u.dtype != alt.dtype:
+            u = u.astype(alt.dtype)
+            v = v.astype(alt.dtype)
+            w = w.astype(alt.dtype)
+        return wind_tent_lanes_minor(alt, grid, u, v, w)
+
+    return flight_components_trajectory(scene_nw, cfg, wind_fn, ics)
+
+
 def simulate_summary_batch(
     scene_b: Scene, ic_b: InitialConditions, cfg: SimConfig = SimConfig()
 ) -> FlightSummary:
@@ -84,7 +101,10 @@ def simulate_summary_batch(
     if cfg.wind_table_bf16:
         wT = wT.astype(jnp.bfloat16)
     res = _run_components(scene_nw, grid, wT, cfg, ics)
+    return _summary_pytree(res)
 
+
+def _summary_pytree(res: dict) -> FlightSummary:
     def stack3(x, y, z):
         return jnp.stack([res[x], res[y], res[z]], axis=-1)
 
@@ -113,3 +133,56 @@ def simulate_summary_batch(
         n_steps=res["n_steps"],
         rail=rail,
     )
+
+
+def simulate_flight_batch(
+    scene_b: Scene, ic_b: InitialConditions, cfg: SimConfig = SimConfig()
+):
+    """[B]-batched flights WITH recorded trajectories on the component core.
+
+    The trajectory twin of ``simulate_summary_batch`` — same engine, same
+    masked steps, so it honors every SimConfig flag including the tiered
+    timestep (which the stacked-vector ``simulate_flight`` refuses). Returns
+    ``(summary: FlightSummary, trajectory: Trajectory)`` with the same
+    ``[B, T, ...]`` leaf layout as ``vmap(simulate_flight)``; the summary
+    matches ``simulate_summary_batch`` on the same inputs to float noise.
+
+    Replaces the reference's record-as-you-integrate single engine
+    (`/root/reference/rocket_simulation/simulator.py:208-293,462-584`).
+    """
+    scene_nw, grid, wT, ics = prepare_batch(scene_b, ic_b)
+    if cfg.wind_table_bf16:
+        wT = wT.astype(jnp.bfloat16)
+    res, recs = _run_components_trajectory(scene_nw, grid, wT, cfg, ics)
+    summary = _summary_pytree(res)
+
+    # [T, ...] time-major flat components -> the [B, T, ...] Trajectory
+    # layout (one transpose outside the loop; lanes stay minor in the scan).
+    def bt(x):  # [T, B] -> [B, T] (prepare_batch guarantees batched inputs)
+        return jnp.moveaxis(x, 0, 1)
+
+    def stack3(x, y, z):
+        return jnp.stack([bt(x), bt(y), bt(z)], axis=-1)
+
+    derived = {}
+    if cfg.record_derived:
+        d = recs["derived"]
+        derived = {k: bt(v) for k, v in d.items()
+                   if not k.startswith("euler_")}
+        derived["euler_angles"] = stack3(
+            d["euler_roll"], d["euler_pitch"], d["euler_yaw"]
+        )
+    traj = Trajectory(
+        time=bt(recs["time"]),
+        position=stack3(recs["px"], recs["py"], recs["pz"]),
+        velocity=stack3(recs["vx"], recs["vy"], recs["vz"]),
+        quaternion=jnp.stack(
+            [bt(recs["qw"]), bt(recs["qx"]), bt(recs["qy"]), bt(recs["qz"])],
+            axis=-1,
+        ),
+        angular_velocity=stack3(recs["ox"], recs["oy"], recs["oz"]),
+        propellant_fraction=bt(recs["frac"]),
+        valid=bt(recs["valid"]),
+        derived=derived,
+    )
+    return summary, traj

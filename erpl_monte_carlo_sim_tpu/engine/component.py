@@ -35,8 +35,8 @@ import jax.numpy as jnp
 
 from ..models.atmosphere import atmosphere_properties, gravity_at
 from ..models.motor import mass_flow_rate_at, propellant_remaining, thrust_at
-from ..models.rocket import aero_coefficients, mass_properties
-from ..ops.math import arctan2
+from ..models.rocket import aero_coefficients, dynamic_cp, mass_properties
+from ..ops.math import arcsin, arctan2, safe_sqrt
 
 __all__ = [
     "quat_normalize_c",
@@ -46,7 +46,9 @@ __all__ = [
     "wind_tent_lanes_minor",
     "dynamics_c",
     "rk4_c",
+    "derived_c",
     "flight_components",
+    "flight_components_trajectory",
 ]
 
 
@@ -168,13 +170,18 @@ def dynamics_c(scene, cfg, wind_fn, t, st, para):
     wb = r02 * rvx + r12 * rvy + r22 * rvz
 
     rel_sq = rvx * rvx + rvy * rvy + rvz * rvz
-    rel_speed = jnp.sqrt(rel_sq)
+    rel_speed = safe_sqrt(rel_sq)
     mach = rel_speed / atm.speed_of_sound
-    # aero angles (`utils.py:160-172`)
+    # aero angles (`utils.py:160-172`); the double-where on the atan2 args
+    # keeps reverse-mode finite at the degenerate point (atan2's vjp is
+    # 0/0 when both args are exactly zero) without touching the primal
     degen = (jnp.abs(ub) < 1e-6) & (jnp.abs(wb) < 1e-6)
-    alpha = jnp.where(degen, 0.0, arctan2(wb, ub))
-    v_xz = jnp.sqrt(ub * ub + wb * wb)
-    beta = jnp.where(v_xz < 1e-6, 0.0, arctan2(vb, v_xz))
+    alpha = jnp.where(degen, 0.0, arctan2(jnp.where(degen, 1.0, wb),
+                                          jnp.where(degen, 1.0, ub)))
+    v_xz = safe_sqrt(ub * ub + wb * wb)
+    bdeg = v_xz < 1e-6
+    beta = jnp.where(bdeg, 0.0, arctan2(jnp.where(bdeg, 1.0, vb),
+                                        jnp.where(bdeg, 1.0, v_xz)))
     q_dyn = 0.5 * atm.density * rel_sq
 
     burning = (frac > 0.0) & (t <= scene.motor.burn_time)
@@ -186,7 +193,7 @@ def dynamics_c(scene, cfg, wind_fn, t, st, para):
     is_chute = para > 0
 
     # chute drag opposes body-frame rel velocity (`simulator.py:372-377`)
-    body_speed = jnp.sqrt(ub * ub + vb * vb + wb * wb)
+    body_speed = safe_sqrt(ub * ub + vb * vb + wb * wb)
     chute_coef = jnp.where(
         body_speed > 0.0,
         -0.5 * atm.density * body_speed * rocket.parachute_cd
@@ -308,16 +315,91 @@ def rk4_c(scene, cfg, wind_fn, t, st, para, dt=None):
     return new[:6] + (qw, qx, qy, qz) + new[10:], para
 
 
-def flight_components(scene, cfg, wind_fn, ics) -> dict:
-    """Full flight (rail + RK4 main loop + events) on flat components.
+def derived_c(scene, cfg, wind_fn, t_off, st) -> dict:
+    """Component-form per-step derived quantities, matching the reference's
+    extraction loop (`simulator.py:511-552`) and the stacked twin
+    ``engine.simulate._derived_quantities`` field-for-field. All outputs are
+    flat [...] arrays (``euler_*`` split per component so the trajectory
+    scan never carries a minor-dim-3 array; the caller restacks once).
 
-    ``ics``: 12 arrays (px, py, pz, vx, vy, vz, roll, pitch, yaw, ox, oy,
-    oz), each [...]-shaped. Returns a dict of same-shaped arrays: the Monte
-    Carlo summary metrics, rail diagnostics, and the final position/velocity
-    (int32 for flags/counters). NOTE: ``quat_w..quat_z`` are the RAIL-EXIT
-    attitude (== the launch attitude; the rail phase does not rotate), used
-    by ``engine.batch`` for ``rail_exit_euler`` — NOT the landing attitude,
-    which is not a reference summary metric and is not returned.
+    ``t_off`` is the time since rail exit: the reference's extraction loop
+    evaluates thrust UNGATED at the offset time (`simulator.py:543`)."""
+    (px, py, pz, vx, vy, vz, qw, qx, qy, qz, ox, oy, oz, frac) = st
+    rocket = scene.rocket
+    mp = mass_properties(rocket, frac)
+    atm = atmosphere_properties(scene.atmosphere, pz)
+    wu, wv, ww = wind_fn(pz)
+    rvx, rvy, rvz = vx - wu, vy - wv, vz - ww
+    R = rotmat_c(qw, qx, qy, qz)
+    ub = R[0] * rvx + R[3] * rvy + R[6] * rvz
+    vb = R[1] * rvx + R[4] * rvy + R[7] * rvz
+    wb = R[2] * rvx + R[5] * rvy + R[8] * rvz
+    rel_sq = rvx * rvx + rvy * rvy + rvz * rvz
+    mach = safe_sqrt(rel_sq) / atm.speed_of_sound
+    degen = (jnp.abs(ub) < 1e-6) & (jnp.abs(wb) < 1e-6)
+    aoa = jnp.where(degen, 0.0, arctan2(jnp.where(degen, 1.0, wb),
+                                        jnp.where(degen, 1.0, ub)))
+    v_xz = safe_sqrt(ub * ub + wb * wb)
+    bdeg = v_xz < 1e-6
+    beta = jnp.where(bdeg, 0.0, arctan2(jnp.where(bdeg, 1.0, vb),
+                                        jnp.where(bdeg, 1.0, v_xz)))
+    cp_val = dynamic_cp(rocket, mach)
+    coeffs = aero_coefficients(
+        rocket, mach, aoa, beta,
+        center_of_mass=mp.center_of_mass, power_on=(frac > 0.0),
+    )
+    q_dyn = 0.5 * atm.density * rel_sq
+    thrust = thrust_at(scene.motor, t_off, atm.pressure)
+
+    # euler from quaternion, component form — identical math to
+    # ops.quaternion.quaternion_to_euler (`utils.py:46-70,139-144`)
+    sinp = 2.0 * (qw * qy - qz * qx)
+    pitch = jnp.where(
+        jnp.abs(sinp) >= 1,
+        jnp.sign(sinp) * (jnp.pi / 2),
+        arcsin(jnp.clip(sinp, -1.0, 1.0)),
+    )
+    return {
+        "mass": mp.mass,
+        "center_of_mass": mp.center_of_mass,
+        "Ixx": mp.Ixx,
+        "Iyy": mp.Iyy,
+        "Izz": mp.Izz,
+        "euler_roll": arctan2(2.0 * (qw * qx + qy * qz),
+                              1.0 - 2.0 * (qx * qx + qy * qy)),
+        "euler_pitch": pitch,
+        "euler_yaw": arctan2(2.0 * (qw * qz + qx * qy),
+                             1.0 - 2.0 * (qy * qy + qz * qz)),
+        "thrust": thrust,
+        "drag": q_dyn * coeffs.cd * rocket.reference_area,
+        "cd": coeffs.cd,
+        "cl": coeffs.cl,
+        "cm": coeffs.cm,
+        "cp_location_dynamic": cp_val,
+        "stability_margin": (cp_val - mp.center_of_mass)
+        / rocket.reference_diameter,
+        "angle_of_attack": aoa,
+        "sideslip_angle": beta,
+        "speed": safe_sqrt(vx * vx + vy * vy + vz * vz),
+        "altitude": pz,
+        "mach": mach,
+    }
+
+
+def _flight_setup(scene, cfg, wind_fn, ics, rail_scan_steps=None):
+    """Shared rail phase + main-loop closures for all three drivers
+    (while-loop summaries, scan trajectory recorder, differentiable scan).
+
+    Returns ``(carry0, aux)`` where ``carry0 = (state tuple, event dict)``
+    and ``aux`` provides ``lane_active``/``main_body``/``t_of`` closures,
+    the rail diagnostics, and a ``summarize(st, ev)`` closure building the
+    flight_components output dict.
+
+    ``rail_scan_steps``: run the rail phase as a fixed-length checkpointed
+    ``lax.scan`` of exactly-masked steps instead of a ``while_loop`` —
+    identical results (the body is masked on ``rail_active``; the reference
+    exits the rail in ~90 steps), but reverse-mode differentiable for
+    ``engine.diff``.
     """
     (px, py, pz, vx, vy, vz, roll, pitch, yaw, ox, oy, oz) = ics
 
@@ -357,7 +439,7 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
         rvy = dy * spd - wvh
         rvz = dz * spd - wwh
         rel_speed_axial = rvx * dx + rvy * dy + rvz * dz
-        mach = jnp.sqrt(rvx * rvx + rvy * rvy + rvz * rvz) / atm.speed_of_sound
+        mach = safe_sqrt(rvx * rvx + rvy * rvy + rvz * rvz) / atm.speed_of_sound
         coeffs = aero_coefficients(
             scene.rocket, mach, 0.0, 0.0,
             center_of_mass=mp.center_of_mass, power_on=True,
@@ -383,9 +465,16 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
 
     rail0 = (px, py, pz, speed0, zero, jnp.zeros_like(speed0, jnp.int32),
              jnp.ones_like(speed0))
-    rpx, rpy, rpz, spd, dist, rstp, frac = jax.lax.while_loop(
-        lambda c: jnp.any(rail_active(c)), rail_body, rail0
-    )
+    if rail_scan_steps is None:
+        rail_out = jax.lax.while_loop(
+            lambda c: jnp.any(rail_active(c)), rail_body, rail0
+        )
+    else:
+        rail_out, _ = jax.lax.scan(
+            jax.checkpoint(lambda c, _: (rail_body(c), None)),
+            rail0, None, length=rail_scan_steps,
+        )
+    rpx, rpy, rpz, spd, dist, rstp, frac = rail_out
     rail_time = rstp.astype(spd.dtype) * dt_r
     vx = dx * spd
     vy = dy * spd
@@ -398,10 +487,13 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
     vb = r[1] * rvx + r[4] * rvy + r[7] * rvz
     wb = r[2] * rvx + r[5] * rvy + r[8] * rvz
     degen = (jnp.abs(ub) < 1e-6) & (jnp.abs(wb) < 1e-6)
-    rail_aoa = jnp.where(degen, 0.0, arctan2(wb, ub))
-    v_xz = jnp.sqrt(ub * ub + wb * wb)
-    rail_slip = jnp.where(v_xz < 1e-6, 0.0, arctan2(vb, v_xz))
-    rail_speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    rail_aoa = jnp.where(degen, 0.0, arctan2(jnp.where(degen, 1.0, wb),
+                                             jnp.where(degen, 1.0, ub)))
+    v_xz = safe_sqrt(ub * ub + wb * wb)
+    sdeg = v_xz < 1e-6
+    rail_slip = jnp.where(sdeg, 0.0, arctan2(jnp.where(sdeg, 1.0, vb),
+                                             jnp.where(sdeg, 1.0, v_xz)))
+    rail_speed = safe_sqrt(vx * vx + vy * vy + vz * vz)
 
     # ---------------- main loop (`simulator.py:208-264`)
     st = (rpx, rpy, rpz, vx, vy, vz, qw, qx, qy, qz, ox, oy, oz, frac)
@@ -483,7 +575,7 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
             t_new = rail_time + step_new.astype(spd.dtype) * cfg.dt
         alt = new_st[2]
         vzn = new_st[5]
-        speed = jnp.sqrt(
+        speed = safe_sqrt(
             new_st[3] ** 2 + new_st[4] ** 2 + new_st[5] ** 2
         )
 
@@ -535,6 +627,51 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
         ev_out = {k: sel(new_ev[k], ev[k]) for k in ev}
         return st_out, ev_out
 
+    def summarize(fst, fev):
+        fpx, fpy, fpz, fvx, fvy, fvz = fst[:6]
+        rng = safe_sqrt(fpx * fpx + fpy * fpy)
+        return {
+            "apogee_altitude": fev["max_alt"],
+            "apogee_time": fev["t_max"] - rail_time,
+            "range": rng,
+            "flight_time": fev["end_t"] - rail_time,
+            "final_px": fpx, "final_py": fpy, "final_pz": fpz,
+            "final_vx": fvx, "final_vy": fvy, "final_vz": fvz,
+            "max_speed": fev["max_spd"],
+            "parachute_deployed": fev["para"],
+            "diverged": fev["div"],
+            "n_steps": fev["step"],
+            "rail_exit_time": rail_time,
+            "rail_exit_speed": rail_speed,
+            "rail_exit_angle_of_attack": rail_aoa,
+            "rail_exit_sideslip": rail_slip,
+            "rail_px": rpx, "rail_py": rpy, "rail_pz": rpz,
+            "rail_vx": vx, "rail_vy": vy, "rail_vz": vz,
+            "rail_wu": wuh, "rail_wv": wvh, "rail_ww": wwh,
+            "quat_w": qw, "quat_x": qx, "quat_y": qy, "quat_z": qz,
+        }
+
+    aux = dict(
+        lane_active=lane_active, main_body=main_body, t_of=t_of,
+        rail_time=rail_time, summarize=summarize,
+    )
+    return (st, ev), aux
+
+
+def flight_components(scene, cfg, wind_fn, ics) -> dict:
+    """Full flight (rail + RK4 main loop + events) on flat components.
+
+    ``ics``: 12 arrays (px, py, pz, vx, vy, vz, roll, pitch, yaw, ox, oy,
+    oz), each [...]-shaped. Returns a dict of same-shaped arrays: the Monte
+    Carlo summary metrics, rail diagnostics, and the final position/velocity
+    (int32 for flags/counters). NOTE: ``quat_w..quat_z`` are the RAIL-EXIT
+    attitude (== the launch attitude; the rail phase does not rotate), used
+    by ``engine.batch`` for ``rail_exit_euler`` — NOT the landing attitude,
+    which is not a reference summary metric and is not returned.
+    """
+    carry0, aux = _flight_setup(scene, cfg, wind_fn, ics)
+    main_body = aux["main_body"]
+
     def body(c):
         for _ in range(max(1, cfg.unroll)):
             # unroll>1: K exactly-masked sub-steps per iteration — identical
@@ -545,28 +682,70 @@ def flight_components(scene, cfg, wind_fn, ics) -> dict:
         return c
 
     st, ev = jax.lax.while_loop(
-        lambda c: jnp.any(lane_active(c)), body, (st, ev)
+        lambda c: jnp.any(aux["lane_active"](c)), body, carry0
     )
+    return aux["summarize"](st, ev)
 
-    fpx, fpy, fpz, fvx, fvy, fvz = st[:6]
-    rng = jnp.sqrt(fpx * fpx + fpy * fpy)
-    return {
-        "apogee_altitude": ev["max_alt"],
-        "apogee_time": ev["t_max"] - rail_time,
-        "range": rng,
-        "flight_time": ev["end_t"] - rail_time,
-        "final_px": fpx, "final_py": fpy, "final_pz": fpz,
-        "final_vx": fvx, "final_vy": fvy, "final_vz": fvz,
-        "max_speed": ev["max_spd"],
-        "parachute_deployed": ev["para"],
-        "diverged": ev["div"],
-        "n_steps": ev["step"],
-        "rail_exit_time": rail_time,
-        "rail_exit_speed": rail_speed,
-        "rail_exit_angle_of_attack": rail_aoa,
-        "rail_exit_sideslip": rail_slip,
-        "rail_px": rpx, "rail_py": rpy, "rail_pz": rpz,
-        "rail_vx": vx, "rail_vy": vy, "rail_vz": vz,
-        "rail_wu": wuh, "rail_wv": wvh, "rail_ww": wwh,
-        "quat_w": qw, "quat_x": qx, "quat_y": qy, "quat_z": qz,
-    }
+
+def flight_components_trajectory(scene, cfg, wind_fn, ics):
+    """Full flight with strided trajectory recording on the SAME core that
+    runs Monte Carlo summaries — including the tiered-dt flags
+    (``descent_dt_scale``/``ascent_q_threshold``), so exported histories
+    integrate exactly the physics the summary run measured (the reference's
+    one-engine-records-while-it-integrates behavior,
+    `simulator.py:208-293,462-584`).
+
+    Returns ``(summary_dict, records)``: ``summary_dict`` is identical to
+    ``flight_components`` output evaluated on the same masked steps (the
+    scan applies the same exactly-masked ``main_body``; extra post-
+    termination iterations are no-ops), and ``records`` is a dict of
+    time-major ``[T, ...]`` flat component arrays (T = ceil(max_steps /
+    record_stride) + 1; index 0 is the rail-exit state) with a ``valid``
+    mask. Flat [T, B] layout on purpose: a stacked [T, B, 3] scan output
+    would pad minor-dim 3 to the 128-wide lane tile (~42x bytes);
+    ``engine.batch.simulate_flight_batch`` restacks once, outside the loop.
+    """
+    carry0, aux = _flight_setup(scene, cfg, wind_fn, ics)
+    lane_active = aux["lane_active"]
+    main_body = aux["main_body"]
+    t_of = aux["t_of"]
+    rail_time = aux["rail_time"]
+    stride = max(1, cfg.record_stride)
+
+    def record(c):
+        st, ev = c
+        t_off = t_of(ev) - rail_time
+        out = {
+            "time": t_off,
+            "px": st[0], "py": st[1], "pz": st[2],
+            "vx": st[3], "vy": st[4], "vz": st[5],
+            "qw": st[6], "qx": st[7], "qy": st[8], "qz": st[9],
+            "ox": st[10], "oy": st[11], "oz": st[12],
+            "frac": st[13],
+        }
+        if cfg.record_derived:
+            out["derived"] = derived_c(scene, cfg, wind_fn, t_off, st)
+        return out
+
+    def step_fn(c, _):
+        ran = lane_active(c)  # True iff the first sub-step advances
+        c = main_body(c)
+        if stride > 1:
+            c = jax.lax.fori_loop(
+                0, stride - 1, lambda _, cc: main_body(cc), c
+            )
+        rec = record(c)
+        rec["valid"] = ran
+        return c, rec
+
+    n_records = -(-cfg.max_steps // stride)
+    carry, recs = jax.lax.scan(step_fn, carry0, None, length=n_records)
+
+    rec0 = record(carry0)
+    rec0["valid"] = jnp.ones_like(lane_active(carry0))
+    full = jax.tree.map(
+        lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
+        rec0, recs,
+    )
+    st, ev = carry
+    return aux["summarize"](st, ev), full

@@ -23,7 +23,7 @@ import contextlib
 import jax.numpy as jnp
 
 __all__ = ["arctan", "arctan2", "arcsin", "pallas_math", "bcast_where",
-           "powf", "safe_norm"]
+           "powf", "safe_norm", "safe_sqrt"]
 
 
 def safe_norm(v, axis=-1, keepdims=False):
@@ -38,6 +38,18 @@ def safe_norm(v, axis=-1, keepdims=False):
     sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
     ok = sq > 0.0
     return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+
+
+def safe_sqrt(x):
+    """sqrt with a NaN-free gradient at exactly zero.
+
+    The component-form twin of ``safe_norm`` for already-summed squares:
+    primal is bit-identical to ``jnp.sqrt`` (0 at 0), but the zero-point
+    subgradient is 0 instead of inf — reverse-mode through the
+    zero-relative-velocity rail start (``engine.diff`` drives the component
+    core) stays finite on the additive wind/attitude channels."""
+    ok = x > 0.0
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
 
 
 def powf(x, y):
