@@ -27,11 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine.config import SimConfig
-from ..engine.simulate import simulate_flight, simulate_summary
 from ..engine.state import InitialConditions
 from ..models.scene import Scene, nominal_scene
 from ..utils.logging import get_logger
-from .dispersions import UncertaintyParams, sample_dispersions, scene_in_axes
+from .dispersions import UncertaintyParams, sample_dispersions
 from .filter import OutlierBounds, decode_reasons, outlier_mask
 from .stats import PERCENTILES, masked_stats
 
@@ -122,6 +121,13 @@ class MonteCarloAnalyzer:
         max_lanes_per_call: int = 262_144,
         sampler: str = "prng",
         sobol_scrambles: int = 1,
+        sobol_wind_modes: int = 0,
+        antithetic: bool = False,
+        persistent_cache: bool = True,
+        stats_stream_threshold: int = 4_194_304,
+        metrics_sample_cap: int = 1_048_576,
+        wind_grid_points: int = 100,
+        wind_grid_top: float = 25000.0,
     ):
         if scene is None:
             if motor is None:
@@ -133,11 +139,14 @@ class MonteCarloAnalyzer:
                 scene = scene.replace(atmosphere=atmosphere)
             if wind_model is not None:
                 scene = scene.replace(wind_model=wind_model)
-        from ..utils.cache import enable_persistent_cache
+        if persistent_cache:
+            # Cold XLA compiles of the hot loop are minutes on the tunneled
+            # TPU; entry points share the repo-local persistent cache. A
+            # config knob (default on) because a library constructor mutating
+            # global compiler state is surprising; pass False to opt out.
+            from ..utils.cache import enable_persistent_cache
 
-        # Cold XLA compiles of the hot loop are minutes on the tunneled TPU;
-        # every entry point shares the repo-local persistent cache.
-        enable_persistent_cache()
+            enable_persistent_cache()
         self.scene = scene
         self.uncertainty_params = uncertainty_params
         self.sim_config = sim_config
@@ -153,6 +162,24 @@ class MonteCarloAnalyzer:
         # ``qmc_error`` stderr in the analysis (a single scramble's
         # std/sqrt(n) is not a valid QMC error estimate).
         self.sobol_scrambles = sobol_scrambles
+        # Turbulence QMC depth: with sampler="sobol", also stratify the top
+        # K principal components of each lane's AR(1) wind turbulence (see
+        # mc.sample_dispersions sobol_wind_modes). 0 = scalar channels only.
+        self.sobol_wind_modes = sobol_wind_modes
+        # Antithetic pairing (mc.sample_dispersions): the second half of
+        # each draw mirrors the first; variance of batch means drops when
+        # metric response is near-linear in the scalar channels.
+        self.antithetic = antithetic
+        # Streaming-statistics mode engages above this many lanes (see
+        # _run_slabbed); below it the slab loop keeps exact host arrays.
+        self.stats_stream_threshold = stats_stream_threshold
+        self.metrics_sample_cap = metrics_sample_cap
+        # Synthesized per-lane wind profile grid (reference: 100 points,
+        # 0-25 km, `monte_carlo.py:282-288`). Coarser grids cut the dominant
+        # HBM traffic (the [3,N,B] table read) and sampling cost for runs
+        # that don't need 250 m wind resolution.
+        self.wind_grid_points = wind_grid_points
+        self.wind_grid_top = wind_grid_top
         # Auto-slab threshold: a single device call tops out between 512k
         # and 1M lanes on one v5e chip (HBM headroom for the per-lane wind
         # tables + RK4 stage intermediates); beyond this the lane axis is
@@ -170,24 +197,6 @@ class MonteCarloAnalyzer:
         # SAME first-N lanes three times in a row; each re-simulation is a
         # full trajectory-recording run (minutes on the tunneled TPU).
         self._resim_memo = None
-        # jit(vmap(simulate_flight)) executables keyed by the in_axes tree:
-        # jax.vmap returns a FRESH function object per call, so re-wrapping
-        # in jax.jit on every resimulate call (and once per slab) always
-        # missed the jit cache and re-compiled the trajectory-recording
-        # flight (minutes cold on the tunneled TPU).
-        self._flight_runners = {}
-
-    def _get_flight_runner(self, axes):
-        leaves, treedef = jax.tree_util.tree_flatten(axes)
-        k = (treedef, tuple(leaves))
-        runner = self._flight_runners.get(k)
-        if runner is None:
-            runner = jax.jit(
-                jax.vmap(simulate_flight, in_axes=(axes, 0, None)),
-                static_argnums=2,
-            )
-            self._flight_runners[k] = runner
-        return runner
 
     # ------------------------------------------------------------------ run
     def run_monte_carlo(
@@ -241,8 +250,11 @@ class MonteCarloAnalyzer:
             key, self.scene, ic, self.uncertainty_params, n_samples,
             base_wind=base_wind, sampler=self.sampler,
             sobol_scrambles=self.sobol_scrambles,
+            sobol_wind_modes=self.sobol_wind_modes,
+            antithetic=self.antithetic,
+            wind_grid_points=self.wind_grid_points,
+            wind_grid_top=self.wind_grid_top,
         )
-        axes = scene_in_axes(self.scene, scene_b)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -287,7 +299,7 @@ class MonteCarloAnalyzer:
         stats_py = {k: _stats_to_py(v) for k, v in stats.items()}
         elapsed = time.time() - t_start
 
-        self._last_batch = (scene_b, ic_b, axes)
+        self._last_batch = (scene_b, ic_b)
         self._resim_memo = None
 
         n_valid = int(valid_np.sum())
@@ -376,6 +388,16 @@ class MonteCarloAnalyzer:
         percentile rule, population std). Replaces the reference's chunked
         "optimized" mode (`monte_carlo.py:92-154`) at scales its process
         pool could never reach.
+
+        Beyond ``stats_stream_threshold`` lanes, per-lane accumulation
+        switches to STREAMING mode with O(slab) host memory: moments and
+        min/max accumulate exactly, percentiles come from a mergeable
+        quantile sketch (``mc.stats.StreamingStats``; error <0.1% of sigma,
+        pinned by test), and ``metrics``/``valid_mask``/``reasons`` hold
+        only the first ``metrics_sample_cap`` lanes — an unbiased i.i.d.
+        sample (lanes are keyed independently), flagged by
+        ``analysis["metrics_is_sample"]``. A 100M-lane run no longer
+        concatenates 4x100M host arrays and sorts them.
         """
         t_start = time.time()
         key = jax.random.PRNGKey(seed)
@@ -383,6 +405,15 @@ class MonteCarloAnalyzer:
         # Python dicts; slabbed runs default to the first 1000 of each kind.
         limit = 1000 if materialize_results is None else materialize_results
 
+        from .stats import StreamingStats
+
+        streaming = n_samples > self.stats_stream_threshold
+        cap = self.metrics_sample_cap if streaming else n_samples
+        stream = (
+            {k: StreamingStats(exact_threshold=self.stats_stream_threshold)
+             for k in ("apogee_altitude", "range", "flight_time")}
+            if streaming else None
+        )
         metrics = {k: [] for k in
                    ("apogee_altitude", "range", "flight_time", "max_speed")}
         qmc_blocks = {k: [] for k in
@@ -391,6 +422,8 @@ class MonteCarloAnalyzer:
         records, outlier_records = [], []
         pranges = None
         n_done = 0
+        n_valid_total = 0
+        kept = 0
         slab_idx = 0
         n_slabs = -(-n_samples // slab)
         while n_done < n_samples:
@@ -404,6 +437,10 @@ class MonteCarloAnalyzer:
                 self.uncertainty_params, slab, base_wind=base_wind,
                 sampler=self.sampler,
                 sobol_scrambles=self.sobol_scrambles,
+                sobol_wind_modes=self.sobol_wind_modes,
+                antithetic=self.antithetic,
+                wind_grid_points=self.wind_grid_points,
+                wind_grid_top=self.wind_grid_top,
             )
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -444,15 +481,25 @@ class MonteCarloAnalyzer:
             # Host readback: metrics only (device->host is the slow path).
             valid_np = np.asarray(valid)[:n_s]
             reasons_np = np.asarray(reasons)[:n_s]
-            for k in metrics:
-                metrics[k].append(np.asarray(getattr(summary, k))[:n_s])
-            valid_parts.append(valid_np)
-            reason_parts.append(reasons_np)
+            n_valid_total += int(valid_np.sum())
+            slab_metrics = {
+                k: np.asarray(getattr(summary, k))[:n_s] for k in metrics
+            }
+            if streaming:
+                for k in stream:
+                    stream[k].add(slab_metrics[k][valid_np])
+            take = min(n_s, cap - kept)  # == n_s when not streaming
+            if take > 0:
+                for k in metrics:
+                    metrics[k].append(slab_metrics[k][:take])
+                valid_parts.append(valid_np[:take])
+                reason_parts.append(reasons_np[:take])
+                kept += take
             if self.sampler == "sobol":
                 # Each slab draws from its own fold of the run key — its own
                 # scramble — so slab means are independent RQMC replicates.
                 for kname in qmc_blocks:
-                    arr = metrics[kname][-1]
+                    arr = slab_metrics[kname]
                     qmc_blocks[kname].append(
                         float(arr[valid_np].mean()) if valid_np.any()
                         else float("nan")
@@ -500,19 +547,31 @@ class MonteCarloAnalyzer:
             "n_samples": n_samples, "base_wind": base_wind, "ic": ic,
         }
 
-        n_valid = int(valid_np.sum())
+        n_valid = n_valid_total
+        if streaming:
+            stats_blocks = {k: s.stats() for k, s in stream.items()}
+        else:
+            stats_blocks = {
+                k: _host_stats(metrics[k], valid_np)
+                for k in ("apogee_altitude", "range", "flight_time")
+            }
         analysis = {
             "n_samples": n_valid,
             "n_failed": 0,
             "n_outliers": n_samples - n_valid,
-            "apogee_altitude": _host_stats(metrics["apogee_altitude"], valid_np),
-            "range": _host_stats(metrics["range"], valid_np),
-            "flight_time": _host_stats(metrics["flight_time"], valid_np),
+            "apogee_altitude": stats_blocks["apogee_altitude"],
+            "range": stats_blocks["range"],
+            "flight_time": stats_blocks["flight_time"],
             "parameter_ranges_observed": pranges or {},
             # Slabbed runs keep per-lane headline metrics, not the full
             # FlightSummary SoA (bounded host memory + tunnel traffic).
             "summary": None,
             "metrics": metrics,
+            # Streaming runs cap the per-lane arrays at metrics_sample_cap
+            # lanes (an i.i.d. sample — each lane is independently keyed);
+            # stats above come from exact moments + the quantile sketch.
+            "metrics_is_sample": streaming,
+            "n_total": n_samples,
             "sample": None,
             "valid_mask": valid_np,
             "reasons": reasons_np,
@@ -593,32 +652,37 @@ class MonteCarloAnalyzer:
                     self.scene, info["ic"], self.uncertainty_params, slab,
                     base_wind=info["base_wind"], sampler=self.sampler,
                     sobol_scrambles=self.sobol_scrambles,
+                    sobol_wind_modes=self.sobol_wind_modes,
+                    antithetic=self.antithetic,
+                    wind_grid_points=self.wind_grid_points,
+                    wind_grid_top=self.wind_grid_top,
                 )
                 for g in ids[ids // slab == slab_idx]:
                     out[int(g)] = select_lane(
                         scene_b, self.scene, int(g % slab)
                     )
             return [out[int(g)] for g in ids]
-        scene_b, _, _ = self._last_batch
+        scene_b, _ = self._last_batch
         return [select_lane(scene_b, self.scene, int(i)) for i in lane_ids]
 
 
     def resimulate_trajectories(self, lane_ids, sim_config: Optional[SimConfig] = None):
-        """Re-run selected lanes with full trajectory recording.
+        """Re-run selected lanes with full trajectory recording, under the
+        SAME SimConfig the Monte Carlo ran (tiered-dt flags included).
 
         Determinism-by-key makes any lane exactly re-creatable
         (the TPU-native version of the reference's persist-every-trajectory
         strategy, `monte_carlo.py:510-517`): the Monte Carlo pass stores only
         summaries, and plotting/export re-simulates the handful of lanes it
-        needs. Returns ``(summary, trajectory)`` batched over ``lane_ids``.
-
-        Tiered-timestep configs (``descent_dt_scale``/``ascent_q_threshold``)
-        are downgraded to parity dt here: trajectory recording runs on the
-        stacked-vector path, which only implements parity stepping. The
-        re-simulated summaries then differ from tiered MC metrics by the
-        tiered-dt accuracy bound (sub-meter; pinned in tests/test_descent.py)
-        rather than matching to float noise.
+        needs. Recording runs on the component core
+        (``engine.batch.simulate_flight_batch``) — the exact engine the MC
+        measured — so re-simulated summaries reproduce the MC metrics to
+        float noise, mirroring the reference's one engine that records while
+        it integrates (`simulator.py:208-293`). Returns
+        ``(summary, trajectory)`` batched over ``lane_ids``.
         """
+        from ..engine.batch import simulate_flight_batch
+
         if self._last_batch is None:
             raise RuntimeError("run_monte_carlo first")
         memo_key = (tuple(int(i) for i in lane_ids),
@@ -629,7 +693,7 @@ class MonteCarloAnalyzer:
             out = self._resimulate_slabbed(lane_ids, sim_config)
             self._resim_memo = (memo_key, out)
             return out
-        scene_b, ic_b, axes = self._last_batch
+        scene_b, ic_b = self._last_batch
         ids = jnp.asarray(lane_ids)
 
         # Slice batched leaves (those that gained an axis vs the base scene);
@@ -642,36 +706,22 @@ class MonteCarloAnalyzer:
         ]
         scene_sel = jax.tree.unflatten(jax.tree.structure(scene_b), sel_leaves)
         ic_sel = jax.tree.map(lambda x: jnp.take(x, ids, axis=0), ic_b)
-        cfg = self._parity_cfg(sim_config or self.sim_config)
-        run = self._get_flight_runner(axes)
-        out = run(scene_sel, ic_sel, cfg)
+        out = simulate_flight_batch(
+            scene_sel, ic_sel, sim_config or self.sim_config
+        )
         self._resim_memo = (memo_key, out)
         return out
-
-    @staticmethod
-    def _parity_cfg(cfg: SimConfig) -> SimConfig:
-        """Downgrade tiered-dt flags for the trajectory-recording path (which
-        implements parity stepping only; see resimulate_trajectories)."""
-        if cfg.descent_dt_scale != 1 or cfg.ascent_q_threshold != 0.0:
-            import dataclasses
-
-            log.info(
-                "resimulating trajectories at parity dt (tiered-dt flags "
-                "apply to the summary path only)"
-            )
-            return dataclasses.replace(
-                cfg, descent_dt_scale=1, ascent_q_threshold=0.0
-            )
-        return cfg
 
     def _resimulate_slabbed(self, lane_ids, sim_config: Optional[SimConfig] = None):
         """Re-create selected lanes of a slabbed run by key (determinism: a
         slab's dispersions depend only on ``fold_in(key, slab_idx)``), then
         re-simulate just those lanes with trajectory recording. Returns
         ``(summary, trajectory)`` batched in ``lane_ids`` order."""
+        from ..engine.batch import simulate_flight_batch
+
         info = self._last_batch
         ids = np.asarray(lane_ids, dtype=np.int64)
-        cfg = self._parity_cfg(sim_config or self.sim_config)
+        cfg = sim_config or self.sim_config
         slab = info["slab"]
         ic = info["ic"]
 
@@ -685,8 +735,11 @@ class MonteCarloAnalyzer:
                 ic, self.uncertainty_params, slab,
                 base_wind=info["base_wind"], sampler=self.sampler,
                 sobol_scrambles=self.sobol_scrambles,
+                sobol_wind_modes=self.sobol_wind_modes,
+                antithetic=self.antithetic,
+                wind_grid_points=self.wind_grid_points,
+                wind_grid_top=self.wind_grid_top,
             )
-            axes = scene_in_axes(self.scene, scene_b)
             locals_ = np.asarray(
                 sorted(set((ids[ids // slab == slab_idx] % slab).tolist()))
             )
@@ -699,8 +752,7 @@ class MonteCarloAnalyzer:
             ]
             scene_sel = jax.tree.unflatten(jax.tree.structure(scene_b), sel_leaves)
             ic_sel = jax.tree.map(lambda x: jnp.take(x, sel, axis=0), ic_b)
-            run = self._get_flight_runner(axes)
-            out = run(scene_sel, ic_sel, cfg)
+            out = simulate_flight_batch(scene_sel, ic_sel, cfg)
             for j, loc in enumerate(locals_):
                 parts[int(slab_idx) * slab + int(loc)] = jax.tree.map(
                     lambda x: x[j], out

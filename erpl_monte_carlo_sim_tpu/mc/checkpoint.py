@@ -49,9 +49,13 @@ def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
     arrays["valid_mask"] = np.asarray(analysis["valid_mask"])
     arrays["reasons"] = np.asarray(analysis["reasons"])
     meta = {
-        "n_samples": int(analysis["valid_mask"].shape[0]),
+        # Streaming slabbed runs cap the per-lane arrays at the sample cap;
+        # n_total (when present) records the true run size.
+        "n_samples": int(analysis.get("n_total",
+                                      analysis["valid_mask"].shape[0])),
         "n_valid": int(analysis["n_samples"]),
         "n_outliers": int(analysis["n_outliers"]),
+        "metrics_is_sample": bool(analysis.get("metrics_is_sample", False)),
         "seed": seed,
         "slabbed": slabbed,
         "stats": {

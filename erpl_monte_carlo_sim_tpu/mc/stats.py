@@ -62,3 +62,140 @@ def masked_stats(values: jnp.ndarray, mask: jnp.ndarray) -> dict:
         "percentiles": jnp.where(empty, nan, pct),
         "n": n_valid,
     }
+
+
+# --------------------------------------------------------------------------
+# Streaming (slab-mergeable) statistics for beyond-10M-lane runs
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+__all__ += ["StreamingStats"]
+
+
+def _compress_centroids(vals: np.ndarray, weights: np.ndarray, k: int):
+    """Compress weighted points to <=k equal-mass centroids.
+
+    Points are bucketed by the midpoint of their cumulative mass (so the
+    assignment is monotone in value order and bucket means stay sorted);
+    each bucket collapses to its weighted mean. Quantile error after
+    interpolation is ~(1/2k) of total mass, i.e. the local density sets the
+    value error — pinned <0.1% of sigma by tests/test_slabbed.py.
+    """
+    order = np.argsort(vals, kind="stable")
+    v = vals[order]
+    w = weights[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    bucket = np.minimum(
+        ((cw - 0.5 * w) / total * k).astype(np.int64), k - 1
+    )
+    wsum = np.bincount(bucket, weights=w, minlength=k)
+    vsum = np.bincount(bucket, weights=w * v, minlength=k)
+    keep = wsum > 0
+    return vsum[keep] / wsum[keep], wsum[keep]
+
+
+class StreamingStats:
+    """Single-pass, slab-mergeable statistics over one scalar metric.
+
+    The O(slab)-memory replacement for concatenating every slab's metrics
+    and sorting once at the end (the behavior the reference's in-driver
+    loops imply at scale, `monte_carlo.py:400-473`): moments/min/max
+    accumulate EXACTLY (f64 Welford merge); percentiles come from an
+    equal-mass centroid sketch (t-digest-style merge: each batch is
+    compressed to ``max_centroids`` weighted centroids, centroids buffer up
+    and recompress at 8x, so memory is O(max_centroids) regardless of n).
+
+    Exactness fallback: until ``exact_threshold`` total values have been
+    added, raw values are retained and percentiles are computed with
+    ``np.percentile`` — byte-identical to the non-streaming path for every
+    run small enough to afford it.
+    """
+
+    def __init__(self, max_centroids: int = 8192,
+                 exact_threshold: int = 4_194_304):
+        self.max_centroids = max_centroids
+        self.exact_threshold = exact_threshold
+        self._exact_parts: list | None = []
+        self._cent_v = np.empty(0)
+        self._cent_w = np.empty(0)
+        # exact moments (Chan/Welford parallel merge)
+        self.n = 0
+        self._mean = 0.0
+        self._m2 = 0.0
+        self._min = np.inf
+        self._max = -np.inf
+
+    def add(self, values: np.ndarray) -> None:
+        """Fold in one batch (non-finite values are dropped)."""
+        v = np.asarray(values, np.float64).ravel()
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return
+        # moments
+        nb = v.size
+        mb = float(v.mean())
+        m2b = float(((v - mb) ** 2).sum())
+        if self.n == 0:
+            self.n, self._mean, self._m2 = nb, mb, m2b
+        else:
+            delta = mb - self._mean
+            tot = self.n + nb
+            self._mean += delta * nb / tot
+            self._m2 += m2b + delta * delta * self.n * nb / tot
+            self.n = tot
+        self._min = min(self._min, float(v.min()))
+        self._max = max(self._max, float(v.max()))
+        # quantiles
+        if self._exact_parts is not None:
+            self._exact_parts.append(v)
+            if self.n > self.exact_threshold:
+                for part in self._exact_parts:
+                    self._add_sketch(part, np.ones_like(part))
+                self._exact_parts = None
+            return
+        self._add_sketch(v, np.ones_like(v))
+
+    def _add_sketch(self, vals, weights):
+        cv, cw = _compress_centroids(vals, weights, self.max_centroids)
+        self._cent_v = np.concatenate([self._cent_v, cv])
+        self._cent_w = np.concatenate([self._cent_w, cw])
+        if self._cent_v.size > 8 * self.max_centroids:
+            self._cent_v, self._cent_w = _compress_centroids(
+                self._cent_v, self._cent_w, self.max_centroids
+            )
+
+    @property
+    def is_exact(self) -> bool:
+        return self._exact_parts is not None
+
+    def percentiles(self, qs=PERCENTILES) -> list:
+        if self.n == 0:
+            return [float("nan")] * len(qs)
+        if self._exact_parts is not None:
+            vals = np.concatenate(self._exact_parts)
+            return [float(x) for x in np.percentile(vals, list(qs))]
+        order = np.argsort(self._cent_v, kind="stable")
+        cv = self._cent_v[order]
+        cw = self._cent_w[order]
+        cum = np.cumsum(cw)
+        mid = cum - 0.5 * cw  # mass midpoint of each centroid
+        # np.percentile's linear rule targets rank q/100*(n-1); a unit-weight
+        # point at rank r has mass midpoint r + 0.5
+        targets = np.asarray(qs, np.float64) / 100.0 * (self.n - 1) + 0.5
+        return [float(x) for x in np.interp(targets, mid, cv)]
+
+    def stats(self) -> dict:
+        """The analysis-dict stats block (same schema as ``_host_stats``)."""
+        if self.n == 0:
+            nan = float("nan")
+            return {"mean": nan, "std": nan, "min": nan, "max": nan,
+                    "percentiles": [nan] * len(PERCENTILES)}
+        return {
+            "mean": self._mean,
+            "std": float(np.sqrt(self._m2 / self.n)),  # population std
+            "min": self._min,
+            "max": self._max,
+            "percentiles": self.percentiles(),
+        }

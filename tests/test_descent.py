@@ -139,10 +139,12 @@ def test_tiered_dt_low_apogee_guard():
         assert int(t.n_steps[0]) < int(p.n_steps[0]) / 3
 
 
-def test_resimulate_downgrades_tiered_cfg():
-    """Trajectory re-simulation (stacked path, parity-only) must work for an
-    analyzer configured with the tiered flags — by downgrading to parity dt,
-    not by raising or silently mis-integrating."""
+def test_resimulate_runs_tiered_cfg_exactly():
+    """Trajectory re-simulation runs the SAME SimConfig the MC ran (tiered
+    flags included, on the component recorder) — re-simulated summaries
+    reproduce the MC metrics to float noise, not to a tiered-vs-parity
+    accuracy bound. This is the reference's one-engine guarantee
+    (`simulator.py:208-293`: it records while it integrates)."""
     from erpl_monte_carlo_sim_tpu.mc.analyzer import MonteCarloAnalyzer
 
     an = MonteCarloAnalyzer(
@@ -153,15 +155,15 @@ def test_resimulate_downgrades_tiered_cfg():
     a = an.run_monte_carlo(InitialConditions.vertical_launch(), n_samples=4)
     summary, traj = an.resimulate_trajectories([0, 1])
     assert np.asarray(traj.position).shape[0] == 2
-    # parity re-simulation matches the tiered MC summary. At a max_time
-    # CUTOFF the tiered path's accumulated-f32 time carry can terminate a
-    # lane +-2 steps from the parity step-counter derivation (~1.25 m of
-    # ascent per step here); full flights land on events, not cutoffs, so
-    # this quantization is a cutoff-window artifact only.
-    np.testing.assert_allclose(
-        np.asarray(summary.apogee_altitude),
-        np.asarray(a["summary"].apogee_altitude)[:2], atol=5.0,
-    )
+    for name in ("apogee_altitude", "range", "flight_time", "max_speed"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(summary, name)),
+            np.asarray(getattr(a["summary"], name))[:2], rtol=1e-12,
+            err_msg=name,
+        )
+    # (tiered-step heterogeneity in the recorded trajectory is pinned on a
+    # full flight in tests/test_trajectory_batch.py — this 8 s window ends
+    # before any lane reaches a quiet phase)
 
 
 def test_parity_path_unchanged_by_flag_default():

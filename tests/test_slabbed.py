@@ -96,6 +96,7 @@ def test_slabbed_resimulate_matches_metrics(slabbed_analysis):
     assert traj.position.shape[0] == 3
 
 
+@pytest.mark.slow
 def test_slabbed_1m_lanes_cpu():
     # The verdict's scale check: a 1M-lane analyzer run must just work.
     # Tiny flight window (rail + a handful of RK4 steps) keeps CPU time sane.

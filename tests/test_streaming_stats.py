@@ -1,0 +1,161 @@
+"""Streaming (O(slab)-memory) statistics: mc.stats.StreamingStats and the
+analyzer's streaming slab mode.
+
+Round-3 scale work: beyond ``stats_stream_threshold`` lanes the slab loop
+stops concatenating 4xN host arrays and sorting them
+(the behavior the reference's in-driver stats imply at scale,
+`/root/reference/rocket_simulation/monte_carlo.py:400-473`); moments
+accumulate exactly, percentiles come from a mergeable equal-mass centroid
+sketch. These tests pin the sketch's error bound (<0.1% of sigma), the
+exactness fallback, and the analyzer-level equivalence between streaming
+and exact accumulation over the SAME lanes.
+"""
+
+import numpy as np
+import pytest
+
+from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer
+from erpl_monte_carlo_sim_tpu.mc.stats import StreamingStats
+from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+
+def test_sketch_error_below_tenth_percent_of_sigma():
+    rng = np.random.default_rng(0)
+    for dist in ("normal", "lognormal", "bimodal"):
+        if dist == "normal":
+            data = rng.normal(100.0, 7.0, size=2_000_000)
+        elif dist == "lognormal":
+            data = rng.lognormal(3.0, 0.4, size=2_000_000)
+        else:
+            data = np.concatenate([
+                rng.normal(0.0, 1.0, size=1_000_000),
+                rng.normal(8.0, 0.5, size=1_000_000),
+            ])
+        s = StreamingStats(exact_threshold=1000)
+        for chunk in np.array_split(data, 17):
+            s.add(chunk)
+        out = s.stats()
+        est = np.asarray(out["percentiles"])
+        # rank-space error (the well-posed sketch criterion: a quantile in a
+        # zero-density region — e.g. the bimodal median's gap — is only
+        # defined up to that gap's width in VALUE space, but its mass is
+        # pinned): the empirical CDF at the estimate must sit within 0.1%
+        # of the target mass
+        data_sorted = np.sort(data)
+        ranks = np.searchsorted(data_sorted, est) / data.size
+        rank_err = np.abs(ranks - np.array([.05, .25, .50, .75, .95]))
+        assert rank_err.max() < 1e-3, (dist, rank_err)
+        if dist != "bimodal":  # well-conditioned: also pin value error
+            exact = np.percentile(data, [5, 25, 50, 75, 95])
+            err = np.abs(est - exact) / data.std()
+            assert err.max() < 1e-3, (dist, err)
+        np.testing.assert_allclose(out["mean"], data.mean(), rtol=1e-12)
+        np.testing.assert_allclose(out["std"], data.std(), rtol=1e-9)
+        assert out["min"] == data.min() and out["max"] == data.max()
+
+
+def test_exact_fallback_is_bit_identical():
+    rng = np.random.default_rng(1)
+    data = rng.normal(0.0, 1.0, size=50_000)
+    s = StreamingStats(exact_threshold=1_000_000)
+    for chunk in np.array_split(data, 7):
+        s.add(chunk)
+    assert s.is_exact
+    out = s.stats()
+    np.testing.assert_array_equal(
+        out["percentiles"], np.percentile(data, [5, 25, 50, 75, 95])
+    )
+
+
+def test_nonfinite_dropped_and_empty():
+    s = StreamingStats()
+    s.add(np.array([np.nan, np.inf, -np.inf]))
+    assert s.n == 0
+    assert np.isnan(s.stats()["mean"])
+    s.add(np.array([1.0, np.nan, 3.0]))
+    assert s.n == 2
+    np.testing.assert_allclose(s.stats()["mean"], 2.0)
+
+
+CFG = SimConfig(max_time=3.0)
+
+
+def test_analyzer_streaming_matches_exact_same_lanes():
+    """Force streaming at small scale: identical lanes (same seed/slab), so
+    exact moments must agree to float noise and sketch percentiles within
+    the pinned bound. Also pins the capped-sample schema."""
+    ic = InitialConditions.vertical_launch()
+    exact = MonteCarloAnalyzer(
+        scene=nominal_scene(liquid_motor()), sim_config=CFG,
+    ).run_monte_carlo(ic, n_samples=1000, lane_slab=384, seed=5)
+    streamed = MonteCarloAnalyzer(
+        scene=nominal_scene(liquid_motor()), sim_config=CFG,
+        stats_stream_threshold=500, metrics_sample_cap=600,
+    ).run_monte_carlo(ic, n_samples=1000, lane_slab=384, seed=5)
+
+    assert not exact.get("metrics_is_sample")
+    assert streamed["metrics_is_sample"]
+    assert streamed["n_total"] == 1000
+    assert len(streamed["metrics"]["apogee_altitude"]) == 600
+    assert len(streamed["valid_mask"]) == 600
+    np.testing.assert_array_equal(
+        streamed["metrics"]["apogee_altitude"],
+        exact["metrics"]["apogee_altitude"][:600],
+    )
+    assert streamed["n_samples"] == exact["n_samples"]
+    assert streamed["n_outliers"] == exact["n_outliers"]
+    for k in ("apogee_altitude", "range", "flight_time"):
+        np.testing.assert_allclose(
+            streamed[k]["mean"], exact[k]["mean"], rtol=1e-12, err_msg=k
+        )
+        np.testing.assert_allclose(
+            streamed[k]["std"], exact[k]["std"], rtol=1e-9, err_msg=k
+        )
+        assert streamed[k]["min"] == exact[k]["min"]
+        assert streamed[k]["max"] == exact[k]["max"]
+        sigma = max(exact[k]["std"], 1e-12)
+        err = (np.abs(np.asarray(streamed[k]["percentiles"])
+                      - np.asarray(exact[k]["percentiles"])) / sigma)
+        assert err.max() < 1e-3, (k, err)
+
+
+def test_streaming_checkpoint_records_true_n(tmp_path):
+    from erpl_monte_carlo_sim_tpu.mc.checkpoint import (
+        load_summaries,
+        save_summaries,
+    )
+
+    ic = InitialConditions.vertical_launch()
+    a = MonteCarloAnalyzer(
+        scene=nominal_scene(liquid_motor()), sim_config=CFG,
+        stats_stream_threshold=500, metrics_sample_cap=600,
+    ).run_monte_carlo(ic, n_samples=1000, lane_slab=384, seed=5)
+    path = str(tmp_path / "stream.npz")
+    save_summaries(path, a, seed=5)
+    back = load_summaries(path)
+    assert back["meta"]["n_samples"] == 1000
+    assert back["meta"]["metrics_is_sample"]
+    assert len(back["metrics"]["apogee_altitude"]) == 600
+
+
+@pytest.mark.slow
+def test_100m_lane_cpu_smoke():
+    """100M lanes on one host with O(slab) memory: tiny flight window,
+    coarse rail step, 5-knot wind grid. The point is that it RUNS — stats
+    stream, per-lane arrays stay capped, nothing concatenates 100M values."""
+    mc = MonteCarloAnalyzer(
+        scene=nominal_scene(liquid_motor()),
+        sim_config=SimConfig(max_time=0.1, rail_dt=0.1),
+        wind_grid_points=5,
+        metrics_sample_cap=100_000,
+    )
+    analysis = mc.run_monte_carlo(
+        InitialConditions.vertical_launch(), n_samples=100_000_000,
+        lane_slab=2_097_152, seed=1,
+    )
+    assert analysis["n_total"] == 100_000_000
+    assert analysis["n_samples"] + analysis["n_outliers"] == 100_000_000
+    assert analysis["metrics_is_sample"]
+    assert len(analysis["metrics"]["apogee_altitude"]) == 100_000
+    assert np.isfinite(analysis["apogee_altitude"]["mean"])
