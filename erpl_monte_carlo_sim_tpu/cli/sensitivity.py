@@ -1,4 +1,4 @@
-"""First-order apogee sensitivity / variance budget via one reverse pass.
+"""First-order metric sensitivities / variance budgets via reverse passes.
 
 The reference answers "which dispersion drives apogee spread?" only
 empirically — run the Monte Carlo, eyeball `parameter_ranges_observed` and
@@ -30,11 +30,11 @@ import jax
 import jax.numpy as jnp
 
 from ..engine import InitialConditions, SimConfig
-from ..engine.diff import simulate_apogee_diff
+from ..engine.diff import DIFF_METRICS, simulate_metrics_diff
 from ..mc.dispersions import UncertaintyParams
 from ..models.scene import Scene
 
-__all__ = ["apogee_sensitivities", "variance_budget"]
+__all__ = ["metric_sensitivities", "apogee_sensitivities", "variance_budget"]
 
 
 # The differentiated channels, in report order. Each is a scalar "offset
@@ -87,22 +87,34 @@ def _perturbed_scene(scene: Scene, ic: InitialConditions, c: dict):
     return scene2, ic2
 
 
-def apogee_sensitivities(
-    scene: Scene, ic: InitialConditions, cfg: SimConfig = None, **kw
+def metric_sensitivities(
+    scene: Scene, ic: InitialConditions, cfg: SimConfig = None,
+    metric: str = "apogee_altitude", **kw
 ) -> tuple:
-    """(apogee, {channel: d(apogee)/d(channel)}) in one reverse pass."""
+    """(metric value, {channel: d(metric)/d(channel)}) in ONE reverse pass —
+    every dispersion channel's gradient comes out of the same backward sweep.
+    ``metric`` is any of ``engine.diff.DIFF_METRICS``."""
     cfg = cfg or SimConfig(max_time=120.0)
+    if metric not in DIFF_METRICS:
+        raise ValueError(f"metric must be one of {DIFF_METRICS}, got {metric!r}")
 
     def f(c):
         s2, ic2 = _perturbed_scene(scene, ic, c)
-        return simulate_apogee_diff(s2, ic2, cfg, **kw)
+        return simulate_metrics_diff(s2, ic2, cfg, **kw)[metric]
 
     nominal = {
         k: jnp.asarray(1.0 if k.endswith("multiplier") else 0.0)
         for k in CHANNELS
     }
-    apogee, grads = jax.value_and_grad(f)(nominal)
-    return apogee, grads
+    value, grads = jax.value_and_grad(f)(nominal)
+    return value, grads
+
+
+def apogee_sensitivities(
+    scene: Scene, ic: InitialConditions, cfg: SimConfig = None, **kw
+) -> tuple:
+    """(apogee, {channel: d(apogee)/d(channel)}) in one reverse pass."""
+    return metric_sensitivities(scene, ic, cfg, metric="apogee_altitude", **kw)
 
 
 def _channel_sigmas(scene: Scene, params: UncertaintyParams) -> dict:
@@ -141,18 +153,25 @@ def _channel_sigmas(scene: Scene, params: UncertaintyParams) -> dict:
 
 def variance_budget(
     scene: Scene, ic: InitialConditions, cfg: SimConfig = None,
-    params: UncertaintyParams = UncertaintyParams(), **kw
+    params: UncertaintyParams = UncertaintyParams(),
+    metric: str = "apogee_altitude", **kw
 ) -> dict:
-    """Linearized apogee variance budget over the dispersion channels.
+    """Linearized variance budget of one metric over the dispersion channels.
 
     Returns {"apogee": m, "channels": {name: {gradient, sigma,
-    apogee_sigma_contribution}}, "apogee_sigma_first_order": m}. First-order
-    only: wind TURBULENCE (the AR(1) profile) and IC offsets other than
-    pitch are omitted; compare against the Monte Carlo sigma to see how
-    much of the spread is linear response vs. nonlinear/turbulent.
+    apogee_sigma_contribution}}, "apogee_sigma_first_order": m} (the legacy
+    apogee-named keys are kept for the default metric; other metrics use
+    metric-named keys). First-order only: wind TURBULENCE (the AR(1)
+    profile) and IC offsets other than pitch are omitted; compare against
+    the Monte Carlo sigma to see how much of the spread is linear response
+    vs. nonlinear/turbulent.
     """
-    apogee, grads = apogee_sensitivities(scene, ic, cfg, **kw)
+    value, grads = metric_sensitivities(scene, ic, cfg, metric=metric, **kw)
     sigmas = _channel_sigmas(scene, params)
+    # key names: legacy apogee-suffixed keys for the default metric (the
+    # pre-round-3 public schema), generic names otherwise
+    legacy = metric == "apogee_altitude"
+    k_contrib = "apogee_sigma_contribution_m" if legacy else "sigma_contribution"
     channels = {}
     total_var = 0.0
     for name in CHANNELS:
@@ -160,16 +179,18 @@ def variance_budget(
         s = sigmas[name]
         contrib = abs(g) * s
         total_var += contrib * contrib
-        channels[name] = {
-            "gradient": g,
-            "sigma": s,
-            "apogee_sigma_contribution_m": contrib,
-        }
-    return {
-        "apogee_m": float(apogee),
+        channels[name] = {"gradient": g, "sigma": s, k_contrib: contrib}
+    out = {
+        "metric": metric,
         "channels": channels,
-        "apogee_sigma_first_order_m": float(jnp.sqrt(total_var)),
     }
+    if legacy:
+        out["apogee_m"] = float(value)
+        out["apogee_sigma_first_order_m"] = float(jnp.sqrt(total_var))
+    else:
+        out["value"] = float(value)
+        out["sigma_first_order"] = float(jnp.sqrt(total_var))
+    return out
 
 
 def main(argv=None) -> dict:
@@ -180,7 +201,11 @@ def main(argv=None) -> dict:
     motor = solid_motor() if "--solid" in argv else liquid_motor()
     scene = nominal_scene(motor)
     ic = InitialConditions.vertical_launch()
-    out = variance_budget(scene, ic, SimConfig(max_time=max_time))
+    metrics = ("apogee_altitude", "range", "flight_time")
+    out = {
+        m: variance_budget(scene, ic, SimConfig(max_time=max_time), metric=m)
+        for m in metrics
+    }
     print(json.dumps(out, indent=2))
     return out
 

@@ -1,15 +1,19 @@
 """Differentiable flight path: gradients through the full 6DOF integration.
 
 The production hot paths use ``lax.while_loop`` (batch-level early exit),
-which is not reverse-mode differentiable. This module provides a fixed-shape
-``lax.scan`` formulation of the SAME physics — rail phase included — so
-``jax.grad`` flows end-to-end: apogee sensitivity to thrust/mass/drag/wind,
+which is not reverse-mode differentiable. This module drives the SAME
+component-form core (``engine.component._flight_setup`` — one physics
+source, no third copy of the rail phase or dynamics) through fixed-shape
+checkpointed ``lax.scan``s so ``jax.grad`` flows end-to-end: sensitivities
+of apogee, range, landing point, and flight time to thrust/mass/drag/wind,
 gradient-based design sweeps, and the ``find_max_apogee`` use case as an
 optimization instead of a file scan (capability the reference cannot offer;
 its engine is NumPy, SURVEY.md §7 step 7).
 
 Every step is rematerialized (``jax.checkpoint``) so a 60k-step reverse pass
 fits in memory: residuals are recomputed per step instead of stored.
+Primal values equal the production summary path to float noise (identical
+masked steps; pinned in tests/test_sensitivity.py).
 """
 
 from __future__ import annotations
@@ -17,76 +21,116 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.atmosphere import atmosphere_properties, gravity_at
-from ..models.motor import propellant_remaining, thrust_at
-from ..models.rocket import aero_coefficients, mass_properties
 from ..models.scene import Scene
 from ..models.wind import wind_at_altitude
-from ..ops.frames import mach_number
-from ..ops.quaternion import quaternion_to_rotation_matrix
+from .component import _flight_setup
 from .config import SimConfig
-from .integrator import advance, init_carry
-from .state import FlightState, InitialConditions, initial_state
+from .state import InitialConditions
 
-__all__ = ["simulate_apogee_diff", "apogee_and_grad"]
+__all__ = [
+    "simulate_metrics_diff",
+    "simulate_apogee_diff",
+    "metric_and_grad",
+    "apogee_and_grad",
+    "DIFF_METRICS",
+]
+
+# Differentiable scalar metrics exposed by simulate_metrics_diff.
+DIFF_METRICS = (
+    "apogee_altitude",
+    "range",
+    "flight_time",
+    "landing_x",
+    "landing_y",
+    "max_speed",
+)
 
 
-def _rail_scan(scene: Scene, cfg: SimConfig, state0: FlightState, n_steps: int):
-    """Rail phase as a fixed-length masked scan (differentiable twin of
-    `rail.simulate_rail`; identical per-step math, `simulator.py:63-96`)."""
-    quat = state0.quaternion
-    R = quaternion_to_rotation_matrix(quat)
-    direction = R[..., :, 0]
-    dt = cfg.rail_dt
-    speed0 = jnp.sum(state0.velocity * direction, axis=-1)
-    zero = jnp.zeros_like(speed0)
+def simulate_metrics_diff(
+    scene: Scene,
+    ic: InitialConditions,
+    cfg: SimConfig = SimConfig(),
+    n_steps: int | None = None,
+    rail_steps: int = 512,
+) -> dict:
+    """All headline metrics via one fully differentiable fixed-shape
+    integration of the component core.
 
-    def step(carry, _):
-        pos, speed, dist, t, frac, done = carry
-        on_rail = ~done & (dist < cfg.rail_length) & (t < scene.motor.burn_time)
+    Same physics as ``simulate_summary_batch`` (masked events, parachute
+    latch, termination freezes the state). The landing metrics are the
+    DIFFERENTIABLE ground-crossing estimates: the event machinery freezes
+    state at a whole step (so step-count changes make the raw terminal
+    state's derivative miss the crossing-time variation — measured 15% off
+    vs finite differences on d(range)/d(thrust)), so the crossing is
+    linearly interpolated: ``delta = (ground_alt - z_end)/vz_end``,
+    ``flight_time = t_end + delta``, ``landing_xy = xy_end + vxy_end *
+    delta``. Primal differences vs the summary path are sub-dt (< |v| * 5
+    ms); lanes that never land keep the frozen values. ``apogee_altitude``
+    and ``max_speed`` are the running extrema, bit-identical to the summary
+    path.
+    """
+    if n_steps is None:
+        n_steps = cfg.max_steps
+    wind = scene.wind
+    scene_nw = scene.replace(wind=None)
 
-        mp = mass_properties(scene.rocket, frac)
-        atm = atmosphere_properties(scene.atmosphere, pos[..., 2])
-        wind = wind_at_altitude(scene.wind, pos[..., 2])
-        rel_vel = direction * speed[..., None] - wind
-        rel_speed = jnp.sum(rel_vel * direction, axis=-1)
-        mach = mach_number(rel_vel, atm.temperature)
-        coeffs = aero_coefficients(
-            scene.rocket, mach, 0.0, 0.0,
-            center_of_mass=mp.center_of_mass, power_on=True,
-        )
-        drag = 0.5 * atm.density * rel_speed**2 * coeffs.cd * scene.rocket.reference_area
-        thrust = thrust_at(scene.motor, t, atm.pressure)
-        g = gravity_at(scene.atmosphere, pos[..., 2])
-        accel = (thrust - mp.mass * g - drag) / mp.mass
+    def wind_fn(alt):
+        w = wind_at_altitude(wind, alt)
+        return w[..., 0], w[..., 1], w[..., 2]
 
-        new_speed = speed + accel * dt
-        new_pos = pos + direction * (new_speed * dt)[..., None]
-        new_dist = dist + new_speed * dt
-        new_t = t + dt
-        new_frac = propellant_remaining(scene.motor, new_t)
-
-        sel = lambda a, b: jnp.where(on_rail, a, b)
-        pos = jnp.where(on_rail[..., None], new_pos, pos)
-        carry = (
-            pos, sel(new_speed, speed), sel(new_dist, dist), sel(new_t, t),
-            sel(new_frac, frac), done | ~on_rail,
-        )
-        return carry, None
-
-    carry0 = (state0.position, speed0, zero, zero,
-              state0.propellant_fraction, jnp.zeros_like(speed0, bool))
-    (pos, speed, dist, t, frac, _), _ = jax.lax.scan(
-        jax.checkpoint(step), carry0, None, length=n_steps
+    att = jnp.asarray(ic.attitude)
+    ics = (
+        ic.position[..., 0], ic.position[..., 1], ic.position[..., 2],
+        ic.velocity[..., 0], ic.velocity[..., 1], ic.velocity[..., 2],
+        att[..., 0], att[..., 1], att[..., 2],
+        ic.angular_velocity[..., 0], ic.angular_velocity[..., 1],
+        ic.angular_velocity[..., 2],
     )
-    state = FlightState(
-        position=pos,
-        velocity=direction * speed[..., None],
-        quaternion=quat,
-        angular_velocity=state0.angular_velocity,
-        propellant_fraction=frac,
+    carry0, aux = _flight_setup(
+        scene_nw, cfg, wind_fn, ics, rail_scan_steps=rail_steps
     )
-    return state, t
+    carry, _ = jax.lax.scan(
+        jax.checkpoint(lambda c, _: (aux["main_body"](c), None)),
+        carry0, None, length=n_steps,
+    )
+    st, ev = carry
+    res = aux["summarize"](st, ev)
+
+    # Quadratic backtrack to the ground crossing. Linear backtracking leaves
+    # O(dt^2) seams where the termination step index jumps with the
+    # parameter; those seams bias finite differences of range by ~15% at
+    # dt=5 ms (measured), so the gradient of the linear estimate disagrees
+    # with the secant slope. One dynamics evaluation at the frozen terminal
+    # state + one Newton step on the quadratic altitude model pushes the
+    # seams to O(dt^3).
+    from .component import dynamics_c
+
+    deriv, _ = dynamics_c(scene_nw, cfg, wind_fn, aux["t_of"](ev), st,
+                          ev["para"])
+    ax_, ay_, az_ = deriv[3], deriv[4], deriv[5]
+    fpx, fpy, fpz = res["final_px"], res["final_py"], res["final_pz"]
+    fvx, fvy, fvz = res["final_vx"], res["final_vy"], res["final_vz"]
+    landed = (fpz <= cfg.ground_altitude) & (fvz < 0.0)
+    safe_vz = jnp.where(landed, fvz, -1.0)
+    d0 = (cfg.ground_altitude - fpz) / safe_vz
+    z_d0 = fpz + fvz * d0 + 0.5 * az_ * d0 * d0
+    slope = jnp.where(landed, fvz + az_ * d0, -1.0)
+    slope = jnp.where(jnp.abs(slope) > 1e-6, slope, -1.0)
+    d1 = d0 - (z_d0 - cfg.ground_altitude) / slope
+    delta = jnp.where(landed, d1, 0.0)
+    land_x = fpx + fvx * delta + 0.5 * ax_ * delta * delta
+    land_y = fpy + fvy * delta + 0.5 * ay_ * delta * delta
+    rng_sq = land_x * land_x + land_y * land_y
+    ok = rng_sq > 0.0
+    rng = jnp.where(ok, jnp.sqrt(jnp.where(ok, rng_sq, 1.0)), 0.0)
+    return {
+        "apogee_altitude": res["apogee_altitude"],
+        "range": rng,
+        "flight_time": res["flight_time"] + delta,
+        "landing_x": land_x,
+        "landing_y": land_y,
+        "max_speed": res["max_speed"],
+    }
 
 
 def simulate_apogee_diff(
@@ -96,43 +140,14 @@ def simulate_apogee_diff(
     n_steps: int | None = None,
     rail_steps: int = 512,
 ) -> jnp.ndarray:
-    """Apogee altitude via a fully differentiable fixed-shape integration.
-
-    Same physics as ``simulate_summary`` (masked events, parachute latch,
-    termination freezes the state); returns the running-max altitude, whose
-    gradient flows through the step at which the max is attained.
-    """
-    if n_steps is None:
-        n_steps = cfg.max_steps
-    state0 = initial_state(ic)
-    state_exit, rail_time = _rail_scan(scene, cfg, state0, rail_steps)
-    carry0 = init_carry(state_exit, rail_time)
-
-    def step(carry, _):
-        t = carry.rail_time + carry.step.astype(carry.rail_time.dtype) * cfg.dt
-        run = ~carry.events.done & (t < cfg.max_time)
-        new_carry = advance(scene, cfg, carry)
-        carry = jax.tree.map(
-            lambda new, old: jnp.where(
-                jnp.reshape(run, run.shape + (1,) * (jnp.ndim(new) - jnp.ndim(run))),
-                new, old,
-            ),
-            new_carry, carry,
-        )
-        return carry, None
-
-    carry, _ = jax.lax.scan(jax.checkpoint(step), carry0, None, length=n_steps)
-    return carry.events.max_altitude
+    """Apogee altitude via the differentiable path (running max; the
+    gradient flows through the step at which the max is attained)."""
+    return simulate_metrics_diff(scene, ic, cfg, n_steps, rail_steps)[
+        "apogee_altitude"
+    ]
 
 
-def apogee_and_grad(scene: Scene, ic: InitialConditions,
-                    cfg: SimConfig = SimConfig(), wrt: str = "motor.thrust_scale",
-                    **kw):
-    """Apogee and d(apogee)/d(scene.<wrt>) in one reverse pass.
-
-    ``wrt`` is a dotted path into the scene pytree, e.g. "motor.thrust_scale",
-    "rocket.dry_mass", "rocket.fin_span".
-    """
+def _scene_accessors(wrt: str):
     parts = wrt.split(".")
 
     def read(s):
@@ -150,9 +165,33 @@ def apogee_and_grad(scene: Scene, ic: InitialConditions,
             child = obj.replace(**{p: child})
         return child
 
-    def f(v):
-        return simulate_apogee_diff(write(scene, v), ic, cfg, **kw)
+    return read, write
 
-    v0 = read(scene)
-    apogee, grad = jax.value_and_grad(f)(v0)
-    return apogee, grad
+
+def metric_and_grad(scene: Scene, ic: InitialConditions,
+                    cfg: SimConfig = SimConfig(),
+                    metric: str = "apogee_altitude",
+                    wrt: str = "motor.thrust_scale", **kw):
+    """One metric and d(metric)/d(scene.<wrt>) in one reverse pass.
+
+    ``metric`` is one of ``DIFF_METRICS``; ``wrt`` is a dotted path into the
+    scene pytree, e.g. "motor.thrust_scale", "rocket.dry_mass",
+    "rocket.fin_span".
+    """
+    if metric not in DIFF_METRICS:
+        raise ValueError(f"metric must be one of {DIFF_METRICS}, got {metric!r}")
+    read, write = _scene_accessors(wrt)
+
+    def f(v):
+        return simulate_metrics_diff(write(scene, v), ic, cfg, **kw)[metric]
+
+    value, grad = jax.value_and_grad(f)(read(scene))
+    return value, grad
+
+
+def apogee_and_grad(scene: Scene, ic: InitialConditions,
+                    cfg: SimConfig = SimConfig(), wrt: str = "motor.thrust_scale",
+                    **kw):
+    """Apogee and d(apogee)/d(scene.<wrt>) in one reverse pass."""
+    return metric_and_grad(scene, ic, cfg, metric="apogee_altitude", wrt=wrt,
+                           **kw)

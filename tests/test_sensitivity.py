@@ -10,6 +10,7 @@ the zero-velocity launch state used to NaN on the additive channels.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from erpl_monte_carlo_sim_tpu.cli.sensitivity import (
     CHANNELS,
@@ -84,6 +85,89 @@ def test_wind_sigma_respects_direction_range():
         scene, UncertaintyParams(wind_direction_range=(0.0, 1e-4))
     )["wind_u_offset"]
     np.testing.assert_allclose(narrow, np.sqrt(25.0 / 12.0), rtol=1e-3)
+
+
+def test_diff_primal_matches_component_summary():
+    """The differentiable path drives the SAME component core through a
+    fixed-shape scan — primal metrics must equal the production summary
+    path to float noise (one physics source, round-3 unification)."""
+    from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
+    from erpl_monte_carlo_sim_tpu.engine.diff import simulate_metrics_diff
+
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    m = simulate_metrics_diff(scene, ic, CFG)
+    ic1 = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (1,) + np.shape(x)).copy(), ic
+    )
+    want = simulate_summary_batch(scene, ic1, CFG)
+    np.testing.assert_allclose(
+        float(m["apogee_altitude"]), float(want.apogee_altitude[0]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m["range"]), float(want.range[0]), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(m["max_speed"]), float(want.max_speed[0]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m["landing_x"]), float(want.landing_position[0, 0]), rtol=1e-9,
+        atol=1e-9,
+    )
+
+
+@pytest.mark.slow
+def test_landing_metric_gradients_match_fd():
+    """Full-flight gradients of range and (crossing-interpolated) flight
+    time, validated against central finite differences computed on the
+    CHEAP while-loop summary path — the two paths share the physics, so
+    FD(summary) must match AD(diff scan). Uses the low-apogee scene
+    (~476 m) so a landed flight stays short.
+
+    eps is 5e-5 ON PURPOSE: the crossing interpolation makes the metrics
+    smooth across TERMINATION-step requantization (verified on a 5e-6 grid:
+    piecewise-linear at exactly the AD slope), but the parachute DEPLOY
+    latch still fires on a whole step, so every ~2e-4 in thrust_scale the
+    deploy step shifts and the metric jumps ~2e-3 m. A large-eps secant
+    averages those event-quantization jumps in (measured: eps=1e-3 reads
+    37.06 vs the true local slope 31.62); eps=5e-5 stays inside one deploy
+    plateau and FD matches AD to <1e-3."""
+    from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
+    from erpl_monte_carlo_sim_tpu.engine.diff import metric_and_grad
+    from erpl_monte_carlo_sim_tpu.models.rocket import RocketParams
+
+    cfg = SimConfig(max_time=90.0)
+    pm = 5.0
+    base = nominal_scene(liquid_motor(propellant_mass=pm))
+    base = base.replace(rocket=RocketParams.create(propellant_mass=pm))
+    ic = InitialConditions.vertical_launch()
+    eps = 5e-5
+    thetas = np.array([1.0 - eps, 1.0 + eps])
+    ic2 = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (2,) + np.shape(x)).copy(), ic
+    )
+    s2 = base.replace(
+        motor=base.motor.replace(thrust_scale=jnp.asarray(thetas))
+    )
+    out = simulate_summary_batch(s2, ic2, cfg)
+    pos = np.asarray(out.landing_position, np.float64)
+    vel = np.asarray(out.final_velocity, np.float64)
+    delta = (cfg.ground_altitude - pos[:, 2]) / vel[:, 2]
+    land = pos[:, :2] + vel[:, :2] * delta[:, None]
+    fd_vals = {
+        "range": np.hypot(land[:, 0], land[:, 1]),
+        "flight_time": np.asarray(out.flight_time, np.float64) + delta,
+    }
+    # sanity: both flights actually land well before the cutoff
+    assert fd_vals["flight_time"].max() < cfg.max_time - 5.0
+
+    for metric, rtol in (("range", 1e-2), ("flight_time", 1e-2)):
+        v, g = metric_and_grad(
+            base, ic, cfg, metric=metric, wrt="motor.thrust_scale"
+        )
+        fd = float(fd_vals[metric][1] - fd_vals[metric][0]) / (2 * eps)
+        assert np.isfinite(float(g)), metric
+        np.testing.assert_allclose(float(g), fd, rtol=rtol, err_msg=metric)
 
 
 def test_optimizer_fixed_relative_step():
