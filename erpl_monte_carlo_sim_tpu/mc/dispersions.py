@@ -109,6 +109,7 @@ def _sample_impl(
     antithetic: bool = False,
     sampler: str = "prng",
     sobol_scrambles: int = 1,
+    sobol_wind_modes: int = 0,
 ):
     """Draw ``n`` dispersed (Scene, InitialConditions) lanes.
 
@@ -136,10 +137,21 @@ def _sample_impl(
     wind speed/direction). Low-discrepancy points stratify the parameter
     space, so batch statistics converge ~O(1/n) instead of O(1/sqrt(n)) in
     the linear-response regime; marginal distributions are identical
-    (inverse-CDF transform). Per-lane wind TURBULENCE stays pseudo-random
-    (300-dim AR(1) profiles gain nothing from QMC). Deterministic in
-    ``key``: the key seeds the scramble. Not combinable with antithetic
-    (scrambled Sobol is already balanced).
+    (inverse-CDF transform). Deterministic in ``key``: the key seeds the
+    scramble. Not combinable with antithetic (scrambled Sobol is already
+    balanced).
+
+    ``sobol_wind_modes``: with ``sampler="sobol"``, ALSO stratify the
+    leading K principal components of each lane's AR(1) wind turbulence
+    (3K extra Sobol dimensions: u, v, w per mode). The turbulence is linear
+    in its standard-normal driver z (``turb = A z``,
+    ``models.wind.ar1_transfer_matrix``), so drawing the top-K
+    right-singular directions of A from scrambled Sobol and the orthogonal
+    tail from prng keeps the process distribution EXACT while
+    low-discrepancy points cover the directions that carry the most
+    turbulence variance — the dimension-ordering QMC move the reference's
+    300-dim noise could never support (`environment.py:125-200`). 0 = off
+    (turbulence fully pseudo-random, the pre-round-3 behavior).
 
     Returns ``(batched_scene, batched_ic, sample: DispersionSample)``.
     """
@@ -153,6 +165,8 @@ def _sample_impl(
         raise ValueError("sobol sampling is already balanced; drop antithetic")
     if sobol_scrambles < 1 or (sampler == "sobol" and n % sobol_scrambles):
         raise ValueError("n must be a positive multiple of sobol_scrambles")
+    if sobol_wind_modes and sampler != "sobol":
+        raise ValueError("sobol_wind_modes requires sampler='sobol'")
     keys = jax.random.split(key, 12)
 
     if sampler == "sobol":
@@ -167,8 +181,9 @@ def _sample_impl(
             jax.random.bits(keys[0], (sobol_scrambles,), "uint32")
         )
         block = n // sobol_scrambles
+        d_sobol = 19 + 3 * int(sobol_wind_modes)
         u = _np.concatenate([
-            _qmc.Sobol(d=19, scramble=True,
+            _qmc.Sobol(d=d_sobol, scramble=True,
                        rng=_np.random.default_rng(int(s))).random(block)
             for s in seeds
         ], axis=0)
@@ -259,10 +274,48 @@ def _sample_impl(
     lane_keys = jax.random.split(keys[11], n)
     if base_wind is not None:
         grid = jnp.asarray(base_wind[0], dtype)
+    else:
+        grid = jnp.linspace(0.0, wind_grid_top, wind_grid_points, dtype=dtype)
+
+    qmc_noise = None
+    if sampler == "sobol" and sobol_wind_modes > 0:
+        # Dimension-ordered turbulence QMC: z = V b with V the right-
+        # singular vectors of the AR(1) transfer matrix; b's top-K rows come
+        # from the Sobol matrix (inverse normal CDF), the tail from prng.
+        # V orthogonal + b ~ N(0, I) marginals => z ~ N(0, I) exactly.
+        import numpy as _np
+        from scipy.special import ndtri as _ndtri
+
+        from ..models.wind import ar1_transfer_matrix
+
+        n_knots = int(grid.shape[0])
+        k_modes = min(int(sobol_wind_modes), n_knots)
+        A = ar1_transfer_matrix(scene.wind_model, _np.asarray(grid))
+        _, _, vt = _np.linalg.svd(A)
+        b_lead = _ndtri(_take_cols(3 * int(sobol_wind_modes)))[
+            :, : 3 * k_modes
+        ].reshape(n, k_modes, 3)
+        b_tail = jax.random.normal(
+            jax.random.fold_in(keys[11], 1), (n, n_knots - k_modes, 3),
+            dtype=dtype,
+        )
+        b = jnp.concatenate(
+            [jnp.asarray(b_lead, dtype), b_tail], axis=1
+        )
+        qmc_noise = jnp.einsum("ij,njc->nic", jnp.asarray(vt.T, dtype), b)
+
+    if base_wind is not None:
         base_profile = jnp.asarray(base_wind[1], dtype)
-        profiles = jax.vmap(
-            lambda k: perturb_wind_profile(scene.wind_model, k, grid, base_profile)
-        )(lane_keys)
+        if qmc_noise is None:
+            profiles = jax.vmap(
+                lambda k: perturb_wind_profile(scene.wind_model, k, grid, base_profile)
+            )(lane_keys)
+        else:
+            profiles = jax.vmap(
+                lambda k, nz: perturb_wind_profile(
+                    scene.wind_model, k, grid, base_profile, noise=nz
+                )
+            )(lane_keys, qmc_noise)
         offset = jnp.stack(
             [wind_speed * jnp.cos(wind_dir), wind_speed * jnp.sin(wind_dir),
              jnp.zeros_like(wind_speed)],
@@ -270,12 +323,18 @@ def _sample_impl(
         )
         profiles = profiles + offset[:, None, :]
     else:
-        grid = jnp.linspace(0.0, wind_grid_top, wind_grid_points, dtype=dtype)
-        profiles = jax.vmap(
-            lambda k, ws, wd: generate_stochastic_profile(
-                scene.wind_model, k, grid, ws, wd
-            )
-        )(lane_keys, wind_speed, wind_dir)
+        if qmc_noise is None:
+            profiles = jax.vmap(
+                lambda k, ws, wd: generate_stochastic_profile(
+                    scene.wind_model, k, grid, ws, wd
+                )
+            )(lane_keys, wind_speed, wind_dir)
+        else:
+            profiles = jax.vmap(
+                lambda k, ws, wd, nz: generate_stochastic_profile(
+                    scene.wind_model, k, grid, ws, wd, noise=nz
+                )
+            )(lane_keys, wind_speed, wind_dir, qmc_noise)
     wind = WindField(altitudes=grid, wind=profiles)
 
     batched_scene = Scene(
@@ -329,7 +388,8 @@ def select_lane(batched: Scene, base: Scene, lane) -> Scene:
 _sample_impl_jit = jax.jit(
     _sample_impl,
     static_argnames=("params", "n", "wind_grid_points", "wind_grid_top",
-                     "dtype", "antithetic", "sampler", "sobol_scrambles"),
+                     "dtype", "antithetic", "sampler", "sobol_scrambles",
+                     "sobol_wind_modes"),
 )
 
 

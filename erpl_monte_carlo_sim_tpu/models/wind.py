@@ -36,6 +36,7 @@ __all__ = [
     "power_law_profile",
     "generate_stochastic_profile",
     "perturb_wind_profile",
+    "ar1_transfer_matrix",
     "load_wind_profile_from_csv",
 ]
 
@@ -82,11 +83,16 @@ def power_law_profile(p: WindModelParams, altitude, reference_wind_speed,
     return reference_wind_speed * (altitude / reference_altitude) ** p.power_law_exponent
 
 
-def _ar1_scan(p: WindModelParams, key, altitudes, mean_uv, mean_w=None):
+def _ar1_scan(p: WindModelParams, key, altitudes, mean_uv, mean_w=None,
+              noise=None):
     """Shared AR(1) turbulence core over an altitude grid.
 
     ``mean_uv``: [N,2] mean horizontal wind; ``mean_w``: [N] mean vertical
-    (zero for synthesized profiles). Returns [N,3] total wind.
+    (zero for synthesized profiles). ``noise``: optional [N,3] standard
+    normals to drive the recursion instead of drawing from ``key`` — the
+    injection point for dimension-ordered QMC (mc.dispersions builds
+    quasi-random z with exact N(0,I) marginals; the process distribution is
+    unchanged because turbulence is linear in z). Returns [N,3] total wind.
     """
     n = altitudes.shape[0]
     dtype = mean_uv.dtype
@@ -98,7 +104,10 @@ def _ar1_scan(p: WindModelParams, key, altitudes, mean_uv, mean_w=None):
     rho = jnp.clip(jnp.exp(-dh / p.correlation_length), 0.1, 0.95)
     innov_sigma = sigma * jnp.sqrt(jnp.maximum(1.0 - rho**2, 0.01))
 
-    noise = jax.random.normal(key, (n, 3), dtype=dtype)
+    if noise is None:
+        noise = jax.random.normal(key, (n, 3), dtype=dtype)
+    else:
+        noise = jnp.asarray(noise, dtype)
 
     # First point: independent draw at full sigma (`environment.py:155-164`).
     turb0 = jnp.array([1.0, 1.0, 0.3], dtype=dtype) * sigma[0] * noise[0]
@@ -123,6 +132,7 @@ def generate_stochastic_profile(
     altitudes,
     base_wind_speed,
     base_wind_direction=None,
+    noise=None,
 ) -> jnp.ndarray:
     """Synthesize a stochastic wind profile (`environment.py:125-200`).
 
@@ -141,11 +151,11 @@ def generate_stochastic_profile(
         [speed * jnp.cos(base_wind_direction), speed * jnp.sin(base_wind_direction)],
         axis=1,
     )
-    return _ar1_scan(p, turb_key, altitudes, mean_uv)
+    return _ar1_scan(p, turb_key, altitudes, mean_uv, noise=noise)
 
 
 def perturb_wind_profile(
-    p: WindModelParams, key: jax.Array, altitudes, base_profile
+    p: WindModelParams, key: jax.Array, altitudes, base_profile, noise=None
 ) -> jnp.ndarray:
     """Add AR(1) turbulence around a forecast (`environment.py:218-265`).
 
@@ -155,8 +165,38 @@ def perturb_wind_profile(
     altitudes = jnp.asarray(altitudes)
     base_profile = jnp.asarray(base_profile)
     return _ar1_scan(
-        p, key, altitudes, base_profile[:, :2], mean_w=base_profile[:, 2]
+        p, key, altitudes, base_profile[:, :2], mean_w=base_profile[:, 2],
+        noise=noise,
     )
+
+
+def ar1_transfer_matrix(p: WindModelParams, altitudes) -> np.ndarray:
+    """Lower-triangular [N,N] map A with ``turb_horizontal = A @ z`` for the
+    ``_ar1_scan`` recursion (host-side NumPy; the vertical component is
+    0.3*A with the same structure).
+
+    turb_0 = sigma_0 z_0;  turb_i = rho_i turb_{i-1} + innov_i z_i
+    =>  A[i, j] = s_j * prod_{m=j+1..i} rho_m   (s_0 = sigma_0, else innov)
+
+    Used by mc.dispersions to order QMC dimensions along the process'
+    principal components: the right-singular vectors of A are the directions
+    of z that carry the most turbulence variance, so Sobol stratifies those
+    and the tail stays pseudo-random. Must mirror ``_ar1_scan``'s constants
+    exactly (same sigma decay, dh prepend, rho clip, innovation floor).
+    """
+    alt = np.asarray(altitudes, np.float64)
+    ti = float(np.asarray(p.turbulence_intensity))
+    cl = float(np.asarray(p.correlation_length))
+    sigma = ti * np.exp(-alt / 2000.0)
+    dh = np.maximum(np.diff(alt, prepend=alt[:1]), 1e-6)
+    rho = np.clip(np.exp(-dh / cl), 0.1, 0.95)
+    innov = sigma * np.sqrt(np.maximum(1.0 - rho**2, 0.01))
+    s_ = innov.copy()
+    s_[0] = sigma[0]
+    # prod_{m=j+1..i} rho_m = exp(logP[i] - logP[j]) with logP[i] = sum_{m<=i}
+    logp = np.concatenate([[0.0], np.cumsum(np.log(rho[1:]))])
+    ratio = np.exp(logp[:, None] - logp[None, :])
+    return np.tril(ratio * s_[None, :])
 
 
 def load_wind_profile_from_csv(file_path: str):
