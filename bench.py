@@ -120,6 +120,43 @@ def main() -> None:
 
     value = B / t
     baseline = 1.64  # reference-equivalent 1k-step flights/s on 1 CPU core
+
+    # ---- roofline: bytes/lane-step model vs HBM peak (NOTES.md analysis,
+    # productionized). The parity hot loop is wind-bandwidth-bound: each of
+    # the 4 RK4 stage evals reads the full [3, N, B] per-lane wind table
+    # (the tent basis touches every knot); the true carry is ~25 flat [B]
+    # f32/int32 arrays read+written once per step. Everything else fuses.
+    n_knots = int(np.asarray(scene_b.wind.altitudes).shape[0])
+    stage_evals = 1 if cfg.wind_eval_per_step else 4
+    wind_elem = 2 if cfg.wind_table_bf16 else 4
+    model_bytes_per_step = (
+        stage_evals * 3 * n_knots * wind_elem  # wind table reads
+        + 2 * 25 * 4                           # carry read+write
+    )
+    hbm_peak_gbps = 819.0  # TPU v5e (v5 lite) HBM bandwidth
+    achieved_gbps = value * steps * model_bytes_per_step / 1e9
+    # Optional cross-check straight from XLA's cost model (bytes accessed
+    # for one execution; the while body is counted once, so this is the
+    # per-iteration figure the 1.9 GB/iter r1 analysis used).
+    xla_bytes_per_iter = None
+    try:
+        from erpl_monte_carlo_sim_tpu.engine.batch import (
+            _run_components,
+            prepare_batch,
+        )
+
+        scene_nw, grid, wT, ics = prepare_batch(scene_b, ic_b)
+        ca = (
+            _run_components.lower(scene_nw, grid, wT, cfg, ics)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, list):
+            ca = ca[0]
+        xla_bytes_per_iter = float(ca.get("bytes accessed", float("nan")))
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "mc_trajectories_per_sec_per_chip_1k_steps",
         "value": round(value, 1),
@@ -135,6 +172,10 @@ def main() -> None:
         "single_flight_apogee_m": round(float(np.asarray(s.apogee_altitude)[0]), 1),
         "single_flight_parity_apogee_m": round(
             float(np.asarray(sp.apogee_altitude)[0]), 1),
+        "model_bytes_per_step": model_bytes_per_step,
+        "achieved_gbps": round(achieved_gbps, 1),
+        "hbm_peak_frac": round(achieved_gbps / hbm_peak_gbps, 3),
+        "xla_bytes_per_iter": xla_bytes_per_iter,
         "device": str(jax.devices()[0]),
     }))
 

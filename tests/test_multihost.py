@@ -18,6 +18,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # 2-process Gloo run: minutes of wall time
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 POD_SCALE = os.path.join(REPO, "scripts", "pod_scale.py")
 

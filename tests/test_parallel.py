@@ -166,6 +166,49 @@ def test_make_global_batch_base_tree_classification(mesh):
     assert out2["shared_grid"].sharding.spec == P("batch")
 
 
+def test_sharded_hot_loop_is_collective_free(mesh):
+    """PROVE the design claim in parallel/sharded.py (lanes embarrassingly
+    parallel; zero communication in the hot loop) at the compiled-HLO level:
+    lower + compile the sharded summary program on the 8-device mesh and
+    assert the ONLY collectives in the whole module are 1-bit (pred[])
+    all-reduces — the rail/main while-loop conditions. A regression that
+    smuggles a tensor all-reduce, all-gather, reduce-scatter, or
+    collective-permute into the loop body would pass value-level tests and
+    only show up as an ~8x perf loss on real ICI, which this 1-chip
+    environment cannot measure."""
+    import re
+
+    from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
+    from erpl_monte_carlo_sim_tpu.parallel.mesh import shard_batch
+
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(0), scene, ic, n=16
+    )
+    scene_b = shard_batch(scene_b, mesh, 16)
+    ic_b = shard_batch(ic_b, mesh, 16)
+    cfg = SimConfig(max_time=1.0)
+    txt = (
+        jax.jit(simulate_summary_batch, static_argnums=2)
+        .lower(scene_b, ic_b, cfg)
+        .compile()
+        .as_text()
+    )
+    pat = re.compile(
+        r"all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all"
+    )
+    coll = [ln for ln in txt.splitlines() if pat.search(ln)]
+    # positive control: the program really was partitioned (loop conditions
+    # must reduce across shards) — an unpartitioned compile would trivially
+    # "pass" the emptiness checks below
+    assert coll, "expected the while-loop condition all-reduces; got none"
+    for ln in coll:
+        assert "all-reduce" in ln and "pred[]" in ln, (
+            f"non-1-bit collective in the sharded hot program: {ln.strip()}"
+        )
+
+
 def test_collective_stats_variance_catastrophic_cancellation(mesh):
     """Two-pass variance: large-mean/small-std f32 data must not lose the
     std to E[x^2]-mean^2 cancellation (flight_time-like: mean ~1e2, std
