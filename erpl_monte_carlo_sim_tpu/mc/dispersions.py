@@ -167,35 +167,9 @@ def _sample_impl(
         raise ValueError("n must be a positive multiple of sobol_scrambles")
     if sobol_wind_modes and sampler != "sobol":
         raise ValueError("sobol_wind_modes requires sampler='sobol'")
-    keys = jax.random.split(key, 12)
-
     if sampler == "sobol":
-        # Host-side scrambled Sobol (scipy), one matrix for all 19 scalar
-        # channels; columns are consumed in a FIXED order below so a given
-        # (key, n) always regenerates identical lanes (determinism-by-key,
-        # same contract as the prng path).
-        import numpy as _np
-        from scipy.stats import qmc as _qmc
-
-        seeds = _np.asarray(
-            jax.random.bits(keys[0], (sobol_scrambles,), "uint32")
-        )
-        block = n // sobol_scrambles
-        d_sobol = 19 + 3 * int(sobol_wind_modes)
-        u = _np.concatenate([
-            _qmc.Sobol(d=d_sobol, scramble=True,
-                       rng=_np.random.default_rng(int(s))).random(block)
-            for s in seeds
-        ], axis=0)
-        # guard against exact 0/1 before the inverse normal CDF
-        tiny = _np.finfo(_np.float64).tiny
-        u = _np.clip(u, tiny, 1.0 - 1e-12)
-        _sobol_cols = {"u": u, "next": 0}
-
-        def _take_cols(k):
-            i = _sobol_cols["next"]
-            _sobol_cols["next"] = i + k
-            return _sobol_cols["u"][:, i:i + k]
+        raise ValueError("_sample_impl is the prng path; use _sample_sobol")
+    keys = jax.random.split(key, 12)
 
     def mirror(draws, center):
         if not antithetic:
@@ -204,44 +178,154 @@ def _sample_impl(
         return jnp.concatenate([half, 2 * center - half], axis=0)
 
     def normal(k, shape, sigma):
-        if sampler == "sobol":
-            from scipy.special import ndtri as _ndtri
-
-            cols = shape[1] if len(shape) > 1 else 1
-            z = _ndtri(_take_cols(cols))
-            d = jnp.asarray(z.reshape(shape), dtype) * jnp.asarray(sigma, dtype)
-            return d
         d = jax.random.normal(k, shape, dtype=dtype) * jnp.asarray(sigma, dtype)
         return mirror(d, 0.0)
 
-    pos_off = normal(keys[0], (n, 3), params.initial_position)
-    vel_off = normal(keys[1], (n, 3), params.initial_velocity)
-    att_off = normal(keys[2], (n, 3), params.initial_attitude)
-    omg_off = normal(keys[3], (n, 3), params.initial_angular_velocity)
-    mass_mult = 1.0 + normal(keys[4], (n,), params.mass_uncertainty)
-    thrust_mult_recorded = 1.0 + normal(keys[5], (n,), params.thrust_uncertainty)
-    motor_thrust_mult = 1.0 + normal(
-        keys[6], (n,), jnp.asarray(scene.motor.thrust_uncertainty, dtype)
-    )
-    motor_flow_mult = 1.0 + normal(
-        keys[7], (n,), jnp.asarray(scene.motor.mass_flow_uncertainty, dtype)
-    )
     def uniform(k, lo, hi):
-        if sampler == "sobol":
-            u01 = jnp.asarray(_take_cols(1)[:, 0], dtype)
-            return lo + (hi - lo) * u01
         return mirror(
             jax.random.uniform(k, (n,), dtype=dtype, minval=lo, maxval=hi),
             0.5 * (lo + hi),
         )
 
-    wind_speed = uniform(keys[8], params.wind_speed_range[0],
-                         params.wind_speed_range[1])
-    wind_dir = uniform(keys[9], params.wind_direction_range[0],
-                       params.wind_direction_range[1])
-    density_mult = 1.0 + normal(
-        keys[10], (n,), params.atmospheric_density_uncertainty
-    )
+    ch = {
+        "pos_off": normal(keys[0], (n, 3), params.initial_position),
+        "vel_off": normal(keys[1], (n, 3), params.initial_velocity),
+        "att_off": normal(keys[2], (n, 3), params.initial_attitude),
+        "omg_off": normal(keys[3], (n, 3), params.initial_angular_velocity),
+        "mass_mult": 1.0 + normal(keys[4], (n,), params.mass_uncertainty),
+        "thrust_mult_recorded": 1.0 + normal(
+            keys[5], (n,), params.thrust_uncertainty
+        ),
+        "motor_thrust_mult": 1.0 + normal(
+            keys[6], (n,), jnp.asarray(scene.motor.thrust_uncertainty, dtype)
+        ),
+        "motor_flow_mult": 1.0 + normal(
+            keys[7], (n,), jnp.asarray(scene.motor.mass_flow_uncertainty, dtype)
+        ),
+        "wind_speed": uniform(keys[8], params.wind_speed_range[0],
+                              params.wind_speed_range[1]),
+        "wind_dir": uniform(keys[9], params.wind_direction_range[0],
+                            params.wind_direction_range[1]),
+        "density_mult": 1.0 + normal(
+            keys[10], (n,), params.atmospheric_density_uncertainty
+        ),
+    }
+    if base_wind is not None:
+        grid = jnp.asarray(base_wind[0], dtype)
+    else:
+        grid = jnp.linspace(0.0, wind_grid_top, wind_grid_points, dtype=dtype)
+    return _build_scene(scene, ic, ch, keys[11], base_wind, grid)
+
+
+def _sample_sobol(
+    key, scene, ic, params, n, base_wind, wind_grid_points, wind_grid_top,
+    dtype, sobol_scrambles, sobol_wind_modes,
+):
+    """Scrambled-Sobol draw (host scipy; cannot be traced) + ONE jitted
+    scene-assembly dispatch.
+
+    The pre-round-3 sobol path ran the whole assembly (AR(1) turbulence
+    scan, QMC rotation, scene building) EAGERLY — measured +2.8 to +3.6 s
+    per 262k slab on the tunneled TPU (per-op dispatch at ~28 ms RTT) vs a
+    ~1.7 s slab simulation. Only the scipy Sobol/ndtri part is inherently
+    host-side; everything downstream now goes through ``_build_scene_jit``.
+    Columns are consumed in a FIXED order so a given (key, n, config)
+    always regenerates identical lanes (determinism-by-key).
+    """
+    import numpy as _np
+    from scipy.special import ndtri as _ndtri
+    from scipy.stats import qmc as _qmc
+
+    if dtype is None:
+        dtype = jnp.asarray(scene.rocket.dry_mass).dtype
+    np_dtype = _np.dtype(jnp.zeros((), dtype).dtype.name)
+    keys = jax.random.split(key, 12)
+    seeds = _np.asarray(jax.random.bits(keys[0], (sobol_scrambles,), "uint32"))
+    block = n // sobol_scrambles
+    d_sobol = 19 + 3 * int(sobol_wind_modes)
+    u = _np.concatenate([
+        _qmc.Sobol(d=d_sobol, scramble=True,
+                   rng=_np.random.default_rng(int(s))).random(block)
+        for s in seeds
+    ], axis=0)
+    # guard against exact 0/1 before the inverse normal CDF
+    tiny = _np.finfo(_np.float64).tiny
+    u = _np.clip(u, tiny, 1.0 - 1e-12)
+    state = {"next": 0}
+
+    def take(k):
+        i = state["next"]
+        state["next"] = i + k
+        return u[:, i:i + k]
+
+    def normal(shape, sigma):
+        cols = shape[1] if len(shape) > 1 else 1
+        z = _ndtri(take(cols)).reshape(shape).astype(np_dtype)
+        return z * _np.asarray(sigma, np_dtype)
+
+    def uniform(lo, hi):
+        u01 = take(1)[:, 0].astype(np_dtype)
+        return lo + (hi - lo) * u01
+
+    ch = {
+        "pos_off": normal((n, 3), params.initial_position),
+        "vel_off": normal((n, 3), params.initial_velocity),
+        "att_off": normal((n, 3), params.initial_attitude),
+        "omg_off": normal((n, 3), params.initial_angular_velocity),
+        "mass_mult": 1.0 + normal((n,), params.mass_uncertainty),
+        "thrust_mult_recorded": 1.0 + normal((n,), params.thrust_uncertainty),
+        "motor_thrust_mult": 1.0 + normal(
+            (n,), float(_np.asarray(scene.motor.thrust_uncertainty))
+        ),
+        "motor_flow_mult": 1.0 + normal(
+            (n,), float(_np.asarray(scene.motor.mass_flow_uncertainty))
+        ),
+        "wind_speed": uniform(params.wind_speed_range[0],
+                              params.wind_speed_range[1]),
+        "wind_dir": uniform(params.wind_direction_range[0],
+                            params.wind_direction_range[1]),
+        "density_mult": 1.0 + normal(
+            (n,), params.atmospheric_density_uncertainty
+        ),
+    }
+    if base_wind is not None:
+        grid_np = _np.asarray(base_wind[0], _np.float64)
+        base_wind = (jnp.asarray(base_wind[0], dtype),
+                     jnp.asarray(base_wind[1], dtype))
+    else:
+        grid_np = _np.linspace(0.0, float(wind_grid_top),
+                               int(wind_grid_points))
+    grid = jnp.asarray(grid_np, dtype)
+
+    if sobol_wind_modes > 0:
+        # Dimension-ordered turbulence QMC: z = V b with V the right-
+        # singular vectors of the AR(1) transfer matrix; b's top-K rows come
+        # from the Sobol matrix (inverse normal CDF), the tail from prng.
+        # V orthogonal + b ~ N(0, I) marginals => z ~ N(0, I) exactly.
+        from ..models.wind import ar1_transfer_matrix
+
+        n_knots = int(grid_np.shape[0])
+        k_modes = min(int(sobol_wind_modes), n_knots)
+        A = ar1_transfer_matrix(scene.wind_model, grid_np)
+        _, _, vt = _np.linalg.svd(A)
+        ch["b_lead"] = _ndtri(take(3 * int(sobol_wind_modes)))[
+            :, : 3 * k_modes
+        ].reshape(n, k_modes, 3).astype(np_dtype)
+        ch["vt"] = vt.astype(np_dtype)
+
+    ch = {k: jnp.asarray(v) for k, v in ch.items()}
+    return _build_scene_jit(scene, ic, ch, keys[11], base_wind, grid)
+
+
+def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
+    """Assemble the batched (Scene, InitialConditions, DispersionSample)
+    from channel draws — the traced tail shared by the prng and sobol
+    paths (the perturbation semantics of `monte_carlo.py:225-335`)."""
+    n = ch["mass_mult"].shape[0]
+    dtype = ch["pos_off"].dtype
+    mass_mult = ch["mass_mult"]
+    wind_speed = ch["wind_speed"]
+    wind_dir = ch["wind_dir"]
 
     # --- rocket: dry + propellant mass scale together (`monte_carlo.py:308-318`)
     rocket = scene.rocket.replace(
@@ -254,12 +338,13 @@ def _sample_impl(
     # (`motor.py:175-183`) — both paths then re-sync propellant mass & burn
     # time (`monte_carlo.py:258-260`).
     mdot_mult = (
-        motor_thrust_mult if scene.motor.mdot_follows_thrust else motor_flow_mult
+        ch["motor_thrust_mult"] if scene.motor.mdot_follows_thrust
+        else ch["motor_flow_mult"]
     )
     new_prop_mass = scene.rocket.propellant_mass * mass_mult
     new_mdot = scene.motor.mass_flow_rate * mdot_mult
     motor = scene.motor.replace(
-        thrust_scale=scene.motor.thrust_scale * motor_thrust_mult,
+        thrust_scale=scene.motor.thrust_scale * ch["motor_thrust_mult"],
         mass_flow_rate=new_mdot,
         propellant_mass=new_prop_mass,
         burn_time=new_prop_mass / new_mdot,
@@ -267,42 +352,24 @@ def _sample_impl(
 
     # --- atmosphere: density dispersion that actually works
     atmosphere = scene.atmosphere.replace(
-        density_scale=scene.atmosphere.density_scale * density_mult
+        density_scale=scene.atmosphere.density_scale * ch["density_mult"]
     )
 
     # --- wind: per-lane profile on a shared grid
-    lane_keys = jax.random.split(keys[11], n)
-    if base_wind is not None:
-        grid = jnp.asarray(base_wind[0], dtype)
-    else:
-        grid = jnp.linspace(0.0, wind_grid_top, wind_grid_points, dtype=dtype)
-
+    lane_keys = jax.random.split(turb_key, n)
     qmc_noise = None
-    if sampler == "sobol" and sobol_wind_modes > 0:
-        # Dimension-ordered turbulence QMC: z = V b with V the right-
-        # singular vectors of the AR(1) transfer matrix; b's top-K rows come
-        # from the Sobol matrix (inverse normal CDF), the tail from prng.
-        # V orthogonal + b ~ N(0, I) marginals => z ~ N(0, I) exactly.
-        import numpy as _np
-        from scipy.special import ndtri as _ndtri
-
-        from ..models.wind import ar1_transfer_matrix
-
-        n_knots = int(grid.shape[0])
-        k_modes = min(int(sobol_wind_modes), n_knots)
-        A = ar1_transfer_matrix(scene.wind_model, _np.asarray(grid))
-        _, _, vt = _np.linalg.svd(A)
-        b_lead = _ndtri(_take_cols(3 * int(sobol_wind_modes)))[
-            :, : 3 * k_modes
-        ].reshape(n, k_modes, 3)
+    if "b_lead" in ch:
+        b_lead = ch["b_lead"]
+        n_knots = grid.shape[0]
+        k_modes = b_lead.shape[1]
         b_tail = jax.random.normal(
-            jax.random.fold_in(keys[11], 1), (n, n_knots - k_modes, 3),
+            jax.random.fold_in(turb_key, 1), (n, n_knots - k_modes, 3),
             dtype=dtype,
         )
-        b = jnp.concatenate(
-            [jnp.asarray(b_lead, dtype), b_tail], axis=1
+        b = jnp.concatenate([jnp.asarray(b_lead, dtype), b_tail], axis=1)
+        qmc_noise = jnp.einsum(
+            "ij,njc->nic", jnp.asarray(ch["vt"].T, dtype), b
         )
-        qmc_noise = jnp.einsum("ij,njc->nic", jnp.asarray(vt.T, dtype), b)
 
     if base_wind is not None:
         base_profile = jnp.asarray(base_wind[1], dtype)
@@ -343,27 +410,33 @@ def _sample_impl(
     )
 
     batched_ic = InitialConditions(
-        position=jnp.asarray(ic.position, dtype) + pos_off,
-        velocity=jnp.asarray(ic.velocity, dtype) + vel_off,
-        attitude=jnp.asarray(ic.attitude, dtype) + att_off,
-        angular_velocity=jnp.asarray(ic.angular_velocity, dtype) + omg_off,
+        position=jnp.asarray(ic.position, dtype) + ch["pos_off"],
+        velocity=jnp.asarray(ic.velocity, dtype) + ch["vel_off"],
+        attitude=jnp.asarray(ic.attitude, dtype) + ch["att_off"],
+        angular_velocity=jnp.asarray(ic.angular_velocity, dtype)
+        + ch["omg_off"],
     )
 
     sample = DispersionSample(
-        initial_position_offset=pos_off,
-        initial_velocity_offset=vel_off,
-        initial_attitude_offset=att_off,
-        initial_angular_velocity_offset=omg_off,
+        initial_position_offset=ch["pos_off"],
+        initial_velocity_offset=ch["vel_off"],
+        initial_attitude_offset=ch["att_off"],
+        initial_angular_velocity_offset=ch["omg_off"],
         mass_multiplier=mass_mult,
-        thrust_multiplier=thrust_mult_recorded,
-        motor_thrust_multiplier=motor_thrust_mult,
-        motor_flow_multiplier=motor_flow_mult,
+        thrust_multiplier=ch["thrust_mult_recorded"],
+        motor_thrust_multiplier=ch["motor_thrust_mult"],
+        motor_flow_multiplier=ch["motor_flow_mult"],
         wind_speed=wind_speed,
         wind_direction=wind_dir,
-        density_multiplier=density_mult,
+        density_multiplier=ch["density_mult"],
         random_seed=jnp.arange(n),
     )
     return batched_scene, batched_ic, sample
+
+
+# The sobol path's jitted assembly: everything downstream of the host-side
+# scipy draw runs as one dispatch (retraces per (shape structure, dtype)).
+_build_scene_jit = jax.jit(_build_scene)
 
 
 def select_lane(batched: Scene, base: Scene, lane) -> Scene:
@@ -396,6 +469,23 @@ _sample_impl_jit = jax.jit(
 _SAMPLE_SIG = inspect.signature(_sample_impl)
 
 
+def _validate_sampling(a: dict) -> None:
+    """Shared argument validation for both sampler paths."""
+    n = a["n"]
+    if a["antithetic"] and n % 2 != 0:
+        raise ValueError("antithetic sampling needs an even n")
+    if a["sampler"] not in ("prng", "sobol"):
+        raise ValueError(f"unknown sampler {a['sampler']!r}")
+    if a["sampler"] == "sobol" and a["antithetic"]:
+        raise ValueError("sobol sampling is already balanced; drop antithetic")
+    if a["sobol_scrambles"] < 1 or (
+        a["sampler"] == "sobol" and n % a["sobol_scrambles"]
+    ):
+        raise ValueError("n must be a positive multiple of sobol_scrambles")
+    if a["sobol_wind_modes"] and a["sampler"] != "sobol":
+        raise ValueError("sobol_wind_modes requires sampler='sobol'")
+
+
 def sample_dispersions(*args, **kwargs):
     """Draw ``n`` dispersed (Scene, InitialConditions) lanes — see
     ``_sample_impl`` for the full signature and contract. The prng path runs
@@ -405,8 +495,13 @@ def sample_dispersions(*args, **kwargs):
     bound = _SAMPLE_SIG.bind(*args, **kwargs)
     bound.apply_defaults()
     a = dict(bound.arguments)
+    _validate_sampling(a)
     if a["sampler"] == "sobol":
-        return _sample_impl(**a)
+        return _sample_sobol(
+            a["key"], a["scene"], a["ic"], a["params"], a["n"],
+            a["base_wind"], a["wind_grid_points"], a["wind_grid_top"],
+            a["dtype"], a["sobol_scrambles"], a["sobol_wind_modes"],
+        )
     if a["base_wind"] is not None:
         a["base_wind"] = (
             jnp.asarray(a["base_wind"][0]), jnp.asarray(a["base_wind"][1])

@@ -295,3 +295,33 @@ def test_sobol_scrambles_rqmc_error():
                              sampler="sobol")
     a2 = an2.run_monte_carlo(ic, n_samples=96, lane_slab=32)
     assert len(a2["qmc_error"]["apogee_altitude"]["block_means"]) == 3
+
+
+def test_analyzer_antithetic_end_to_end():
+    """antithetic= must be plumbed through MonteCarloAnalyzer (VERDICT r2
+    weak #3): the drawn scalar channels mirror in pairs, the run completes,
+    and by-key resimulation regenerates the same lanes."""
+    from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    an = MonteCarloAnalyzer(scene=scene, sim_config=SimConfig(max_time=3.0),
+                            antithetic=True)
+    n = 64
+    a = an.run_monte_carlo(ic, n_samples=n)
+    assert a["n_samples"] + a["n_outliers"] == n
+    mm = np.asarray(a["sample"].mass_multiplier)
+    # mirrored pairs around the channel center (1.0 for multipliers)
+    np.testing.assert_allclose(
+        mm[: n // 2] + mm[n // 2:], 2.0, rtol=0, atol=1e-12
+    )
+    att = np.asarray(a["sample"].initial_attitude_offset)
+    np.testing.assert_allclose(
+        att[: n // 2] + att[n // 2:], 0.0, atol=1e-12
+    )
+    # by-key lane re-simulation respects the antithetic draw
+    s, _ = an.resimulate_trajectories([0], SimConfig(max_time=3.0))
+    np.testing.assert_allclose(
+        float(s.apogee_altitude[0]),
+        float(np.asarray(a["summary"].apogee_altitude)[0]), rtol=1e-12,
+    )

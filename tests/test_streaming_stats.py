@@ -144,11 +144,16 @@ def test_100m_lane_cpu_smoke():
     """100M lanes on one host with O(slab) memory: tiny flight window,
     coarse rail step, 5-knot wind grid. The point is that it RUNS — stats
     stream, per-lane arrays stay capped, nothing concatenates 100M values."""
+    from erpl_monte_carlo_sim_tpu.mc import OutlierBounds
+
     mc = MonteCarloAnalyzer(
         scene=nominal_scene(liquid_motor()),
         sim_config=SimConfig(max_time=0.1, rail_dt=0.1),
         wind_grid_points=5,
         metrics_sample_cap=100_000,
+        # a 0.1 s window never clears the 100 m tower bound — accept the
+        # sub-tower "apogees" so the streamed stats have valid lanes
+        bounds=OutlierBounds(min_apogee=-1.0),
     )
     analysis = mc.run_monte_carlo(
         InitialConditions.vertical_launch(), n_samples=100_000_000,
@@ -159,3 +164,4 @@ def test_100m_lane_cpu_smoke():
     assert analysis["metrics_is_sample"]
     assert len(analysis["metrics"]["apogee_altitude"]) == 100_000
     assert np.isfinite(analysis["apogee_altitude"]["mean"])
+    assert analysis["n_samples"] > 0
