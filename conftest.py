@@ -23,3 +23,10 @@ import jax  # noqa: E402
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# The persistent compilation cache exists for the tunneled TPU (cold
+# compiles are minutes there); under the CPU test config it buys little
+# and its zstd serialize/deserialize path segfaulted twice mid-suite
+# (jit_simulate_flight-sized executables, crash in
+# compilation_cache.put/get_executable_and_time). Tests run cache-free;
+# analyzer constructors calling enable_persistent_cache become no-ops.
+jax.config.update("jax_enable_compilation_cache", False)

@@ -51,15 +51,84 @@ def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,
     return simulate_summary_batch(scene_b, ic_b, cfg)
 
 
+def _histogram_percentiles(v, m, cnt, vmin, vmax, qs, n_bins):
+    """Collective percentile estimate WITHOUT gathering the data: a global
+    fixed-bin histogram (one psum of [n_bins]) locates each target rank's
+    bucket, then one refinement histogram per target (one psum of
+    [n_targets, n_bins]) restricted to that bucket narrows the value to
+    (range / n_bins^2) — ~6 mm on an 80 km apogee span at 4096 bins, far
+    below the <0.1%-of-sigma bound the tests pin. Ranks follow
+    np.percentile's linear rule (r = q/100 * (cnt-1)); within the final
+    refined bucket the mass is treated as uniform.
+    """
+    dtype = v.dtype
+    span = jnp.maximum(vmax - vmin, jnp.asarray(1e-30, dtype))
+    w = span / n_bins
+    mw = m.astype(dtype)
+
+    def local_hist(lo, width, k):
+        # [targets..., n_bins] masked histogram of the SHARD's values
+        idx = jnp.clip(((v - lo[..., None]) / width[..., None])
+                       .astype(jnp.int32), 0, k - 1)
+        in_rng = (v >= lo[..., None]) & (v < lo[..., None] + width[..., None] * k)
+        wts = jnp.where(in_rng, mw, 0.0)
+        if idx.ndim == 1:
+            return jnp.zeros((k,), dtype).at[idx].add(wts)
+        flat = idx + (jnp.arange(idx.shape[0], dtype=jnp.int32)[:, None] * k)
+        return jnp.zeros((idx.shape[0] * k,), dtype).at[
+            flat.reshape(-1)
+        ].add(wts.reshape(-1)).reshape(idx.shape[0], k)
+
+    # pass 1: global coarse histogram
+    hist = jax.lax.psum(
+        local_hist(vmin[None], w[None], n_bins)[0], BATCH_AXIS
+    )
+    cdf = jnp.cumsum(hist)
+    ranks = qs / 100.0 * jnp.maximum(cnt - 1, 0).astype(dtype)  # [T]
+    # rank r sits in the first bucket whose cumulative mass EXCEEDS r
+    bucket = jnp.searchsorted(cdf, ranks, side="right")
+    bucket = jnp.clip(bucket, 0, n_bins - 1)
+    below = jnp.where(bucket > 0, cdf[jnp.maximum(bucket - 1, 0)], 0.0)
+
+    # pass 2: refined histogram inside each target's bucket
+    lo2 = vmin + bucket.astype(dtype) * w  # [T]
+    w2 = w / n_bins
+    hist2 = jax.lax.psum(
+        local_hist(lo2, jnp.broadcast_to(w2, lo2.shape), n_bins), BATCH_AXIS
+    )  # [T, n_bins]
+    cdf2 = jnp.cumsum(hist2, axis=1)
+    within = ranks - below  # mass below the target inside the bucket
+    b2 = jnp.clip(
+        jax.vmap(lambda c, r: jnp.searchsorted(c, r, side="right"))(
+            cdf2, within
+        ),
+        0, n_bins - 1,
+    )
+    below2 = jnp.where(
+        b2 > 0,
+        jnp.take_along_axis(cdf2, jnp.maximum(b2 - 1, 0)[:, None], 1)[:, 0],
+        0.0,
+    )
+    in_bucket = jnp.take_along_axis(hist2, b2[:, None], 1)[:, 0]
+    frac = jnp.where(in_bucket > 0, (within - below2) / in_bucket, 0.5)
+    est = lo2 + (b2.astype(dtype) + jnp.clip(frac, 0.0, 1.0)) * w2
+    return jnp.clip(est, vmin, vmax)
+
+
 def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
-                     mesh: Mesh) -> dict:
+                     mesh: Mesh,
+                     exact_percentile_threshold: int = 2_097_152,
+                     percentile_bins: int = 4096) -> dict:
     """Masked mean/std/min/max/count/percentiles with explicit collectives.
 
     ``values``/``mask`` are [n] arrays sharded (or shardable) along the batch
     axis; ``mask=None`` means all lanes (non-finite values are always
-    excluded). Moment accumulators ride ``psum`` over ICI; percentiles use
-    one ``all_gather`` of the scalar metric (4 bytes/lane — cheap even at
-    10M lanes) followed by a replicated sort.
+    excluded). Moment accumulators ride ``psum`` over ICI. Percentiles: for
+    n up to ``exact_percentile_threshold``, one ``all_gather`` of the scalar
+    metric followed by a replicated sort (EXACT np.percentile semantics);
+    beyond it, the two-pass collective histogram (``_histogram_percentiles``
+    — O(n_bins) communication instead of O(n) gather + replicated O(n log n)
+    sort, error bounded by range/n_bins^2).
 
     Multi-host safe: when ``values`` is already a global sharded array (a
     ``jax.distributed`` run), the ``device_put`` is a no-op and the psum
@@ -67,6 +136,7 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
     (a host-local mask array cannot be placed onto non-addressable devices).
     """
     n = values.shape[0]
+    use_hist = n > exact_percentile_threshold
     values = jax.device_put(values, NamedSharding(mesh, P(BATCH_AXIS)))
     if mask is None:
         mask = jnp.ones_like(values, dtype=bool)  # inherits values' sharding
@@ -102,15 +172,22 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
             jax.lax.psum(jnp.sum(d * d), BATCH_AXIS) / denom, 0.0
         )
 
-        # Exact percentiles: gather every shard's masked metric, sort once.
-        all_v = jax.lax.all_gather(jnp.where(m, v, big), BATCH_AXIS, tiled=True)
-        sorted_v = jnp.sort(all_v)
         qs = jnp.asarray(PERCENTILES, v.dtype)
-        idx = qs / 100.0 * jnp.maximum(cnt - 1, 0).astype(v.dtype)
-        lo = jnp.floor(idx).astype(jnp.int32)
-        hi = jnp.ceil(idx).astype(jnp.int32)
-        frac = idx - lo.astype(v.dtype)
-        pct = sorted_v[lo] + (sorted_v[hi] - sorted_v[lo]) * frac
+        if use_hist:
+            pct = _histogram_percentiles(
+                v, m, cnt, vmin, vmax, qs, percentile_bins
+            )
+        else:
+            # Exact percentiles: gather every shard's masked metric, sort.
+            all_v = jax.lax.all_gather(
+                jnp.where(m, v, big), BATCH_AXIS, tiled=True
+            )
+            sorted_v = jnp.sort(all_v)
+            idx = qs / 100.0 * jnp.maximum(cnt - 1, 0).astype(v.dtype)
+            lo = jnp.floor(idx).astype(jnp.int32)
+            hi = jnp.ceil(idx).astype(jnp.int32)
+            frac = idx - lo.astype(v.dtype)
+            pct = sorted_v[lo] + (sorted_v[hi] - sorted_v[lo]) * frac
         return {
             "mean": mean,
             "std": jnp.sqrt(var),

@@ -166,6 +166,32 @@ def test_make_global_batch_base_tree_classification(mesh):
     assert out2["shared_grid"].sharding.spec == P("batch")
 
 
+def test_collective_histogram_percentiles(mesh):
+    """Beyond exact_percentile_threshold, collective_stats switches to the
+    two-pass histogram estimate: O(n_bins) communication instead of an O(n)
+    all_gather + replicated sort. Error must stay far below the 0.1%-of-
+    sigma bound at a representative lane count (below it, order-statistic
+    gaps dominate — that regime keeps the exact path)."""
+    rng = np.random.default_rng(0)
+    n = 262_144
+    vals = jnp.array(rng.normal(5000.0, 800.0, size=n))
+    mask = jnp.array(rng.uniform(size=n) > 0.25)
+    exact = masked_stats(vals, mask)
+    hist = collective_stats(vals, mask, mesh, exact_percentile_threshold=1024)
+    for k in ("mean", "std", "min", "max", "n"):
+        np.testing.assert_allclose(float(hist[k]), float(exact[k]), rtol=1e-12)
+    err = np.abs(
+        np.asarray(hist["percentiles"]) - np.asarray(exact["percentiles"])
+    ) / float(exact["std"])
+    assert err.max() < 1e-4, err
+    # default threshold keeps the exact path for this n
+    ex2 = collective_stats(vals, mask, mesh)
+    np.testing.assert_allclose(
+        np.asarray(ex2["percentiles"]), np.asarray(exact["percentiles"]),
+        rtol=1e-12,
+    )
+
+
 def test_sharded_hot_loop_is_collective_free(mesh):
     """PROVE the design claim in parallel/sharded.py (lanes embarrassingly
     parallel; zero communication in the hot loop) at the compiled-HLO level:

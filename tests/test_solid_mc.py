@@ -47,7 +47,7 @@ def test_solid_motor_mc_end_to_end():
     # Solid dispersion semantics: thrust multiplier shifts apogee and mdot,
     # and burn time re-syncs (motor.py:119, monte_carlo.py:258-260)
     sample = a["sample"]
-    scene_b, _, _ = mc._last_batch
+    scene_b, _ = mc._last_batch
     np.testing.assert_allclose(
         np.asarray(scene_b.motor.mass_flow_rate),
         4.26 * np.asarray(sample.motor_thrust_multiplier),
