@@ -25,7 +25,8 @@ from .utils.logging import configure, get_logger
 
 log = get_logger("example")
 
-from .engine import InitialConditions, SimConfig, simulate_flight
+from .engine import InitialConditions, SimConfig
+from .engine.batch import simulate_flight_batch
 from .mc import MonteCarloAnalyzer
 from .models import WindField, liquid_motor, load_wind_profile_from_csv, nominal_scene
 from .reporting import (
@@ -61,8 +62,16 @@ def main(n_samples: int = 50, stabilized: bool = False):
         log.info("(stabilized aero: energy-consistent drag decomposition ON)")
 
     log.info("\nRunning single simulation...")
-    summary, traj = jax.jit(simulate_flight, static_argnums=2)(
-        scene_with_wind, ic, cfg
+    # Component-core recorder at B=1 (the same engine the MC runs; the
+    # stacked-vector simulate_flight is the test oracle only). On the
+    # tunneled TPU this is minutes faster than the stacked scan, whose
+    # per-instruction dispatch cost is documented in NOTES.md.
+    ic_1 = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (1,) + np.shape(x)).copy(),
+        ic,
+    )
+    summary, traj = jax.tree.map(
+        lambda x: x[0], simulate_flight_batch(scene_with_wind, ic_1, cfg)
     )
     results = to_results_dict(scene_with_wind, summary, traj, cfg,
                               initial_conditions=ic)
