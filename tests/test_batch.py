@@ -45,7 +45,10 @@ def _compare(scene_b, ic_b, axes, cfg, rtol=5e-7):
             )
 
 
-@pytest.mark.parametrize("motor", ["liquid", "solid"])
+@pytest.mark.parametrize("motor", [
+    "liquid",
+    pytest.param("solid", marks=pytest.mark.slow),
+])
 def test_batch_matches_vmap_dispersed(motor):
     scene = nominal_scene(liquid_motor() if motor == "liquid" else solid_motor())
     ic = InitialConditions.vertical_launch()
@@ -57,6 +60,7 @@ def test_batch_matches_vmap_dispersed(motor):
     _compare(scene_b, ic_b, axes, SimConfig(max_time=6.0))
 
 
+@pytest.mark.slow
 def test_batch_matches_vmap_full_flight_events():
     # Full flights to landing: parachute latch, coast timeout, ground stop.
     scene = nominal_scene(liquid_motor())
@@ -69,6 +73,7 @@ def test_batch_matches_vmap_full_flight_events():
              SimConfig(energy_consistent_aero=True), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_batch_matches_vmap_wind_eval_per_step():
     scene = nominal_scene(liquid_motor())
     ic = InitialConditions.vertical_launch()
@@ -80,6 +85,7 @@ def test_batch_matches_vmap_wind_eval_per_step():
              SimConfig(max_time=6.0, wind_eval_per_step=True))
 
 
+@pytest.mark.slow
 def test_batch_bf16_wind_stats_drift_below_noise():
     # SimConfig.wind_table_bf16 rounds the stored wind table (~0.4% rel) —
     # far below the AR(1) turbulence sigma (~2 m/s). Pin that the summary

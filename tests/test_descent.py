@@ -139,6 +139,7 @@ def test_tiered_dt_low_apogee_guard():
         assert int(t.n_steps[0]) < int(p.n_steps[0]) / 3
 
 
+@pytest.mark.slow
 def test_resimulate_runs_tiered_cfg_exactly():
     """Trajectory re-simulation runs the SAME SimConfig the MC ran (tiered
     flags included, on the component recorder) — re-simulated summaries

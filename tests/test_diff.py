@@ -30,6 +30,7 @@ def test_diff_path_matches_while_loop(scene, ic):
     assert float(apo_sc) == pytest.approx(float(apo_wl), rel=1e-10)
 
 
+@pytest.mark.slow
 def test_apogee_gradient_vs_finite_difference(scene, ic):
     apo, grad = apogee_and_grad(scene, ic, CFG, wrt="motor.thrust_scale")
     assert float(apo) == pytest.approx(25194.3, rel=1e-3)
@@ -47,11 +48,13 @@ def test_apogee_gradient_vs_finite_difference(scene, ic):
     assert float(grad) == pytest.approx(fd, rel=2e-2)
 
 
+@pytest.mark.slow
 def test_gradient_wrt_dry_mass_negative(scene, ic):
     _, grad = apogee_and_grad(scene, ic, CFG, wrt="rocket.dry_mass")
     assert float(grad) < 0.0  # heavier rocket flies lower
 
 
+@pytest.mark.slow
 def test_record_stride_consistency(scene, ic):
     """Strided trajectory recording: same physics, 1/N records."""
     from erpl_monte_carlo_sim_tpu.engine import simulate_flight

@@ -236,6 +236,7 @@ def test_sobol_sampling():
         sample_dispersions(k, scene, ic, n=8, sampler="halton")
 
 
+@pytest.mark.slow
 def test_analyzer_sobol_end_to_end():
     """MonteCarloAnalyzer(sampler='sobol') runs, produces finite stats, and
     re-simulates lanes deterministically."""
@@ -297,6 +298,7 @@ def test_sobol_scrambles_rqmc_error():
     assert len(a2["qmc_error"]["apogee_altitude"]["block_means"]) == 3
 
 
+@pytest.mark.slow
 def test_analyzer_antithetic_end_to_end():
     """antithetic= must be plumbed through MonteCarloAnalyzer (VERDICT r2
     weak #3): the drawn scalar channels mirror in pairs, the run completes,

@@ -22,6 +22,7 @@ from erpl_monte_carlo_sim_tpu.mc import UncertaintyParams, sample_dispersions, s
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
 
 
+@pytest.mark.slow
 def test_interpret_matches_xla_path():
     cfg = SimConfig(max_time=6.0)
     scene = nominal_scene(liquid_motor())
@@ -57,6 +58,7 @@ def test_interpret_matches_xla_path():
     )
 
 
+@pytest.mark.slow
 def test_component_kernel_interpret_matches_xla():
     """Component-form kernel (flat [P]-lane state, no vector arrays):
     interpret-mode equivalence on dispersed lanes."""

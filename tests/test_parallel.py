@@ -46,6 +46,7 @@ def test_collective_stats_matches_masked_stats(mesh):
     )
 
 
+@pytest.mark.slow
 def test_sharded_run_matches_single_device(mesh):
     """The same 16-lane dispersed batch must produce identical summaries
     sharded over 8 devices and on one device."""
@@ -81,6 +82,7 @@ def test_sharded_run_matches_single_device(mesh):
     assert len(sharded.apogee_altitude.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_chunked_batch_matches_vmap():
     """Host-chunked batch execution is lane-for-lane equivalent to the
     vmapped while_loop path (used to bound per-call device time on
@@ -116,6 +118,7 @@ def test_chunked_batch_matches_vmap():
     assert len(chunks_seen) >= 2  # really chunked
 
 
+@pytest.mark.slow
 def test_analyzer_with_mesh(mesh):
     """MonteCarloAnalyzer(mesh=...) shards the lane axis across devices and
     produces a normal analysis dict."""

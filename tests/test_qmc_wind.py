@@ -94,6 +94,7 @@ def test_modes_clamped_to_grid_and_guards():
         )
 
 
+@pytest.mark.slow
 def test_analyzer_passes_wind_modes_through():
     from erpl_monte_carlo_sim_tpu.engine import SimConfig
     from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer

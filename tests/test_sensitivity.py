@@ -33,6 +33,7 @@ def _apogee_at(scene, ic, overrides):
     return float(simulate_apogee_diff(s2, ic2, CFG))
 
 
+@pytest.mark.slow
 def test_gradients_finite_and_match_fd():
     scene = nominal_scene(liquid_motor())
     ic = InitialConditions.vertical_launch()
@@ -55,6 +56,7 @@ def test_gradients_finite_and_match_fd():
         np.testing.assert_allclose(ad, fd, rtol=2e-2, atol=0.5), k
 
 
+@pytest.mark.slow
 def test_variance_budget_structure():
     scene = nominal_scene(liquid_motor())
     ic = InitialConditions.vertical_launch()
@@ -170,6 +172,7 @@ def test_landing_metric_gradients_match_fd():
         np.testing.assert_allclose(float(g), fd, rtol=rtol, err_msg=metric)
 
 
+@pytest.mark.slow
 def test_optimizer_fixed_relative_step():
     """Sign-ascent step magnitude is lr (or 2% of v0) — regression: the old
     rule divided by |grad|, exploding near the optimum."""

@@ -70,6 +70,7 @@ def test_slabbed_deterministic(slabbed_analysis):
     assert a2["apogee_altitude"] == analysis["apogee_altitude"]
 
 
+@pytest.mark.slow
 def test_slabbed_independent_of_slab_size_per_lane_keys():
     # Slab size changes batching, not lane identities *within* a slab — but
     # slabbed runs are keyed per slab, so identical slab size is the

@@ -10,6 +10,7 @@ from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer, UncertaintyParams
 from erpl_monte_carlo_sim_tpu.models import nominal_scene, solid_motor
 
 
+@pytest.mark.slow
 def test_solid_motor_mc_end_to_end():
     scene = nominal_scene(solid_motor())
     # Motor-dispersion-only configuration: zero wind/turbulence AND zero
@@ -59,6 +60,7 @@ def test_solid_motor_mc_end_to_end():
     assert np.corrcoef(mult, apo)[0, 1] > 0.3
 
 
+@pytest.mark.slow
 def test_graft_entry_points():
     """The driver contract: entry() compiles single-chip; dryrun_multichip
     shards over all virtual devices."""

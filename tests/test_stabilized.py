@@ -66,6 +66,7 @@ def test_csv_wind_flight_stabilized(fn):
     assert not bool(good.diverged)
 
 
+@pytest.mark.slow
 def test_mc_with_wind_all_valid():
     scene = nominal_scene(liquid_motor())
     alts, wind = load_wind_profile_from_csv(SAMPLE_CSV)

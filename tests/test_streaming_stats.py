@@ -81,6 +81,7 @@ def test_nonfinite_dropped_and_empty():
 CFG = SimConfig(max_time=3.0)
 
 
+@pytest.mark.slow
 def test_analyzer_streaming_matches_exact_same_lanes():
     """Force streaming at small scale: identical lanes (same seed/slab), so
     exact moments must agree to float noise and sketch percentiles within

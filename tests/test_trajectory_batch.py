@@ -116,6 +116,7 @@ def test_flight_batch_tiered_full_flight(dispersed_batch):
     )
 
 
+@pytest.mark.slow
 def test_record_stride_subsamples(dispersed_batch):
     """stride-S records are exactly the stride-1 records at steps 0, S, 2S…
     (recording is observational: physics unchanged)."""
