@@ -195,6 +195,21 @@ def test_collective_histogram_percentiles(mesh):
     )
 
 
+def test_collective_histogram_degenerate_span(mesh):
+    """All-valid-values-equal: the coarse span collapses; the clamp on
+    span (1e-30) plus the final clip to [vmin, vmax] must still return the
+    exact common value for every percentile, with skewed masks."""
+    n = 4096
+    vals = jnp.full((n,), 1234.5)
+    mask = jnp.arange(n) % 3 != 0
+    got = collective_stats(vals, mask, mesh, exact_percentile_threshold=64)
+    np.testing.assert_allclose(
+        np.asarray(got["percentiles"]), np.full(5, 1234.5), rtol=0, atol=0
+    )
+    assert float(got["std"]) == 0.0
+    assert int(got["n"]) == int(np.asarray(mask).sum())
+
+
 def test_sharded_hot_loop_is_collective_free(mesh):
     """PROVE the design claim in parallel/sharded.py (lanes embarrassingly
     parallel; zero communication in the hot loop) at the compiled-HLO level:
