@@ -172,6 +172,13 @@ class MonteCarloAnalyzer:
         self.antithetic = antithetic
         # Streaming-statistics mode engages above this many lanes (see
         # _run_slabbed); below it the slab loop keeps exact host arrays.
+        if stats_stream_threshold < 1 or metrics_sample_cap < 1:
+            # cap=0 would leave the per-lane metric lists empty and crash
+            # the end-of-run concatenate AFTER the whole simulation; fail
+            # at construction instead (found by review, round 3).
+            raise ValueError(
+                "stats_stream_threshold and metrics_sample_cap must be >= 1"
+            )
         self.stats_stream_threshold = stats_stream_threshold
         self.metrics_sample_cap = metrics_sample_cap
         # Synthesized per-lane wind profile grid (reference: 100 points,
@@ -392,12 +399,19 @@ class MonteCarloAnalyzer:
         Beyond ``stats_stream_threshold`` lanes, per-lane accumulation
         switches to STREAMING mode with O(slab) host memory: moments and
         min/max accumulate exactly, percentiles come from a mergeable
-        quantile sketch (``mc.stats.StreamingStats``; error <0.1% of sigma,
-        pinned by test), and ``metrics``/``valid_mask``/``reasons`` hold
-        only the first ``metrics_sample_cap`` lanes — an unbiased i.i.d.
-        sample (lanes are keyed independently), flagged by
-        ``analysis["metrics_is_sample"]``. A 100M-lane run no longer
-        concatenates 4x100M host arrays and sorts them.
+        quantile sketch (``mc.stats.StreamingStats``; rank error
+        ~1/(2*max_centroids) of mass — <0.1% of sigma on unimodal metrics,
+        pinned by test; see the sketch's multi-modal caveat), and
+        ``metrics``/``valid_mask``/``reasons`` hold only the first
+        ``metrics_sample_cap`` lanes, flagged by
+        ``analysis["metrics_is_sample"]``. For prng runs that prefix is an
+        unbiased i.i.d. sample (lanes are keyed independently). For
+        sobol/antithetic runs each lane is still marginally unbiased but
+        the prefix is NOT independent (a scrambled-Sobol prefix is
+        negatively correlated, and an antithetic prefix drops mirror
+        partners), so variance estimates computed from it are biased —
+        use the streamed stats blocks, which see every lane. A 100M-lane
+        run no longer concatenates 4x100M host arrays and sorts them.
         """
         t_start = time.time()
         key = jax.random.PRNGKey(seed)
@@ -568,8 +582,9 @@ class MonteCarloAnalyzer:
             "summary": None,
             "metrics": metrics,
             # Streaming runs cap the per-lane arrays at metrics_sample_cap
-            # lanes (an i.i.d. sample — each lane is independently keyed);
-            # stats above come from exact moments + the quantile sketch.
+            # lanes (i.i.d. for prng; see _run_slabbed docstring for the
+            # sobol/antithetic correlation caveat); stats above come from
+            # exact moments + the quantile sketch over EVERY lane.
             "metrics_is_sample": streaming,
             "n_total": n_samples,
             "sample": None,

@@ -157,16 +157,9 @@ def _sample_impl(
     """
     if dtype is None:
         dtype = jnp.asarray(scene.rocket.dry_mass).dtype
-    if antithetic and n % 2 != 0:
-        raise ValueError("antithetic sampling needs an even n")
-    if sampler not in ("prng", "sobol"):
-        raise ValueError(f"unknown sampler {sampler!r}")
-    if sampler == "sobol" and antithetic:
-        raise ValueError("sobol sampling is already balanced; drop antithetic")
-    if sobol_scrambles < 1 or (sampler == "sobol" and n % sobol_scrambles):
-        raise ValueError("n must be a positive multiple of sobol_scrambles")
-    if sobol_wind_modes and sampler != "sobol":
-        raise ValueError("sobol_wind_modes requires sampler='sobol'")
+    # Argument validation lives in _validate_sampling (the public
+    # sample_dispersions runs it for both sampler paths); only the
+    # internal routing invariant is asserted here.
     if sampler == "sobol":
         raise ValueError("_sample_impl is the prng path; use _sample_sobol")
     keys = jax.random.split(key, 12)

@@ -78,9 +78,15 @@ def _compress_centroids(vals: np.ndarray, weights: np.ndarray, k: int):
 
     Points are bucketed by the midpoint of their cumulative mass (so the
     assignment is monotone in value order and bucket means stay sorted);
-    each bucket collapses to its weighted mean. Quantile error after
-    interpolation is ~(1/2k) of total mass, i.e. the local density sets the
-    value error — pinned <0.1% of sigma by tests/test_slabbed.py.
+    each bucket collapses to its weighted mean. The guarantee is on RANK:
+    a quantile estimate after interpolation is within ~(1/2k) of total
+    mass of the target rank. The VALUE error is that rank error times the
+    local inverse density — <0.1% of sigma on unimodal flight metrics
+    (pinned by tests/test_slabbed.py), but across an empty density gap
+    (e.g. a genuinely bimodal metric, split by chute failure) a quantile
+    landing in the gap interpolates with a different slope than
+    np.percentile and the value error can reach ~10% of sigma (measured,
+    round-3 review). Same caveat as any equal-mass quantile sketch.
     """
     order = np.argsort(vals, kind="stable")
     v = vals[order]
@@ -106,6 +112,9 @@ class StreamingStats:
     equal-mass centroid sketch (t-digest-style merge: each batch is
     compressed to ``max_centroids`` weighted centroids, centroids buffer up
     and recompress at 8x, so memory is O(max_centroids) regardless of n).
+    Sketch accuracy is a RANK bound (~1/(2*max_centroids) of total mass);
+    see ``_compress_centroids`` for the value-error caveat on multi-modal
+    metrics.
 
     Exactness fallback: until ``exact_threshold`` total values have been
     added, raw values are retained and percentiles are computed with

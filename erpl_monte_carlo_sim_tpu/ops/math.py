@@ -41,14 +41,23 @@ def safe_norm(v, axis=-1, keepdims=False):
 
 
 def safe_sqrt(x):
-    """sqrt with a NaN-free gradient at exactly zero.
+    """sqrt with a NaN-free gradient at exactly zero; NaN still propagates.
 
     The component-form twin of ``safe_norm`` for already-summed squares:
-    primal is bit-identical to ``jnp.sqrt`` (0 at 0), but the zero-point
-    subgradient is 0 instead of inf — reverse-mode through the
+    primal matches ``jnp.sqrt`` for every x >= 0 AND for NaN, but the
+    zero-point subgradient is 0 instead of inf — reverse-mode through the
     zero-relative-velocity rail start (``engine.diff`` drives the component
-    core) stays finite on the additive wind/attitude channels."""
-    ok = x > 0.0
+    core) stays finite on the additive wind/attitude channels.
+
+    The guard must be ``~(x <= 0)``, not ``x > 0``: both route x == 0 to
+    the constant-0 branch (the gradient fix), but the former sends NaN
+    through ``jnp.sqrt`` so a diverged lane's NaN speed/range stays NaN.
+    ``x > 0`` would launder NaN into 0.0, silently defeating the
+    ``isfinite(speed)`` divergence checks and — in strict-parity mode
+    (``terminate_nonfinite=False``) — letting NaN lanes through the
+    outlier filter with a frozen apogee and range=0 (found by review,
+    round 3)."""
+    ok = ~(x <= 0.0)
     return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
 
 

@@ -125,3 +125,32 @@ def test_batch_shared_wind_table():
         np.asarray(got.rail.rail_exit_speed),
         np.asarray(ref.rail.rail_exit_speed), rtol=5e-7,
     )
+
+
+def test_nan_lane_strict_parity_is_rejected_by_filter():
+    """Regression (round-3 review): safe_sqrt must PROPAGATE NaN, not
+    launder it to 0.0. In strict-parity mode (terminate_nonfinite=False) a
+    lane whose state goes NaN runs to max_steps with its apogee frozen at
+    the last finite value; the outlier filter only sees apogee/range/
+    flight_time, so range must come out NaN for the filter to reject the
+    lane — exactly what the reference's plain np.sqrt does."""
+    from erpl_monte_carlo_sim_tpu.mc import outlier_mask
+
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    n = 2
+    ic_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), ic)
+    # lane 0 healthy, lane 1 NaN velocity from the start
+    vel = np.asarray(ic_b.velocity).copy()
+    vel[1] = np.nan
+    ic_b = ic_b.replace(velocity=jnp.asarray(vel))
+    cfg = SimConfig(max_time=5.0, terminate_nonfinite=False)
+    s = simulate_summary_batch(scene, ic_b, cfg)
+    assert np.isfinite(np.asarray(s.range)[0])
+    assert not np.isfinite(np.asarray(s.range)[1]), (
+        "NaN lane's range was laundered to a finite value"
+    )
+    assert not np.isfinite(np.asarray(s.max_speed)[1])
+    valid, _ = outlier_mask(s)
+    assert bool(np.asarray(valid)[0])
+    assert not bool(np.asarray(valid)[1]), "NaN lane passed the filter"

@@ -127,3 +127,19 @@ def test_interpolate_vec_vmap_batched_table():
           for c in range(3)] for b in range(8)]
     )
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9, atol=1e-9)
+
+
+def test_safe_sqrt_semantics():
+    """Primal matches jnp.sqrt on x >= 0 and on NaN (divergence detection
+    depends on NaN propagating); gradient at exactly 0 is 0, not inf."""
+    import jax
+    from erpl_monte_carlo_sim_tpu.ops.math import safe_sqrt
+
+    x = jnp.asarray([0.0, 1e-300, 4.0, jnp.nan])
+    got = safe_sqrt(x)
+    np.testing.assert_array_equal(np.asarray(got)[:3], np.sqrt(np.asarray(x)[:3]))
+    assert np.isnan(np.asarray(got)[3])
+    g0 = jax.grad(safe_sqrt)(0.0)
+    assert float(g0) == 0.0
+    g4 = jax.grad(safe_sqrt)(4.0)
+    assert float(g4) == 0.25

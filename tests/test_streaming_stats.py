@@ -166,3 +166,17 @@ def test_100m_lane_cpu_smoke():
     assert len(analysis["metrics"]["apogee_altitude"]) == 100_000
     assert np.isfinite(analysis["apogee_altitude"]["mean"])
     assert analysis["n_samples"] > 0
+
+
+def test_analyzer_rejects_degenerate_streaming_knobs():
+    """metrics_sample_cap=0 would crash the end-of-run concatenate AFTER a
+    complete multi-hour run; it must fail at construction instead."""
+    import pytest
+    from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer
+    from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+    scene = nominal_scene(liquid_motor())
+    with pytest.raises(ValueError, match="metrics_sample_cap"):
+        MonteCarloAnalyzer(scene=scene, metrics_sample_cap=0)
+    with pytest.raises(ValueError, match="stats_stream_threshold"):
+        MonteCarloAnalyzer(scene=scene, stats_stream_threshold=0)
