@@ -214,73 +214,25 @@ def _sample_sobol(
     key, scene, ic, params, n, base_wind, wind_grid_points, wind_grid_top,
     dtype, sobol_scrambles, sobol_wind_modes,
 ):
-    """Scrambled-Sobol draw (host scipy; cannot be traced) + ONE jitted
-    scene-assembly dispatch.
+    """Scrambled-Sobol draw — ONE jitted dispatch, fully device-resident.
 
-    The pre-round-3 sobol path ran the whole assembly (AR(1) turbulence
-    scan, QMC rotation, scene building) EAGERLY — measured +2.8 to +3.6 s
-    per 262k slab on the tunneled TPU (per-op dispatch at ~28 ms RTT) vs a
-    ~1.7 s slab simulation. Only the scipy Sobol/ndtri part is inherently
-    host-side; everything downstream now goes through ``_build_scene_jit``.
-    Columns are consumed in a FIXED order so a given (key, n, config)
-    always regenerates identical lanes (determinism-by-key).
+    History: the pre-round-3 sobol path ran EVERYTHING eagerly (measured
+    +2.8 to +3.6 s per 262k slab on the tunneled TPU); round 3 jitted the
+    scene assembly but kept scipy's host-side Sobol + ndtri (0.9 s/slab
+    scalar, 4.3 s/slab with wind modes). This version generates the
+    scrambled-Sobol matrix on device (`ops/sobol.py`: Gray-code XOR
+    construction + hash-based Owen scrambling, Joe-Kuo direction numbers
+    baked from the public table), so the draw fuses into the same dispatch
+    as the scene assembly. The only remaining host work is the [N,N]
+    SVD of the AR(1) transfer matrix for dimension-ordered turbulence QMC
+    (~ms, lane-count independent). Columns are consumed in a FIXED order so
+    a given (key, n, config) always regenerates identical lanes
+    (determinism-by-key).
     """
     import numpy as _np
-    from scipy.special import ndtri as _ndtri
-    from scipy.stats import qmc as _qmc
 
     if dtype is None:
         dtype = jnp.asarray(scene.rocket.dry_mass).dtype
-    np_dtype = _np.dtype(jnp.zeros((), dtype).dtype.name)
-    keys = jax.random.split(key, 12)
-    seeds = _np.asarray(jax.random.bits(keys[0], (sobol_scrambles,), "uint32"))
-    block = n // sobol_scrambles
-    d_sobol = 19 + 3 * int(sobol_wind_modes)
-    u = _np.concatenate([
-        _qmc.Sobol(d=d_sobol, scramble=True,
-                   rng=_np.random.default_rng(int(s))).random(block)
-        for s in seeds
-    ], axis=0)
-    # guard against exact 0/1 before the inverse normal CDF
-    tiny = _np.finfo(_np.float64).tiny
-    u = _np.clip(u, tiny, 1.0 - 1e-12)
-    state = {"next": 0}
-
-    def take(k):
-        i = state["next"]
-        state["next"] = i + k
-        return u[:, i:i + k]
-
-    def normal(shape, sigma):
-        cols = shape[1] if len(shape) > 1 else 1
-        z = _ndtri(take(cols)).reshape(shape).astype(np_dtype)
-        return z * _np.asarray(sigma, np_dtype)
-
-    def uniform(lo, hi):
-        u01 = take(1)[:, 0].astype(np_dtype)
-        return lo + (hi - lo) * u01
-
-    ch = {
-        "pos_off": normal((n, 3), params.initial_position),
-        "vel_off": normal((n, 3), params.initial_velocity),
-        "att_off": normal((n, 3), params.initial_attitude),
-        "omg_off": normal((n, 3), params.initial_angular_velocity),
-        "mass_mult": 1.0 + normal((n,), params.mass_uncertainty),
-        "thrust_mult_recorded": 1.0 + normal((n,), params.thrust_uncertainty),
-        "motor_thrust_mult": 1.0 + normal(
-            (n,), float(_np.asarray(scene.motor.thrust_uncertainty))
-        ),
-        "motor_flow_mult": 1.0 + normal(
-            (n,), float(_np.asarray(scene.motor.mass_flow_uncertainty))
-        ),
-        "wind_speed": uniform(params.wind_speed_range[0],
-                              params.wind_speed_range[1]),
-        "wind_dir": uniform(params.wind_direction_range[0],
-                            params.wind_direction_range[1]),
-        "density_mult": 1.0 + normal(
-            (n,), params.atmospheric_density_uncertainty
-        ),
-    }
     if base_wind is not None:
         grid_np = _np.asarray(base_wind[0], _np.float64)
         base_wind = (jnp.asarray(base_wind[0], dtype),
@@ -290,6 +242,7 @@ def _sample_sobol(
                                int(wind_grid_points))
     grid = jnp.asarray(grid_np, dtype)
 
+    vt = None
     if sobol_wind_modes > 0:
         # Dimension-ordered turbulence QMC: z = V b with V the right-
         # singular vectors of the AR(1) transfer matrix; b's top-K rows come
@@ -297,17 +250,80 @@ def _sample_sobol(
         # V orthogonal + b ~ N(0, I) marginals => z ~ N(0, I) exactly.
         from ..models.wind import ar1_transfer_matrix
 
-        n_knots = int(grid_np.shape[0])
-        k_modes = min(int(sobol_wind_modes), n_knots)
         A = ar1_transfer_matrix(scene.wind_model, grid_np)
-        _, _, vt = _np.linalg.svd(A)
-        ch["b_lead"] = _ndtri(take(3 * int(sobol_wind_modes)))[
-            :, : 3 * k_modes
-        ].reshape(n, k_modes, 3).astype(np_dtype)
-        ch["vt"] = vt.astype(np_dtype)
+        _, _, vt_np = _np.linalg.svd(A)
+        vt = jnp.asarray(vt_np, dtype)
 
-    ch = {k: jnp.asarray(v) for k, v in ch.items()}
-    return _build_scene_jit(scene, ic, ch, keys[11], base_wind, grid)
+    return _sample_sobol_jit(
+        key, scene, ic, grid, base_wind, vt,
+        params=params, n=n, dtype=dtype,
+        sobol_scrambles=sobol_scrambles, sobol_wind_modes=sobol_wind_modes,
+    )
+
+
+def _sample_sobol_impl(
+    key, scene, ic, grid, base_wind, vt, *, params, n, dtype,
+    sobol_scrambles, sobol_wind_modes,
+):
+    """Traced tail of the sobol path: device Sobol matrix -> inverse-CDF
+    channels -> shared scene assembly."""
+    from jax.scipy.special import ndtri
+
+    from ..ops.sobol import sobol_uniform
+
+    keys = jax.random.split(key, 12)
+    d_sobol = 19 + 3 * int(sobol_wind_modes)
+    u = sobol_uniform(keys[0], n, d_sobol, sobol_scrambles, dtype=dtype)
+    state = {"next": 0}
+
+    def take(k):
+        i = state["next"]
+        state["next"] = i + k
+        return u[:, i:i + k]
+
+    def normal(shape, sigma):
+        cols = shape[1] if len(shape) > 1 else 1
+        z = ndtri(take(cols)).reshape(shape)
+        return z * jnp.asarray(sigma, dtype)
+
+    def uniform(lo, hi):
+        return lo + (hi - lo) * take(1)[:, 0]
+
+    ch = {
+        "pos_off": normal((n, 3), params.initial_position),
+        "vel_off": normal((n, 3), params.initial_velocity),
+        "att_off": normal((n, 3), params.initial_attitude),
+        "omg_off": normal((n, 3), params.initial_angular_velocity),
+        "mass_mult": 1.0 + normal((n,), params.mass_uncertainty),
+        "thrust_mult_recorded": 1.0 + normal((n,), params.thrust_uncertainty),
+        "motor_thrust_mult": 1.0 + normal(
+            (n,), jnp.asarray(scene.motor.thrust_uncertainty, dtype)
+        ),
+        "motor_flow_mult": 1.0 + normal(
+            (n,), jnp.asarray(scene.motor.mass_flow_uncertainty, dtype)
+        ),
+        "wind_speed": uniform(params.wind_speed_range[0],
+                              params.wind_speed_range[1]),
+        "wind_dir": uniform(params.wind_direction_range[0],
+                            params.wind_direction_range[1]),
+        "density_mult": 1.0 + normal(
+            (n,), params.atmospheric_density_uncertainty
+        ),
+    }
+    if sobol_wind_modes > 0:
+        k_modes = min(int(sobol_wind_modes), int(grid.shape[0]))
+        ch["b_lead"] = ndtri(take(3 * int(sobol_wind_modes)))[
+            :, : 3 * k_modes
+        ].reshape(n, k_modes, 3)
+        ch["vt"] = vt
+    return _build_scene(scene, ic, ch, keys[11], base_wind, grid)
+
+
+_sample_sobol_jit = jax.jit(
+    _sample_sobol_impl,
+    static_argnames=("params", "n", "dtype", "sobol_scrambles",
+                     "sobol_wind_modes"),
+)
 
 
 def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
@@ -427,11 +443,6 @@ def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
     return batched_scene, batched_ic, sample
 
 
-# The sobol path's jitted assembly: everything downstream of the host-side
-# scipy draw runs as one dispatch (retraces per (shape structure, dtype)).
-_build_scene_jit = jax.jit(_build_scene)
-
-
 def select_lane(batched: Scene, base: Scene, lane) -> Scene:
     """Extract one lane's unbatched Scene from a dispersed batch (leaves that
     gained a batch axis are indexed; shared tables pass through)."""
@@ -449,8 +460,8 @@ def select_lane(batched: Scene, base: Scene, lane) -> Scene:
 # One jit object for the prng path, shared by every caller: sampling was
 # measured to be a multi-second per-call cost when executed EAGERLY on the
 # tunneled TPU (dozens of individually-dispatched ops at ~28 ms RTT plus an
-# eager AR(1) scan); under jit it is one dispatch. The sobol path stays
-# eager (host-side scipy Sobol generation cannot be traced).
+# eager AR(1) scan); under jit it is one dispatch. The sobol path has its
+# own jit object above (device Sobol generation via ops/sobol.py).
 _sample_impl_jit = jax.jit(
     _sample_impl,
     static_argnames=("params", "n", "wind_grid_points", "wind_grid_top",
@@ -477,13 +488,24 @@ def _validate_sampling(a: dict) -> None:
         raise ValueError("n must be a positive multiple of sobol_scrambles")
     if a["sobol_wind_modes"] and a["sampler"] != "sobol":
         raise ValueError("sobol_wind_modes requires sampler='sobol'")
+    if a["sampler"] == "sobol":
+        from ..ops.sobol import max_dims
+
+        d = 19 + 3 * a["sobol_wind_modes"]
+        if d > max_dims():
+            raise ValueError(
+                f"sobol draw needs {d} dimensions but the baked direction-"
+                f"number table has {max_dims()}; lower sobol_wind_modes or "
+                "regenerate with scripts/gen_sobol_directions.py"
+            )
 
 
 def sample_dispersions(*args, **kwargs):
     """Draw ``n`` dispersed (Scene, InitialConditions) lanes — see
-    ``_sample_impl`` for the full signature and contract. The prng path runs
-    as ONE jitted dispatch (keyed on the static sampling configuration); the
-    sobol path stays eager (host-side scipy). Defaults are bound from
+    ``_sample_impl`` for the full signature and contract. Both sampler paths
+    run as ONE jitted dispatch (keyed on the static sampling configuration);
+    the sobol path's only host work is the small AR(1) SVD for
+    dimension-ordered turbulence QMC. Defaults are bound from
     ``_sample_impl``'s own signature so the two can never drift."""
     bound = _SAMPLE_SIG.bind(*args, **kwargs)
     bound.apply_defaults()

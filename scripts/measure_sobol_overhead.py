@@ -1,10 +1,12 @@
 """Quantify sobol-sampling overhead at slab scale (VERDICT r2 item 6).
 
-The prng sampling path runs as ONE jitted dispatch; the sobol path stays
-eager (host scipy Sobol + ndtri cannot be traced), so each 262k-lane slab
-pays host generation + per-op dispatch on the tunneled TPU. This measures
-both (and the turbulence-QMC variant) so the slab-scale cost is a recorded
-number, not a guess.
+Both sampler paths now run as ONE jitted dispatch: the sobol draw is
+generated ON DEVICE (ops/sobol.py — Gray-code XOR construction +
+hash-based Owen scrambling) and fuses with the scene assembly; the only
+host work left is the small AR(1) SVD for turbulence-mode QMC. The
+pre-device-path numbers (host scipy Sobol + ndtri): 0.89 s/262k slab
+scalar, 4.3 s/slab with wind24. This measures the current cost per slab
+so it stays a recorded number, not a guess.
 
 Run: PYTHONPATH=.:/root/.axon_site python scripts/measure_sobol_overhead.py
 """
