@@ -1,0 +1,58 @@
+"""Capstone: 100,000,000 dispersed 1k-step 6DOF flights on ONE TPU chip,
+through the PRODUCTION analyzer path (sampling, simulation, outlier
+filtering, streaming statistics + mergeable quantile sketch) with O(slab)
+host memory.
+
+This is 100x the BASELINE.json config-5 workload (which targeted a full
+v5e mesh for 10M lanes) executed end-to-end on a single chip: the
+auto-slab loop bounds per-call device work under the axon runtime's
+execution cap, and past ``stats_stream_threshold`` lanes the per-lane
+metric arrays never materialize on the host (the 10M-lane ledger entry in
+NOTES.md measured the sketch's per-slab cost as unobservable).
+
+Run: PYTHONPATH=.:/root/.axon_site python scripts/hundred_million_flights.py
+"""
+import json
+import resource
+import time
+
+from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer
+from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
+
+N = 100_000_000
+SLAB = 262_144  # the measured single-chip operating point (bench.py)
+
+
+def main():
+    enable_persistent_cache()
+    mc = MonteCarloAnalyzer(
+        scene=nominal_scene(liquid_motor()),
+        sim_config=SimConfig(max_time=6.0),  # the 1k-step bench config
+    )
+    ic = InitialConditions.vertical_launch()
+    t0 = time.time()
+    a = mc.run_monte_carlo(ic, n_samples=N, lane_slab=SLAB, seed=7)
+    wall = time.time() - t0
+    print(json.dumps({
+        "total_flights": a["n_total"],
+        "valid": a["n_samples"],
+        "outliers": a["n_outliers"],
+        "steps": 1048,
+        "wall_s": round(wall, 1),
+        "traj_per_s": round(a["n_total"] / wall, 0),
+        "apogee_mean_m": round(a["apogee_altitude"]["mean"], 2),
+        "apogee_std_m": round(a["apogee_altitude"]["std"], 2),
+        # percentiles list is [5, 25, 50, 75, 95] (mc/stats.py PERCENTILES)
+        "apogee_p50_m": round(a["apogee_altitude"]["percentiles"][2], 2),
+        "metrics_is_sample": a["metrics_is_sample"],
+        "host_peak_rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 0
+        ),
+        "chips": 1,
+    }))
+
+
+if __name__ == "__main__":
+    main()
