@@ -31,6 +31,7 @@ from .mc import MonteCarloAnalyzer
 from .models import WindField, liquid_motor, load_wind_profile_from_csv, nominal_scene
 from .reporting import (
     create_output_directory,
+    plot_landing_footprint,
     plot_results,
     plot_single_simulation,
     plot_thrust_twr,
@@ -105,6 +106,12 @@ def main(n_samples: int = 50, stabilized: bool = False):
     save_simulation_results(mc, analysis, output_dir)
     plot_results(analysis, output_dir)
     if analysis["n_samples"]:
+        fp = analysis["landing_footprint"]
+        log.info(f"Landing footprint: mean ({fp['mean_m'][0]:.0f}, "
+                 f"{fp['mean_m'][1]:.0f}) m  CEP {fp['cep_m']:.0f} m  "
+                 f"95% ellipse {fp['ellipse95']['semi_major_m']:.0f} x "
+                 f"{fp['ellipse95']['semi_minor_m']:.0f} m")
+        plot_landing_footprint(analysis, output_dir)
         plot_trajectory_cloud(mc, analysis, output_dir)
         plot_trajectory_cloud_3d(mc, analysis, output_dir)
     plot_single_simulation(results, output_dir)

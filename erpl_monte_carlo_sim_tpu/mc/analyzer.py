@@ -32,7 +32,12 @@ from ..models.scene import Scene, nominal_scene
 from ..utils.logging import get_logger
 from .dispersions import UncertaintyParams, sample_dispersions
 from .filter import OutlierBounds, decode_reasons, outlier_mask
-from .stats import PERCENTILES, masked_stats
+from .stats import (
+    PERCENTILES,
+    FootprintAccumulator,
+    landing_footprint,
+    masked_stats,
+)
 
 __all__ = ["MonteCarloAnalyzer"]
 
@@ -75,6 +80,23 @@ def _stats_to_py(s: dict) -> dict:
         "max": float(s["max"]),
         "percentiles": [float(v) for v in np.asarray(s["percentiles"])],
     }
+
+
+@jax.jit
+def _footprint_moments_kernel(landing, mask):
+    """Per-slab centered landing moments on device (6 scalars back per
+    slab, not a [slab,3] readback): n, mean_x, mean_y, M2x, M2y, Cxy about
+    the slab's own mean — see ``mc.stats.FootprintAccumulator`` for why
+    centered (f32 raw-moment differencing cancels catastrophically)."""
+    x, y = landing[:, 0], landing[:, 1]
+    m = mask & jnp.isfinite(x) & jnp.isfinite(y)
+    n = jnp.sum(m)
+    nf = jnp.maximum(n, 1).astype(x.dtype)
+    mx = jnp.sum(jnp.where(m, x, 0.0)) / nf
+    my = jnp.sum(jnp.where(m, y, 0.0)) / nf
+    dx = jnp.where(m, x - mx, 0.0)
+    dy = jnp.where(m, y - my, 0.0)
+    return n, mx, my, jnp.sum(dx * dx), jnp.sum(dy * dy), jnp.sum(dx * dy)
 
 
 @jax.jit
@@ -313,6 +335,14 @@ class MonteCarloAnalyzer:
         n_outliers = n_samples - n_valid
         sample_np = jax.tree.map(np.asarray, sample)
 
+        # Landing-dispersion footprint (mean impact point, covariance,
+        # 95/99% ellipses, CEP) over the same lanes as the range stats
+        # (final position of every valid lane) — a deliverable the
+        # reference never computes from its scalar range list.
+        lp = np.asarray(summary_np.landing_position)
+        fin = valid_np & np.isfinite(lp[:, 0]) & np.isfinite(lp[:, 1])
+        footprint = landing_footprint(lp[fin, 0], lp[fin, 1])
+
         analysis = {
             "n_samples": n_valid,
             "n_failed": 0,  # lanes cannot "fail"; divergence is an outlier
@@ -320,6 +350,7 @@ class MonteCarloAnalyzer:
             "apogee_altitude": stats_py["apogee_altitude"],
             "range": stats_py["range"],
             "flight_time": stats_py["flight_time"],
+            "landing_footprint": footprint,
             "parameter_ranges_observed": self._parameter_ranges(sample_np, valid_np),
             "summary": summary_np,
             "sample": sample_np,
@@ -434,6 +465,7 @@ class MonteCarloAnalyzer:
                       ("apogee_altitude", "range", "flight_time")}
         valid_parts, reason_parts = [], []
         records, outlier_records = [], []
+        footprint_acc = FootprintAccumulator()
         pranges = None
         n_done = 0
         n_valid_total = 0
@@ -519,6 +551,12 @@ class MonteCarloAnalyzer:
                         else float("nan")
                     )
 
+            footprint_acc.add(*(
+                float(np.asarray(v)) for v in _footprint_moments_kernel(
+                    summary.landing_position, ranges_mask
+                )
+            ))
+
             # Parameter ranges reduce ON DEVICE (18 scalars back per slab,
             # not the 19 MB dispersion SoA — the tunnel is the slow path).
             pr = self._parameter_ranges_device(sample, ranges_mask)
@@ -576,6 +614,10 @@ class MonteCarloAnalyzer:
             "apogee_altitude": stats_blocks["apogee_altitude"],
             "range": stats_blocks["range"],
             "flight_time": stats_blocks["flight_time"],
+            # Mean/cov/ellipses exact via the per-slab moment merge; CEP is
+            # the fitted Gaussian's (cep_method="gaussian") — per-lane miss
+            # distances are never materialized in slabbed runs.
+            "landing_footprint": footprint_acc.footprint(),
             "parameter_ranges_observed": pranges or {},
             # Slabbed runs keep per-lane headline metrics, not the full
             # FlightSummary SoA (bounded host memory + tunnel traffic).

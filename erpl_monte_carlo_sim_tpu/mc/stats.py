@@ -208,3 +208,133 @@ class StreamingStats:
             "max": self._max,
             "percentiles": self.percentiles(),
         }
+
+
+# --------------------------------------------------------------- footprint
+__all__ += ["landing_footprint", "FootprintAccumulator"]
+
+# 2-DOF chi-square quantiles: P(z1^2 + z2^2 <= c) = p  =>  c = -2 ln(1-p)
+_CHI2_2DOF = {"0.95": 5.991464547107979, "0.99": 9.21034037197618}
+
+
+def _ellipses(cov: "np.ndarray") -> dict:
+    """95%/99% dispersion-ellipse axes from a 2x2 landing covariance."""
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    e_minor, e_major = max(evals[0], 0.0), max(evals[1], 0.0)
+    v = evecs[:, 1]  # major axis direction
+    out = {"orientation_deg": float(np.degrees(np.arctan2(v[1], v[0])))}
+    for tag, c in _CHI2_2DOF.items():
+        out[f"ellipse{tag.replace('0.', '')}"] = {
+            "semi_major_m": float(np.sqrt(c * e_major)),
+            "semi_minor_m": float(np.sqrt(c * e_minor)),
+        }
+    return out
+
+
+def _gaussian_cep(cov: "np.ndarray") -> float:
+    """Median miss distance of the fitted 2-D Gaussian, evaluated with a
+    deterministic low-discrepancy sample (the package's own Sobol points —
+    no RNG state involved; 2^16 points resolve the median to ~0.1%)."""
+    from scipy.special import ndtri
+
+    from ..ops.sobol import direction_numbers
+
+    evals = np.maximum(np.linalg.eigvalsh(cov), 0.0)
+    v = direction_numbers(2).astype(np.uint64)
+    n = 1 << 16
+    i = np.arange(n, dtype=np.uint64)
+    gray = i ^ (i >> 1)
+    x = np.zeros((n, 2), np.uint64)
+    for j in range(17):
+        bit = ((gray >> np.uint64(j)) & np.uint64(1))[:, None]
+        x ^= bit * v[None, :, j]
+    z = ndtri((x.astype(np.float64) + 0.5) * 2.0 ** -32)
+    d2 = evals[1] * z[:, 0] ** 2 + evals[0] * z[:, 1] ** 2
+    return float(np.sqrt(np.median(d2)))
+
+
+def landing_footprint(x: "np.ndarray", y: "np.ndarray") -> dict:
+    """Landing-dispersion footprint from per-lane impact coordinates.
+
+    The classic rocketry Monte Carlo deliverable the reference never
+    computes (it reports scalar range statistics only,
+    `monte_carlo.py:400-473`): mean impact point, 2x2 covariance, 95%/99%
+    dispersion ellipses (Gaussian chi-square mass), and the empirical CEP
+    (median miss distance from the mean). Inputs must already be filtered
+    to valid, finite lanes; covariance uses the population convention
+    (bias=True) to match the stats blocks' population std.
+    """
+    n = int(x.size)
+    if n == 0:
+        nan = float("nan")
+        return {"n": 0, "mean_m": [nan, nan],
+                "cov_m2": [[nan, nan], [nan, nan]],
+                "orientation_deg": nan,
+                "ellipse95": {"semi_major_m": nan, "semi_minor_m": nan},
+                "ellipse99": {"semi_major_m": nan, "semi_minor_m": nan},
+                "cep_m": nan, "cep_method": "empirical"}
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    mx, my = float(x.mean()), float(y.mean())
+    dx, dy = x - mx, y - my
+    cov = np.array([[np.mean(dx * dx), np.mean(dx * dy)],
+                    [np.mean(dx * dy), np.mean(dy * dy)]])
+    block = {"n": n, "mean_m": [mx, my], "cov_m2": cov.tolist()}
+    block.update(_ellipses(cov))
+    block["cep_m"] = float(np.median(np.hypot(dx, dy)))
+    block["cep_method"] = "empirical"
+    return block
+
+
+class FootprintAccumulator:
+    """Merge per-slab CENTERED landing moments into one exact footprint
+    with O(1) host memory (the slabbed analyzer path).
+
+    Each slab contributes ``(n, mean_x, mean_y, M2x, M2y, Cxy)`` computed
+    on device about the slab's OWN mean — centered f32 sums are benign,
+    whereas differencing raw moments (``E[x^2] - E[x]^2``) cancels
+    catastrophically in f32 when the dispersion is small next to the mean
+    (std 50 m at mean 5 km loses every significant digit). Merging uses
+    Chan's parallel update in f64, so mean/covariance/ellipses are exact;
+    the CEP comes from the fitted Gaussian's median miss distance
+    (``cep_method="gaussian"``) since per-lane distances are gone. On
+    strongly non-Gaussian footprints (e.g. heavy-tailed wind-dispersed
+    landings) the Gaussian CEP can deviate tens of percent from the
+    empirical median — measured 879 vs 1137 m on a 4k-lane
+    energy-consistent wind MC — while mean/cov/ellipses remain exact;
+    single-call (non-slabbed) runs always report the empirical CEP.
+    """
+
+    def __init__(self):
+        self.n = 0
+        self.mx = self.my = 0.0
+        self.m2x = self.m2y = self.cxy = 0.0
+
+    def add(self, n: int, mx: float, my: float, m2x: float, m2y: float,
+            cxy: float) -> None:
+        n = int(n)
+        if n == 0:
+            return
+        na, nb = self.n, n
+        tot = na + nb
+        dx = float(mx) - self.mx
+        dy = float(my) - self.my
+        w = na * nb / tot
+        self.m2x += float(m2x) + dx * dx * w
+        self.m2y += float(m2y) + dy * dy * w
+        self.cxy += float(cxy) + dx * dy * w
+        self.mx += dx * nb / tot
+        self.my += dy * nb / tot
+        self.n = tot
+
+    def footprint(self) -> dict:
+        if self.n == 0:
+            return landing_footprint(np.empty(0), np.empty(0))
+        cov = np.array([[self.m2x, self.cxy],
+                        [self.cxy, self.m2y]]) / self.n
+        block = {"n": self.n, "mean_m": [self.mx, self.my],
+                 "cov_m2": cov.tolist()}
+        block.update(_ellipses(cov))
+        block["cep_m"] = _gaussian_cep(cov)
+        block["cep_method"] = "gaussian"
+        return block

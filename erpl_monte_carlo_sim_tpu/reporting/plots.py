@@ -13,6 +13,10 @@ Parity with `/root/reference/rocket_simulation/monte_carlo.py:562-707` and
 All figure-level structure (panel layout, labels, titles, bins, alphas)
 matches the reference so existing eyes can diff the artifacts. Matplotlib
 runs in Agg mode (no display on a TPU host).
+
+Plus one beyond-reference figure: ``plot_landing_footprint`` — the
+landing-dispersion map (impact scatter, mean point, 95/99% ellipses, CEP)
+from the analysis' ``landing_footprint`` block.
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ __all__ = [
     "plot_trajectory_cloud_3d",
     "plot_single_simulation",
     "plot_thrust_twr",
+    "plot_landing_footprint",
 ]
 
 
@@ -85,6 +90,64 @@ def plot_results(analysis: dict, output_dir: str | None = None,
     plt.tight_layout()
     if save_plots and output_dir is not None:
         path = os.path.join(output_dir, "monte_carlo_distributions.png")
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+        return path
+    plt.close()
+    return None
+
+
+def plot_landing_footprint(analysis: dict, output_dir: str | None = None,
+                           max_points: int = 20000) -> str | None:
+    """Landing-dispersion map (beyond reference — the classic rocketry MC
+    deliverable): impact-point scatter, mean impact point, 95%/99%
+    dispersion ellipses, and the CEP circle, from
+    ``analysis["landing_footprint"]``. Single-call runs scatter the
+    materialized per-lane landing positions; slabbed runs (``summary`` is
+    None) render the ellipses/CEP from the streamed footprint alone."""
+    from matplotlib.patches import Ellipse
+
+    fp = analysis.get("landing_footprint")
+    if not fp or fp.get("n", 0) == 0:
+        return None
+    _, ax = plt.subplots(figsize=(9, 9))
+
+    summary = analysis.get("summary")
+    if summary is not None:
+        valid = np.asarray(analysis["valid_mask"])
+        lp = np.asarray(summary.landing_position)
+        fin = valid & np.isfinite(lp[:, 0]) & np.isfinite(lp[:, 1])
+        pts = lp[fin][:max_points]
+        ax.scatter(pts[:, 0], pts[:, 1], alpha=0.4, s=8,
+                   label=f"impacts ({fp['n']} lanes)")
+
+    mx, my = fp["mean_m"]
+    for tag, style in (("ellipse95", "-"), ("ellipse99", "--")):
+        e = fp[tag]
+        ax.add_patch(Ellipse(
+            (mx, my), width=2 * e["semi_major_m"],
+            height=2 * e["semi_minor_m"], angle=fp["orientation_deg"],
+            fill=False, linestyle=style, linewidth=1.5, color="tab:red",
+            label=f"{tag[-2:]}% ellipse",
+        ))
+    ax.add_patch(plt.Circle(
+        (mx, my), fp["cep_m"], fill=False, linewidth=1.5,
+        color="tab:orange",
+        label=f"CEP {fp['cep_m']:.0f} m ({fp['cep_method']})",
+    ))
+    ax.plot([mx], [my], marker="+", markersize=12, color="tab:red",
+            label="mean impact")
+    ax.plot([0], [0], marker="^", markersize=10, color="black",
+            label="launch site")
+    ax.set_xlabel("Downrange X (m)")
+    ax.set_ylabel("Crossrange Y (m)")
+    ax.set_title("Landing Dispersion Footprint")
+    ax.set_aspect("equal", adjustable="datalim")
+    ax.grid(True, alpha=0.3)
+    ax.legend(loc="upper right", fontsize=9)
+    plt.tight_layout()
+    if output_dir is not None:
+        path = os.path.join(output_dir, "landing_footprint.png")
         plt.savefig(path, dpi=150, bbox_inches="tight")
         plt.close()
         return path

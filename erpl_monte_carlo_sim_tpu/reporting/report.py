@@ -50,6 +50,9 @@ def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
         "flight_time_stats": analysis["flight_time"],
         "parameter_ranges_observed": analysis.get("parameter_ranges_observed"),
     }
+    if analysis.get("landing_footprint"):
+        # beyond-reference block (additive; the reference schema is a subset)
+        report["landing_footprint"] = analysis["landing_footprint"]
     if analyzer is not None:
         report["uncertainty_parameters"] = analyzer.uncertainty_params.as_dict()
         report["rocket_parameters"] = object_to_serializable_dict(analyzer.scene.rocket)
@@ -96,6 +99,16 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
         stats_block(f, "Apogee Altitude", report["apogee_altitude_stats"], "m")
         stats_block(f, "Range", report["range_stats"], "m")
         stats_block(f, "Flight Time", report["flight_time_stats"], "s")
+        if "landing_footprint" in report:
+            fp = report["landing_footprint"]
+            f.write("Landing Dispersion Footprint:\n")
+            f.write(f"  Mean impact point: ({fp['mean_m'][0]:.1f}, "
+                    f"{fp['mean_m'][1]:.1f}) m\n")
+            e95 = fp["ellipse95"]
+            f.write(f"  95% ellipse: {e95['semi_major_m']:.1f} x "
+                    f"{e95['semi_minor_m']:.1f} m at "
+                    f"{fp['orientation_deg']:.1f} deg\n")
+            f.write(f"  CEP: {fp['cep_m']:.1f} m ({fp['cep_method']})\n\n")
         if "performance" in report:
             perf = report["performance"]
             f.write("Performance Statistics:\n")
