@@ -19,16 +19,18 @@ Construction:
   reduction over the ``ceil(log2 n)`` live bits (pure VPU uint32 work; no
   gathers, no sequential dependence — unlike the classic recursive
   construction, every point is independent).
-* **Scrambling** — hash-based Owen scrambling (Laine-Karras permutation
-  applied in reversed-bit space; Burley, "Practical Hash-based Owen
-  Scrambling", JCGT 2020). For a uniformly random per-dimension seed the
-  first ``+= seed`` round makes the output exactly uniform on uint32 and
-  the remaining rounds are bijections (``x ^= x*c`` with even ``c``), so
-  every scrambled coordinate is marginally U(0,1) and estimators stay
-  unbiased — the property the RQMC error bars (``sobol_scrambles``) rely
-  on. The digit permutations are hash-derived rather than fully nested-
-  uniform, i.e. a practical approximation of Owen's scramble, like
-  scipy's own LMS+shift variant.
+* **Scrambling** — full nested-uniform (Owen) scrambling with the digit
+  permutations drawn from a hash: output bit ``b`` flips by a hash of the
+  input's more-significant bits and a per-(dimension, bit) key (the
+  hash-as-permutation-tree idea of Burley, "Practical Hash-based Owen
+  Scrambling", JCGT 2020, but per-bit rather than the cheaper
+  Laine-Karras approximation — the per-bit form is exactly
+  nested-uniform given a good hash, preserves (0,m,s)-net strata
+  (pinned by test), and matches-or-beats scipy's Owen scramble on
+  direct d=91 integrand RMS comparisons; see NOTES.md). Every
+  scrambled coordinate is marginally U(0,1) for a uniform seed, so
+  estimators stay unbiased — the property the RQMC error bars
+  (``sobol_scrambles``) rely on.
 
 Conversion to (0,1) uses bin centers (``(x + 0.5) * 2^-bits``), so 0 and 1
 are unreachable and ``ndtri`` stays finite without clipping.
@@ -83,22 +85,43 @@ def _sobol_bits(n: int, v) -> jnp.ndarray:
     return x
 
 
-def _reverse_bits(x):
-    x = ((x >> 1) & _U32(0x55555555)) | ((x & _U32(0x55555555)) << 1)
-    x = ((x >> 2) & _U32(0x33333333)) | ((x & _U32(0x33333333)) << 2)
-    x = ((x >> 4) & _U32(0x0F0F0F0F)) | ((x & _U32(0x0F0F0F0F)) << 4)
-    x = ((x >> 8) & _U32(0x00FF00FF)) | ((x & _U32(0x00FF00FF)) << 8)
-    return (x >> 16) | (x << 16)
+def _hash32(z):
+    """Wellons' lowbias32 avalanche mix (public domain constants)."""
+    z = z ^ (z >> 16)
+    z = z * _U32(0x7FEB352D)
+    z = z ^ (z >> 15)
+    z = z * _U32(0x846CA68B)
+    z = z ^ (z >> 16)
+    return z
 
 
 def _owen_scramble(x, seeds):
-    """Hash-based Owen scramble of [n, d] Sobol integers with per-dimension
-    uint32 ``seeds`` [d]. Bijective in x for every seed; uniform in seed."""
-    x = _reverse_bits(x)
-    x = x + seeds[None, :]
-    for c in (0x6C50B47C, 0xB82F1E52, 0xC7AFE638, 0x8D22F6E6):
-        x = x ^ (x * _U32(c))
-    return _reverse_bits(x)
+    """Nested-uniform (Owen) scramble of [n, d] Sobol integers with
+    per-dimension uint32 ``seeds`` [d].
+
+    Full per-bit construction: bit ``b`` of the output flips according to a
+    hash of the INPUT's more-significant bits (``prefix = x >> (b+1)``) and
+    a per-(dimension, bit) key — exactly Owen's digit-permutation tree with
+    the permutations drawn from a hash instead of stored. For a uniform
+    seed every flip is a fair coin and flips differ across prefixes, so
+    each scrambled coordinate is marginally U(0,1) (unbiased estimators)
+    AND the (t,m,s)-net structure is preserved per branch (pinned by
+    test: a scrambled 1024-point 2-D block still has exactly one point
+    per 32x32 stratum). Costs 32 hash rounds — pure VPU uint32 work,
+    negligible next to ndtri. Direct d=91 integrand comparisons (NOTES.md)
+    show RMS parity-or-better vs scipy's Owen scramble; the cheaper
+    Laine-Karras approximation was indistinguishable on the flight study
+    but is not provably nested-uniform, so the per-bit form ships.
+    """
+    # per-(dimension, bit) keys from the per-dimension seeds
+    bits = jnp.arange(32, dtype=_U32)
+    keys = _hash32(seeds[:, None] ^ _hash32(bits[None, :] * _U32(0x9E3779B9)))
+    y = x
+    for b in range(32):
+        prefix = x >> _U32(b + 1) if b < 31 else jnp.zeros_like(x)
+        flip = _hash32(prefix ^ keys[None, :, b]) & _U32(1)
+        y = y ^ (flip << _U32(b))
+    return y
 
 
 def _to_unit(x, dtype):

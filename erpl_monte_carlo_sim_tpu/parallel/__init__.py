@@ -2,10 +2,12 @@
 
 from .mesh import (BATCH_AXIS, init_distributed, make_global_batch, make_mesh,
                    pad_to_devices, replicate, shard_batch)
-from .sharded import collective_stats, run_sharded_summaries
+from .sharded import (collective_footprint, collective_stats,
+                      run_sharded_summaries)
 
 __all__ = [
     "BATCH_AXIS", "make_mesh", "pad_to_devices", "replicate", "shard_batch",
-    "collective_stats", "run_sharded_summaries", "init_distributed",
+    "collective_stats", "collective_footprint", "run_sharded_summaries",
+    "init_distributed",
     "make_global_batch",
 ]

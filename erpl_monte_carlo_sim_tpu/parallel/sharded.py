@@ -29,7 +29,7 @@ from ..engine.config import SimConfig
 from ..mc.stats import PERCENTILES
 from .mesh import BATCH_AXIS, shard_batch
 
-__all__ = ["run_sharded_summaries", "collective_stats"]
+__all__ = ["run_sharded_summaries", "collective_stats", "collective_footprint"]
 
 
 def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,
@@ -198,3 +198,52 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
         }
 
     return _stats(values, mask)
+
+
+def collective_footprint(landing: jnp.ndarray, mask: jnp.ndarray | None,
+                         mesh: Mesh) -> dict:
+    """Landing-dispersion footprint with explicit collectives — the
+    pod-scale twin of the analyzer's ``landing_footprint`` block.
+
+    ``landing`` is [n, 2+] (x, y leading) sharded (or shardable) along the
+    batch axis. Two-pass centered moments ride ``psum`` (the one-pass
+    raw-moment form cancels catastrophically in f32 — same reasoning as
+    ``collective_stats``' variance and ``mc.stats.FootprintAccumulator``);
+    only six replicated scalars come back, and the host builds
+    ellipses/CEP from them (``cep_method="gaussian"`` — per-lane miss
+    distances are never gathered).
+    """
+    from ..mc.stats import FootprintAccumulator
+
+    xy = landing[:, :2]
+    xy = jax.device_put(xy, NamedSharding(mesh, P(BATCH_AXIS)))
+    if mask is None:
+        mask = jnp.ones(xy.shape[:1], dtype=bool)
+    mask = jax.device_put(mask, NamedSharding(mesh, P(BATCH_AXIS)))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(),
+    )
+    def _moments(p, m):
+        x, y = p[:, 0], p[:, 1]
+        m = m & jnp.isfinite(x) & jnp.isfinite(y)
+        cnt = jax.lax.psum(jnp.sum(m), BATCH_AXIS)
+        denom = jnp.maximum(cnt, 1).astype(x.dtype)
+        mx = jax.lax.psum(jnp.sum(jnp.where(m, x, 0.0)), BATCH_AXIS) / denom
+        my = jax.lax.psum(jnp.sum(jnp.where(m, y, 0.0)), BATCH_AXIS) / denom
+        dx = jnp.where(m, x - mx, 0.0)
+        dy = jnp.where(m, y - my, 0.0)
+        return {
+            "n": cnt, "mx": mx, "my": my,
+            "m2x": jax.lax.psum(jnp.sum(dx * dx), BATCH_AXIS),
+            "m2y": jax.lax.psum(jnp.sum(dy * dy), BATCH_AXIS),
+            "cxy": jax.lax.psum(jnp.sum(dx * dy), BATCH_AXIS),
+        }
+
+    mo = jax.tree.map(lambda v: float(jnp.asarray(v)), _moments(xy, mask))
+    acc = FootprintAccumulator()
+    acc.add(mo["n"], mo["mx"], mo["my"], mo["m2x"], mo["m2y"], mo["cxy"])
+    return acc.footprint()

@@ -56,8 +56,10 @@ def main(total_lanes: int, n_devices: int | None = None,
         InitialConditions, SimConfig, simulate_summary_batch,
     )
     from erpl_monte_carlo_sim_tpu.mc import sample_dispersions
+    from erpl_monte_carlo_sim_tpu.mc.stats import FootprintAccumulator
     from erpl_monte_carlo_sim_tpu.parallel import (
-        collective_stats, init_distributed, make_global_batch, make_mesh,
+        collective_footprint, collective_stats, init_distributed,
+        make_global_batch, make_mesh,
         run_sharded_summaries,
     )
     from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
@@ -81,6 +83,7 @@ def main(total_lanes: int, n_devices: int | None = None,
     done_lanes = 0
     # global apogee moments accumulated from collective (exact) stats
     s0 = s1 = s2 = 0.0
+    fp_acc = FootprintAccumulator()
     t_start = time.time()
     slab_idx = 0
     while done_lanes < total_lanes:
@@ -110,6 +113,12 @@ def main(total_lanes: int, n_devices: int | None = None,
         st = collective_stats(summary.rail.rail_exit_speed, None, mesh)
         # None mask: all lanes; non-finite lanes are excluded internally
         apo = collective_stats(summary.apogee_altitude, None, mesh)
+        fpb = collective_footprint(summary.landing_position, None, mesh)
+        if fpb["n"]:
+            # merge slabs from (n, mean, cov): M2 = cov * n
+            c, nn = fpb["cov_m2"], fpb["n"]
+            fp_acc.add(nn, fpb["mean_m"][0], fpb["mean_m"][1],
+                       c[0][0] * nn, c[1][1] * nn, c[0][1] * nn)
         k = float(apo["n"])
         mean_k = float(apo["mean"])
         std_k = float(apo["std"])
@@ -136,6 +145,10 @@ def main(total_lanes: int, n_devices: int | None = None,
         "apogee_std_at_cutoff": round(
             (max(s2 / max(s0, 1) - mean**2, 0.0)) ** 0.5, 1
         ),
+        # position dispersion at the step-budget cutoff (full-flight runs
+        # land; short-window runs disperse in-flight) — psum'd moments,
+        # no per-lane gather
+        "footprint_at_cutoff": fp_acc.footprint(),
     }
     print(json.dumps(result), flush=True)
     return result

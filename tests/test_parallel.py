@@ -262,3 +262,39 @@ def test_collective_stats_variance_catastrophic_cancellation(mesh):
     st = collective_stats(vals, None, mesh)
     ref = float(np.asarray(vals, np.float64).std())
     np.testing.assert_allclose(float(st["std"]), ref, rtol=2e-3)
+
+
+def test_collective_footprint_matches_host_footprint(mesh):
+    """collective_footprint's psum'd two-pass moments must reproduce the
+    host empirical footprint's mean/cov/ellipses exactly (CEP differs by
+    method: gaussian fit vs empirical median — per-lane distances are
+    never gathered at pod scale)."""
+    from erpl_monte_carlo_sim_tpu.mc.stats import landing_footprint
+    from erpl_monte_carlo_sim_tpu.parallel import collective_footprint
+
+    rng = np.random.default_rng(7)
+    landing = jnp.array(rng.multivariate_normal(
+        [4200.0, -730.0], [[250.0 ** 2, 9000.0], [9000.0, 90.0 ** 2]],
+        size=640,
+    ))
+    landing = jnp.concatenate(  # [n,3]: z column must be ignored
+        [landing, jnp.full((640, 1), 123.0)], axis=1)
+    mask = jnp.array(rng.uniform(size=640) > 0.25)
+    # a non-finite lane inside the mask must be excluded, like the analyzer
+    landing = landing.at[5, 0].set(jnp.nan)
+    got = collective_footprint(landing, mask, mesh)
+    m = np.asarray(mask) & np.isfinite(np.asarray(landing[:, 0]))
+    ref = landing_footprint(np.asarray(landing)[m, 0],
+                            np.asarray(landing)[m, 1])
+    assert got["n"] == ref["n"]
+    np.testing.assert_allclose(got["mean_m"], ref["mean_m"], rtol=1e-9)
+    np.testing.assert_allclose(got["cov_m2"], ref["cov_m2"], rtol=1e-6)
+    np.testing.assert_allclose(
+        got["ellipse95"]["semi_major_m"], ref["ellipse95"]["semi_major_m"],
+        rtol=1e-6,
+    )
+    assert got["cep_method"] == "gaussian" and ref["cep_method"] == "empirical"
+    assert abs(got["cep_m"] - ref["cep_m"]) / ref["cep_m"] < 0.05
+    # mask=None: all finite lanes
+    all_fp = collective_footprint(landing, None, mesh)
+    assert all_fp["n"] == 639

@@ -98,3 +98,15 @@ def test_traces_inside_outer_jit():
         return S.sobol_uniform(k, 64, 7, dtype=jnp.float32).sum()
 
     assert np.isfinite(float(f(jax.random.PRNGKey(0))))
+
+
+def test_scramble_preserves_net_strata():
+    """Nested-uniform scrambling must preserve the (0,m,2)-net property:
+    1024 scrambled points of dims (0,1) still land exactly one per 32x32
+    stratum (the property the cheaper LK-hash approximation does not
+    guarantee)."""
+    u = np.asarray(S.sobol_uniform(jax.random.PRNGKey(9), 1024, 2,
+                                   dtype=jnp.float64))
+    h, _, _ = np.histogram2d(u[:, 0], u[:, 1], bins=32,
+                             range=[[0, 1], [0, 1]])
+    assert (h == 1).all()
