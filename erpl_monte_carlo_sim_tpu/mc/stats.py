@@ -237,17 +237,10 @@ def _gaussian_cep(cov: "np.ndarray") -> float:
     no RNG state involved; 2^16 points resolve the median to ~0.1%)."""
     from scipy.special import ndtri
 
-    from ..ops.sobol import direction_numbers
+    from ..ops.sobol import _sobol_bits, direction_numbers
 
     evals = np.maximum(np.linalg.eigvalsh(cov), 0.0)
-    v = direction_numbers(2).astype(np.uint64)
-    n = 1 << 16
-    i = np.arange(n, dtype=np.uint64)
-    gray = i ^ (i >> 1)
-    x = np.zeros((n, 2), np.uint64)
-    for j in range(17):
-        bit = ((gray >> np.uint64(j)) & np.uint64(1))[:, None]
-        x ^= bit * v[None, :, j]
+    x = _sobol_bits(1 << 16, direction_numbers(2), xp=np)
     z = ndtri((x.astype(np.float64) + 0.5) * 2.0 ** -32)
     d2 = evals[1] * z[:, 0] ** 2 + evals[0] * z[:, 1] ** 2
     return float(np.sqrt(np.median(d2)))

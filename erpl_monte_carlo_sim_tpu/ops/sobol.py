@@ -74,13 +74,19 @@ def direction_numbers(d: int) -> np.ndarray:
     return t[:d]
 
 
-def _sobol_bits(n: int, v) -> jnp.ndarray:
-    """Unscrambled Sobol integers for points 0..n-1, shape [n, d] uint32."""
-    i = jnp.arange(n, dtype=_U32)
-    gray = i ^ (i >> 1)
-    x = jnp.zeros((n, v.shape[0]), _U32)
+def _sobol_bits(n: int, v, xp=jnp):
+    """Unscrambled Sobol integers for points 0..n-1, shape [n, d] uint32.
+
+    ``xp`` selects the array module: ``jnp`` (default) traces under jit for
+    the device sampling path; ``numpy`` runs the same construction on the
+    host (used by ``mc.stats._gaussian_cep`` — one algorithm, two
+    backends, no drift)."""
+    u32 = xp.uint32
+    i = xp.arange(n, dtype=u32)
+    gray = i ^ (i >> u32(1))
+    x = xp.zeros((n, v.shape[0]), u32)
     for j in range(max(1, (n - 1).bit_length())):
-        bit = (gray >> j) & _U32(1)
+        bit = (gray >> u32(j)) & u32(1)
         x = x ^ (bit[:, None] * v[None, :, j])
     return x
 
@@ -128,9 +134,14 @@ def _to_unit(x, dtype):
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float64:
         return (x.astype(jnp.float64) + 0.5) * jnp.float64(2.0 ** -32)
-    # drop to 24 bits first so the float32 result stays strictly inside (0,1)
-    return ((x >> 8).astype(dtype) + jnp.asarray(0.5, dtype)) * jnp.asarray(
-        2.0 ** -24, dtype
+    # Drop to 23 bits so float32 k+0.5 is EXACT for every k: with 24 bits,
+    # k >= 2^23 rounds k+0.5 to an even integer (tie-to-even) and the top
+    # bin (k = 2^24-1) lands on exactly 1.0 -> ndtri = +inf. At 2^-24
+    # probability per coordinate that poisons ~a quarter of production-size
+    # f32 slabs (262144 x 19+ coords). 23-bit bins keep the result in
+    # [2^-24, 1 - 2^-24] exactly.
+    return ((x >> 9).astype(dtype) + jnp.asarray(0.5, dtype)) * jnp.asarray(
+        2.0 ** -23, dtype
     )
 
 

@@ -2,12 +2,13 @@
 
 from .mesh import (BATCH_AXIS, init_distributed, make_global_batch, make_mesh,
                    pad_to_devices, replicate, shard_batch)
-from .sharded import (collective_footprint, collective_stats,
-                      run_sharded_summaries)
+from .sharded import (collective_footprint, collective_footprint_moments,
+                      collective_stats, run_sharded_summaries)
 
 __all__ = [
     "BATCH_AXIS", "make_mesh", "pad_to_devices", "replicate", "shard_batch",
-    "collective_stats", "collective_footprint", "run_sharded_summaries",
+    "collective_stats", "collective_footprint",
+    "collective_footprint_moments", "run_sharded_summaries",
     "init_distributed",
     "make_global_batch",
 ]

@@ -29,7 +29,8 @@ from ..engine.config import SimConfig
 from ..mc.stats import PERCENTILES
 from .mesh import BATCH_AXIS, shard_batch
 
-__all__ = ["run_sharded_summaries", "collective_stats", "collective_footprint"]
+__all__ = ["run_sharded_summaries", "collective_stats",
+           "collective_footprint", "collective_footprint_moments"]
 
 
 def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,
@@ -200,21 +201,20 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
     return _stats(values, mask)
 
 
-def collective_footprint(landing: jnp.ndarray, mask: jnp.ndarray | None,
-                         mesh: Mesh) -> dict:
-    """Landing-dispersion footprint with explicit collectives — the
-    pod-scale twin of the analyzer's ``landing_footprint`` block.
+def collective_footprint_moments(landing: jnp.ndarray,
+                                 mask: jnp.ndarray | None,
+                                 mesh: Mesh) -> tuple:
+    """Centered landing moments with explicit collectives: returns the
+    ``(n, mean_x, mean_y, M2x, M2y, Cxy)`` floats that feed
+    ``mc.stats.FootprintAccumulator.add`` — the multi-slab entry point
+    (merge every slab, build ellipses/CEP ONCE at the end).
 
     ``landing`` is [n, 2+] (x, y leading) sharded (or shardable) along the
     batch axis. Two-pass centered moments ride ``psum`` (the one-pass
     raw-moment form cancels catastrophically in f32 — same reasoning as
-    ``collective_stats``' variance and ``mc.stats.FootprintAccumulator``);
-    only six replicated scalars come back, and the host builds
-    ellipses/CEP from them (``cep_method="gaussian"`` — per-lane miss
-    distances are never gathered).
+    ``collective_stats``' variance); only six replicated scalars come
+    back, no per-lane gather.
     """
-    from ..mc.stats import FootprintAccumulator
-
     xy = landing[:, :2]
     xy = jax.device_put(xy, NamedSharding(mesh, P(BATCH_AXIS)))
     if mask is None:
@@ -244,6 +244,19 @@ def collective_footprint(landing: jnp.ndarray, mask: jnp.ndarray | None,
         }
 
     mo = jax.tree.map(lambda v: float(jnp.asarray(v)), _moments(xy, mask))
+    return (mo["n"], mo["mx"], mo["my"], mo["m2x"], mo["m2y"], mo["cxy"])
+
+
+def collective_footprint(landing: jnp.ndarray, mask: jnp.ndarray | None,
+                         mesh: Mesh) -> dict:
+    """Landing-dispersion footprint with explicit collectives — the
+    pod-scale twin of the analyzer's ``landing_footprint`` block
+    (``cep_method="gaussian"``: per-lane miss distances are never
+    gathered). Single-batch convenience over
+    ``collective_footprint_moments``; slab loops should accumulate the
+    moments instead and build the block once."""
+    from ..mc.stats import FootprintAccumulator
+
     acc = FootprintAccumulator()
-    acc.add(mo["n"], mo["mx"], mo["my"], mo["m2x"], mo["m2y"], mo["cxy"])
+    acc.add(*collective_footprint_moments(landing, mask, mesh))
     return acc.footprint()

@@ -117,9 +117,15 @@ def plot_landing_footprint(analysis: dict, output_dir: str | None = None,
         valid = np.asarray(analysis["valid_mask"])
         lp = np.asarray(summary.landing_position)
         fin = valid & np.isfinite(lp[:, 0]) & np.isfinite(lp[:, 1])
-        pts = lp[fin][:max_points]
-        ax.scatter(pts[:, 0], pts[:, 1], alpha=0.4, s=8,
-                   label=f"impacts ({fp['n']} lanes)")
+        pts = lp[fin]
+        if len(pts) > max_points:
+            # evenly strided subsample (lane order is draw order, so a
+            # head-truncation would be scramble/antithetic-block biased)
+            pts = pts[np.linspace(0, len(pts) - 1, max_points).astype(int)]
+            label = f"impacts ({max_points} of {fp['n']} lanes)"
+        else:
+            label = f"impacts ({fp['n']} lanes)"
+        ax.scatter(pts[:, 0], pts[:, 1], alpha=0.4, s=8, label=label)
 
     mx, my = fp["mean_m"]
     for tag, style in (("ellipse95", "-"), ("ellipse99", "--")):

@@ -50,8 +50,9 @@ def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
         "flight_time_stats": analysis["flight_time"],
         "parameter_ranges_observed": analysis.get("parameter_ranges_observed"),
     }
-    if analysis.get("landing_footprint"):
-        # beyond-reference block (additive; the reference schema is a subset)
+    if analysis.get("landing_footprint", {}).get("n"):
+        # beyond-reference block (additive; the reference schema is a
+        # subset); an all-outlier run's n=0 NaN footprint is omitted
         report["landing_footprint"] = analysis["landing_footprint"]
     if analyzer is not None:
         report["uncertainty_parameters"] = analyzer.uncertainty_params.as_dict()

@@ -58,7 +58,7 @@ def main(total_lanes: int, n_devices: int | None = None,
     from erpl_monte_carlo_sim_tpu.mc import sample_dispersions
     from erpl_monte_carlo_sim_tpu.mc.stats import FootprintAccumulator
     from erpl_monte_carlo_sim_tpu.parallel import (
-        collective_footprint, collective_stats, init_distributed,
+        collective_footprint_moments, collective_stats, init_distributed,
         make_global_batch, make_mesh,
         run_sharded_summaries,
     )
@@ -113,12 +113,8 @@ def main(total_lanes: int, n_devices: int | None = None,
         st = collective_stats(summary.rail.rail_exit_speed, None, mesh)
         # None mask: all lanes; non-finite lanes are excluded internally
         apo = collective_stats(summary.apogee_altitude, None, mesh)
-        fpb = collective_footprint(summary.landing_position, None, mesh)
-        if fpb["n"]:
-            # merge slabs from (n, mean, cov): M2 = cov * n
-            c, nn = fpb["cov_m2"], fpb["n"]
-            fp_acc.add(nn, fpb["mean_m"][0], fpb["mean_m"][1],
-                       c[0][0] * nn, c[1][1] * nn, c[0][1] * nn)
+        fp_acc.add(*collective_footprint_moments(
+            summary.landing_position, None, mesh))
         k = float(apo["n"])
         mean_k = float(apo["mean"])
         std_k = float(apo["std"])

@@ -110,3 +110,18 @@ def test_scramble_preserves_net_strata():
     h, _, _ = np.histogram2d(u[:, 0], u[:, 1], bins=32,
                              range=[[0, 1], [0, 1]])
     assert (h == 1).all()
+
+
+def test_float32_unit_strictly_inside_01():
+    """Regression: the f32 conversion must be strictly inside (0,1) for
+    EVERY uint32, including the all-ones top bin — with 24-bit bins,
+    k+0.5 ties-to-even at k=2^24-1 and lands on exactly 1.0 -> ndtri=+inf
+    (at 2^-24/coordinate that poisons a quarter of 262k x 19 f32 slabs)."""
+    from jax.scipy.special import ndtri
+
+    x = jnp.asarray([0, 1, (1 << 23) - 1, 1 << 23, 0xFFFFFE00, 0xFFFFFFFF],
+                    dtype=jnp.uint32)
+    u = S._to_unit(x, jnp.float32)
+    assert float(u.min()) > 0.0
+    assert float(u.max()) < 1.0
+    assert np.isfinite(np.asarray(ndtri(u))).all()
