@@ -463,7 +463,7 @@ class MonteCarloAnalyzer:
                    ("apogee_altitude", "range", "flight_time", "max_speed")}
         qmc_blocks = {k: [] for k in
                       ("apogee_altitude", "range", "flight_time")}
-        valid_parts, reason_parts = [], []
+        valid_parts, reason_parts, landing_parts = [], [], []
         records, outlier_records = [], []
         footprint_acc = FootprintAccumulator()
         pranges = None
@@ -538,6 +538,12 @@ class MonteCarloAnalyzer:
             if take > 0:
                 for k in metrics:
                     metrics[k].append(slab_metrics[k][:take])
+                # capped landing-xy samples so the footprint plot keeps its
+                # impact scatter at slab scale (device-side slice first:
+                # [take,2] over the tunnel, not the full [slab,3])
+                landing_parts.append(
+                    np.asarray(summary.landing_position[:take, :2])
+                )
                 valid_parts.append(valid_np[:take])
                 reason_parts.append(reasons_np[:take])
                 kept += take
@@ -623,6 +629,13 @@ class MonteCarloAnalyzer:
             # FlightSummary SoA (bounded host memory + tunnel traffic).
             "summary": None,
             "metrics": metrics,
+            # Same capped prefix as metrics: per-lane impact xy for the
+            # footprint plot's scatter (the footprint STATS above see every
+            # lane via the moment merge).
+            "landing_samples": (
+                np.concatenate(landing_parts) if landing_parts
+                else np.zeros((0, 2))
+            ),
             # Streaming runs cap the per-lane arrays at metrics_sample_cap
             # lanes (i.i.d. for prng; see _run_slabbed docstring for the
             # sobol/antithetic correlation caveat); stats above come from

@@ -61,6 +61,8 @@ def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
         "stats": {
             k: analysis[k] for k in ("apogee_altitude", "range", "flight_time")
         },
+        # beyond-reference footprint block (JSON-native dict; absent pre-r3)
+        "landing_footprint": analysis.get("landing_footprint"),
     }
     arrays[_META_KEY] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8

@@ -114,17 +114,23 @@ def plot_landing_footprint(analysis: dict, output_dir: str | None = None,
 
     summary = analysis.get("summary")
     if summary is not None:
-        valid = np.asarray(analysis["valid_mask"])
         lp = np.asarray(summary.landing_position)
+    elif analysis.get("landing_samples") is not None:
+        # slabbed runs: the capped per-lane prefix (footprint stats above
+        # the scatter still cover EVERY lane via the moment merge)
+        lp = np.asarray(analysis["landing_samples"])
+    else:
+        lp = None
+    if lp is not None and lp.shape[0]:
+        valid = np.asarray(analysis["valid_mask"])[: lp.shape[0]]
         fin = valid & np.isfinite(lp[:, 0]) & np.isfinite(lp[:, 1])
-        pts = lp[fin]
+        pts = lp[fin][:, :2]
         if len(pts) > max_points:
             # evenly strided subsample (lane order is draw order, so a
             # head-truncation would be scramble/antithetic-block biased)
             pts = pts[np.linspace(0, len(pts) - 1, max_points).astype(int)]
-            label = f"impacts ({max_points} of {fp['n']} lanes)"
-        else:
-            label = f"impacts ({fp['n']} lanes)"
+        label = (f"impacts ({len(pts)} of {fp['n']} lanes)"
+                 if len(pts) < fp["n"] else f"impacts ({fp['n']} lanes)")
         ax.scatter(pts[:, 0], pts[:, 1], alpha=0.4, s=8, label=label)
 
     mx, my = fp["mean_m"]

@@ -126,6 +126,12 @@ def test_analyzer_slabbed_footprint_matches_own_lanes():
     np.testing.assert_allclose(f2["cov_m2"], ref["cov_m2"], rtol=1e-3,
                                atol=1e-6)
     assert f2["cep_method"] == "gaussian"
+    # capped landing-xy prefix rides along for the footprint plot scatter
+    ls = np.asarray(slabbed["landing_samples"])
+    assert ls.shape == (96, 2)
+    np.testing.assert_allclose(
+        ls[np.asarray(slabbed["valid_mask"])], pts, rtol=1e-6
+    )
 
 
 def test_footprint_report_and_plot(tmp_path):
