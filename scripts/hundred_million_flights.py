@@ -47,6 +47,7 @@ def main():
         # percentiles list is [5, 25, 50, 75, 95] (mc/stats.py PERCENTILES)
         "apogee_p50_m": round(a["apogee_altitude"]["percentiles"][2], 2),
         "metrics_is_sample": a["metrics_is_sample"],
+        "landing_footprint": a["landing_footprint"],
         "host_peak_rss_mb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 0
         ),
