@@ -1,6 +1,7 @@
 """Monte Carlo layer: dispersion sampling, vmapped execution, masked stats."""
 
 from .analyzer import MonteCarloAnalyzer
+from .cv import CVMoments, control_names, cv_slab_moments, finalize_cv
 from .dispersions import (
     DispersionSample,
     UncertaintyParams,
@@ -16,4 +17,5 @@ __all__ = [
     "sample_dispersions", "scene_in_axes", "select_lane", "OutlierBounds",
     "decode_reasons",
     "outlier_mask", "PERCENTILES", "masked_stats",
+    "CVMoments", "control_names", "cv_slab_moments", "finalize_cv",
 ]

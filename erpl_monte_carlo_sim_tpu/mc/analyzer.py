@@ -145,6 +145,7 @@ class MonteCarloAnalyzer:
         sobol_scrambles: int = 1,
         sobol_wind_modes: int = 0,
         antithetic: bool = False,
+        control_variates: bool = False,
         persistent_cache: bool = True,
         stats_stream_threshold: int = 4_194_304,
         metrics_sample_cap: int = 1_048_576,
@@ -192,6 +193,13 @@ class MonteCarloAnalyzer:
         # each draw mirrors the first; variance of batch means drops when
         # metric response is near-linear in the scalar channels.
         self.antithetic = antithetic
+        # Regression control variates (mc.cv): adjust the headline means by
+        # the fitted linear+quadratic response to the dispersion draws
+        # (whose expectations are known exactly), reporting variance-reduced
+        # means with delta-method stderr in analysis["control_variates"].
+        # Opt-in: it adds one O(d^2) readback per slab and its stderr
+        # assumes i.i.d. lanes (prng; for sobol use qmc_error instead).
+        self.control_variates = control_variates
         # Streaming-statistics mode engages above this many lanes (see
         # _run_slabbed); below it the slab loop keeps exact host arrays.
         if stats_stream_threshold < 1 or metrics_sample_cap < 1:
@@ -366,6 +374,18 @@ class MonteCarloAnalyzer:
                 ),
             },
         }
+        if self.control_variates:
+            from .cv import CVMoments, control_names, cv_slab_moments, finalize_cv
+
+            acc = CVMoments()
+            acc.add(jax.device_get(cv_slab_moments(
+                sample, summary, valid, jnp.ones(n_samples, bool),
+                self.uncertainty_params, self.scene.motor,
+            )))
+            analysis["control_variates"] = finalize_cv(
+                acc, control_names(self.uncertainty_params, self.scene.motor)
+            )
+
         if self.sampler == "sobol" and self.sobol_scrambles > 1:
             K = self.sobol_scrambles
             block = n_samples // K
@@ -466,6 +486,12 @@ class MonteCarloAnalyzer:
         valid_parts, reason_parts, landing_parts = [], [], []
         records, outlier_records = [], []
         footprint_acc = FootprintAccumulator()
+        cv_acc = None
+        if self.control_variates:
+            from .cv import CVMoments
+
+            cv_acc = CVMoments()
+            include_full = jnp.ones(slab, bool)
         pranges = None
         n_done = 0
         n_valid_total = 0
@@ -563,6 +589,15 @@ class MonteCarloAnalyzer:
                 )
             ))
 
+            if cv_acc is not None:
+                from .cv import cv_slab_moments
+
+                cv_acc.add(jax.device_get(cv_slab_moments(
+                    sample, summary, valid,
+                    include_full if n_s == slab else jnp.arange(slab) < n_s,
+                    self.uncertainty_params, self.scene.motor,
+                )))
+
             # Parameter ranges reduce ON DEVICE (18 scalars back per slab,
             # not the 19 MB dispersion SoA — the tunnel is the slow path).
             pr = self._parameter_ranges_device(sample, ranges_mask)
@@ -657,6 +692,12 @@ class MonteCarloAnalyzer:
             "results": records,
             "outliers": outlier_records,
         }
+        if cv_acc is not None:
+            from .cv import control_names, finalize_cv
+
+            analysis["control_variates"] = finalize_cv(
+                cv_acc, control_names(self.uncertainty_params, self.scene.motor)
+            )
         if self.sampler == "sobol" and len(qmc_blocks["apogee_altitude"]) > 1:
             analysis["qmc_error"] = self._qmc_error(qmc_blocks)
         return analysis

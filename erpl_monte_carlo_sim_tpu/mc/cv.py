@@ -1,0 +1,323 @@
+"""Regression control variates over the dispersion channels.
+
+Variance reduction the reference cannot offer (its per-sample params go
+through a process pool and are never jointly visible,
+`/root/reference/rocket_simulation/monte_carlo.py:156-335`): every drawn
+dispersion channel has an analytically KNOWN mean under the sampling
+distribution, so any linear combination of (standardized) draws is a
+valid control variate — subtracting the fitted response `beta . z` from a
+metric removes the variance the metric shares with the inputs while
+leaving the estimated mean unbiased (up to the O(d/n) plug-in-beta bias,
+see below). This captures the same linear-response structure that makes
+scrambled-Sobol effective (NOTES.md QMC studies), but works on plain
+prng draws, composes with slabbed/streaming runs, and yields a direct
+standard error for the adjusted mean.
+
+Filtering correctness: Monte Carlo statistics condition on the outlier
+filter, and E[z | valid] is NOT zero (e.g. high-thrust lanes diverge more
+often), so naively adjusting the valid-lane mean would bias it. The
+estimator here is the RATIO form: both the numerator mean(metric * 1??)
+and the denominator mean(1??) are CV-adjusted over ALL lanes (where E[z]
+is exactly zero), and the reported mean is their ratio — asymptotically
+unbiased for E[metric | valid] with variance from the delta method.
+
+Accumulation is slab-mergeable: each slab contributes CENTERED second
+moments about its own mean (f32-safe, same rationale as
+``mc.stats.FootprintAccumulator``) merged with Chan's parallel update in
+f64, so a 100M-lane run carries O(d^2) host state and the result is
+independent of slab count.
+
+Caveats (documented, not hidden):
+  * beta is fit on the same sample it adjusts — the classic plug-in
+    control-variate estimator. Its bias is O(d/n); with the default ~40
+    controls keep n >= a few thousand (``finalize`` reports
+    ``n_per_control`` so the regime is visible).
+  * stderr formulas assume i.i.d. lanes: exact for ``sampler="prng"``,
+    conservative-to-invalid for sobol (use ``qmc_error`` there) and
+    antithetic (pairs are dependent; the reduction is understated).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["CVMoments", "control_names", "cv_slab_moments", "finalize_cv"]
+
+# Metric targets adjusted by the CV block. landing x/y give the footprint
+# mean an adjusted twin; "valid" is the ratio denominator.
+TARGETS = ("apogee_altitude", "range", "flight_time",
+           "landing_x", "landing_y", "valid")
+
+
+def _uniform_channels(params):
+    """Static description of the two uniform channels; returns
+    (ws_active, ws_mid, ws_scale, dir_active, moments) where moments are
+    the exact E[cos], E[sin], E[cos2], E[sin2] over the direction range."""
+    lo, hi = float(params.wind_speed_range[0]), float(params.wind_speed_range[1])
+    ws_active = hi > lo
+    ws_mid = 0.5 * (lo + hi)
+    ws_scale = (hi - lo) / math.sqrt(12.0) if ws_active else 1.0
+    dlo, dhi = (float(params.wind_direction_range[0]),
+                float(params.wind_direction_range[1]))
+    dir_active = dhi > dlo
+    if dir_active:
+        w = dhi - dlo
+        moments = (
+            (math.sin(dhi) - math.sin(dlo)) / w,
+            (math.cos(dlo) - math.cos(dhi)) / w,
+            (math.sin(2 * dhi) - math.sin(2 * dlo)) / (2 * w),
+            (math.cos(2 * dlo) - math.cos(2 * dhi)) / (2 * w),
+        )
+    else:
+        moments = (0.0, 0.0, 0.0, 0.0)
+    return ws_active, ws_mid, ws_scale, dir_active, moments
+
+
+def control_names(params, motor) -> list:
+    """Names of the control columns, in the order ``_controls`` emits them."""
+    names = []
+    for base, sig in (
+        ("pos", params.initial_position), ("vel", params.initial_velocity),
+        ("att", params.initial_attitude),
+        ("omg", params.initial_angular_velocity),
+    ):
+        for i, s in enumerate(sig):
+            if float(s) > 0.0:
+                names.append(f"{base}_{'xyz'[i]}")
+    names += ["mass", "motor_thrust"]
+    if not motor.mdot_follows_thrust:
+        names.append("motor_flow")
+    names.append("density")
+    ws_active, _, _, dir_active, _ = _uniform_channels(params)
+    if ws_active:
+        names.append("wind_speed")
+    if dir_active:
+        names += ["cos_dir", "sin_dir"]
+    if ws_active and dir_active:
+        names += ["wind_x", "wind_y"]
+    gaussians = [n for n in names if n.split("_")[0] in
+                 ("pos", "vel", "att", "omg", "mass", "motor", "density")]
+    names += [f"{n}^2" for n in gaussians]
+    if ws_active:
+        names.append("wind_speed^2")
+    if dir_active:
+        names += ["cos_2dir", "sin_2dir"]
+    return names
+
+
+def _controls(sample, params, motor):
+    """[n, d] matrix of controls with EXACT zero mean under sampling.
+
+    Gaussian channels standardize to z = (x - mu)/sigma; uniform wind
+    speed to a unit-variance centered draw; wind direction contributes
+    first/second circular harmonics minus their analytic means; the
+    wind-offset interactions s*cos(d) use E[s]E[cos d] (independent
+    draws). Second-order diagonal terms (z^2 - 1 etc.) capture curvature.
+    Channels whose sigma/range is statically zero are omitted; the dead
+    ``thrust_multiplier`` quirk channel and (for solid motors) the unused
+    flow multiplier never enter.
+    """
+    cols = []
+    for arr, sig in (
+        (sample.initial_position_offset, params.initial_position),
+        (sample.initial_velocity_offset, params.initial_velocity),
+        (sample.initial_attitude_offset, params.initial_attitude),
+        (sample.initial_angular_velocity_offset,
+         params.initial_angular_velocity),
+    ):
+        for i, s in enumerate(sig):
+            if float(s) > 0.0:
+                cols.append(arr[:, i] / float(s))
+    # multipliers: sigma may be a traced scalar (motor fields); a zero
+    # sigma makes the draw identically 1, so the guarded division yields a
+    # zero column that finalize_cv drops by its variance.
+    def mult(x, sig):
+        return (x - 1.0) / jnp.maximum(jnp.asarray(sig, x.dtype), 1e-30)
+
+    cols.append(mult(sample.mass_multiplier,
+                     float(params.mass_uncertainty)
+                     if float(params.mass_uncertainty) > 0 else 1e-30))
+    cols.append(mult(sample.motor_thrust_multiplier,
+                     motor.thrust_uncertainty))
+    if not motor.mdot_follows_thrust:
+        cols.append(mult(sample.motor_flow_multiplier,
+                         motor.mass_flow_uncertainty))
+    cols.append(mult(sample.density_multiplier,
+                     float(params.atmospheric_density_uncertainty)
+                     if float(params.atmospheric_density_uncertainty) > 0
+                     else 1e-30))
+
+    ws_active, ws_mid, ws_scale, dir_active, (ec, es, ec2, es2) = (
+        _uniform_channels(params)
+    )
+    n_gauss = len(cols)
+    if ws_active:
+        ws = (sample.wind_speed - ws_mid) / ws_scale
+        cols.append(ws)
+    if dir_active:
+        c = jnp.cos(sample.wind_direction) - ec
+        s = jnp.sin(sample.wind_direction) - es
+        cols += [c, s]
+    if ws_active and dir_active:
+        e_speed = ws_mid  # E[s] of the uniform speed draw
+        cols.append(sample.wind_speed * jnp.cos(sample.wind_direction)
+                    - e_speed * ec)
+        cols.append(sample.wind_speed * jnp.sin(sample.wind_direction)
+                    - e_speed * es)
+    # diagonal second order
+    cols += [cols[i] ** 2 - 1.0 for i in range(n_gauss)]
+    if ws_active:
+        cols.append(ws ** 2 - 1.0)  # unit-variance uniform: E[ws^2] = 1
+    if dir_active:
+        cols.append(jnp.cos(2.0 * sample.wind_direction) - ec2)
+        cols.append(jnp.sin(2.0 * sample.wind_direction) - es2)
+    return jnp.stack(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def cv_slab_moments(sample, summary, valid, include, params, motor):
+    """One slab's centered CV moments, reduced ON DEVICE.
+
+    Readback is O(d^2) scalars (d ~ 40), not O(n d): (n_inc, mean_z [d],
+    mean_t [T], Szz [d,d], Szt [d,T], Stt [T,T]) with the S-matrices
+    centered about this slab's own means (f32 raw cross-moments of
+    25 km-scale metrics over 262k lanes would lose ~3 digits).
+    ``include`` masks padding lanes of a ragged final slab. The z'z
+    reduction is one [d,n]x[n,d] matmul — MXU work, not a host loop.
+    """
+    z = _controls(sample, params, motor)
+    lp = summary.landing_position
+    fin = (valid & jnp.isfinite(summary.apogee_altitude)
+           & jnp.isfinite(summary.range) & jnp.isfinite(summary.flight_time)
+           & jnp.isfinite(lp[:, 0]) & jnp.isfinite(lp[:, 1]))
+    t = jnp.stack([
+        jnp.where(fin, summary.apogee_altitude, 0.0),
+        jnp.where(fin, summary.range, 0.0),
+        jnp.where(fin, summary.flight_time, 0.0),
+        jnp.where(fin, lp[:, 0], 0.0),
+        jnp.where(fin, lp[:, 1], 0.0),
+        fin.astype(z.dtype),
+    ], axis=1)
+    inc = include.astype(z.dtype)[:, None]
+    n = jnp.sum(include)
+    nf = jnp.maximum(n, 1).astype(z.dtype)
+    z = z * inc  # zero excluded lanes so they drop out of every sum
+    t = t * inc
+    mz = jnp.sum(z, axis=0) / nf
+    mt = jnp.sum(t, axis=0) / nf
+    zc = (z - mz) * inc
+    tc = (t - mt) * inc
+    return n, mz, mt, zc.T @ zc, zc.T @ tc, tc.T @ tc
+
+
+class CVMoments:
+    """f64 host accumulator for slab CV moments (Chan's parallel merge,
+    generalized to the cross-moment matrices)."""
+
+    def __init__(self):
+        self.n = 0
+        self.mz = self.mt = None
+        self.szz = self.szt = self.stt = None
+
+    def add(self, moments) -> None:
+        # copy=True: device_get hands back read-only buffers, and the
+        # merge mutates these in place
+        n, mz, mt, szz, szt, stt = (np.array(m, np.float64)
+                                    for m in moments)
+        n = int(n)
+        if n == 0:
+            return
+        if self.n == 0:
+            self.n, self.mz, self.mt = n, mz, mt
+            self.szz, self.szt, self.stt = szz, szt, stt
+            return
+        na, nb = self.n, n
+        tot = na + nb
+        dz = mz - self.mz
+        dt = mt - self.mt
+        w = na * nb / tot
+        self.szz += szz + np.outer(dz, dz) * w
+        self.szt += szt + np.outer(dz, dt) * w
+        self.stt += stt + np.outer(dt, dt) * w
+        self.mz += dz * nb / tot
+        self.mt += dt * nb / tot
+        self.n = tot
+
+
+def _ratio_stats(mu, cov, a, iv, n):
+    """Delta-method mean/stderr of target a's valid-lane mean (ratio of
+    adjusted means numerator/denominator)."""
+    d = mu[iv]
+    if d <= 0.0:
+        return float("nan"), float("nan")
+    r = mu[a] / d
+    var = (cov[a, a] - 2.0 * r * cov[a, iv] + r * r * cov[iv, iv]) / (
+        n * d * d
+    )
+    return float(r), float(np.sqrt(max(var, 0.0)))
+
+
+def finalize_cv(acc: CVMoments, names: list) -> dict:
+    """Solve the regression and emit the analysis block.
+
+    Returns, per metric: the CV-adjusted valid-lane mean with its delta-
+    method stderr, the plain (unadjusted) mean/stderr from the same
+    moments, and the measured variance-reduction factor; plus the fitted
+    ``beta`` per control (a free global sensitivity readout: beta[k] is
+    the metric's linear response to one sigma of control k).
+    """
+    if acc.n == 0:
+        return {"n": 0, "controls": names}
+    n = acc.n
+    mu_t = acc.mt
+    sigma_tt = acc.stt / n
+    out = {"n": n, "controls": list(names)}
+    iv = TARGETS.index("valid")
+
+    plain = {}
+    for a, name in enumerate(TARGETS[:-1]):
+        plain[name] = _ratio_stats(mu_t, sigma_tt, a, iv, n)
+
+    # Drop constant columns (statically-zero sigmas already never enter;
+    # this catches traced zero sigmas and degenerate draws), then solve
+    # with a relative ridge for conditioning.
+    var_z = np.diag(acc.szz) / n
+    keep = var_z > 1e-12 * max(var_z.max(), 1e-30)
+    d_kept = int(keep.sum())
+    out["n_per_control"] = float(n / max(d_kept, 1))
+    if d_kept == 0 or n < 4 * d_kept:
+        # Not enough lanes to fit beta honestly: report plain stats only.
+        out["insufficient_samples"] = True
+        for name, (m, se) in plain.items():
+            out[name] = {"mean": m, "stderr": se, "plain_mean": m,
+                         "plain_stderr": se, "variance_reduction": 1.0}
+        return out
+
+    szz = acc.szz[np.ix_(keep, keep)] / n
+    szt = acc.szt[keep] / n
+    ridge = 1e-9 * np.trace(szz) / d_kept
+    beta = np.linalg.solve(szz + ridge * np.eye(d_kept), szt)  # [d,T]
+    # adjusted target means: E[z] = 0 exactly, so subtract beta . mean(z)
+    mu_adj = mu_t - beta.T @ acc.mz[keep]
+    resid = sigma_tt - szt.T @ beta  # residual covariance of targets
+    # guard tiny negative diagonals from cancellation
+    np.fill_diagonal(resid, np.maximum(np.diag(resid), 0.0))
+
+    kept_names = [nm for nm, k in zip(names, keep) if k]
+    out["kept_controls"] = kept_names
+    for a, name in enumerate(TARGETS[:-1]):
+        mean, se = _ratio_stats(mu_adj, resid, a, iv, n)
+        pm, pse = plain[name]
+        vr = (pse / se) ** 2 if se > 0 and np.isfinite(se) else float("nan")
+        out[name] = {
+            "mean": mean, "stderr": se,
+            "plain_mean": pm, "plain_stderr": pse,
+            "variance_reduction": vr,
+            "beta": {nm: float(b) for nm, b in zip(kept_names, beta[:, a])},
+        }
+    return out

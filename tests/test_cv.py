@@ -1,0 +1,219 @@
+"""Regression control variates (mc/cv.py + analyzer integration).
+
+Beyond-reference capability: the reference's per-sample parameter dicts
+vanish into a process pool (`monte_carlo.py:156-335`); here the jointly
+visible dispersion draws become control variates with exactly known
+means, giving variance-reduced headline means with honest standard
+errors — on plain prng sampling, composably with the slabbed path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+from erpl_monte_carlo_sim_tpu.mc import (
+    MonteCarloAnalyzer,
+    UncertaintyParams,
+    sample_dispersions,
+)
+from erpl_monte_carlo_sim_tpu.mc.cv import (
+    TARGETS,
+    CVMoments,
+    _controls,
+    control_names,
+    finalize_cv,
+)
+from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+SCENE = nominal_scene(liquid_motor())
+IC = InitialConditions.vertical_launch()
+CFG = SimConfig(max_time=6.0)  # 1k-step ascent window
+PARAMS = UncertaintyParams()
+
+
+def _draw(n, seed=0):
+    key = jax.random.PRNGKey(seed)
+    _, _, sample = sample_dispersions(key, SCENE, IC, PARAMS, n)
+    return np.asarray(_controls(sample, PARAMS, SCENE.motor))
+
+
+def test_control_matrix_matches_names_and_is_centered():
+    names = control_names(PARAMS, SCENE.motor)
+    z = _draw(20_000)
+    assert z.shape == (20_000, len(names))
+    # exact-zero expectations: sample means shrink as 1/sqrt(n); each
+    # first-order column has variance <= ~1 so |mean| < 5/sqrt(n)
+    first_order = [i for i, nm in enumerate(names)
+                   if not nm.endswith("^2") and "2dir" not in nm]
+    assert np.abs(z[:, first_order].mean(axis=0)).max() < 5.0 / np.sqrt(20_000)
+    # standardized gaussian/uniform channels have unit variance
+    for i, nm in enumerate(names):
+        if nm.split("_")[0] in ("pos", "vel", "att", "omg", "mass", "density") \
+                and not nm.endswith("^2"):
+            assert abs(z[:, i].std() - 1.0) < 0.05, nm
+    # liquid motor: independent flow multiplier is an active channel
+    assert "motor_flow" in names
+
+
+def _moments_np(z, t):
+    """Centered moments in the cv_slab_moments layout, computed in numpy."""
+    n = len(z)
+    mz, mt = z.mean(axis=0), t.mean(axis=0)
+    zc, tc = z - mz, t - mt
+    return n, mz, mt, zc.T @ zc, zc.T @ tc, tc.T @ tc
+
+
+def _linear_targets(z, rng, noise=0.05):
+    """Synthetic metric: exact linear response + small noise, all valid."""
+    d = z.shape[1]
+    w = rng.standard_normal(d)
+    y = 100.0 + z @ w + noise * rng.standard_normal(len(z))
+    t = np.zeros((len(z), len(TARGETS)))
+    t[:, 0] = y
+    t[:, 1] = 2.0 * y  # range: perfectly correlated twin
+    t[:, 2] = 50.0     # flight_time: constant (zero-variance target)
+    t[:, 3] = t[:, 4] = y
+    t[:, -1] = 1.0     # all lanes valid
+    return t, 100.0
+
+
+def test_linear_metric_is_almost_fully_explained():
+    rng = np.random.default_rng(0)
+    z = _draw(8192)
+    t, truth = _linear_targets(z, rng)
+    acc = CVMoments()
+    acc.add(_moments_np(z, t))
+    names = control_names(PARAMS, SCENE.motor)
+    out = finalize_cv(acc, names)
+    blk = out["apogee_altitude"]
+    # the linear part is removed exactly: residual stderr ~ noise/sqrt(n)
+    assert blk["variance_reduction"] > 50.0
+    assert blk["stderr"] < 3.0 * 0.05 / np.sqrt(8192)
+    assert abs(blk["mean"] - truth) < 5.0 * blk["stderr"]
+    # plain estimate is much farther away on average; its stderr says so
+    assert blk["plain_stderr"] > 10.0 * blk["stderr"]
+    # constant target: zero variance before and after, mean exact
+    assert out["flight_time"]["mean"] == pytest.approx(50.0)
+
+
+def test_slab_merge_matches_single_shot():
+    rng = np.random.default_rng(1)
+    z = _draw(6000)
+    t, _ = _linear_targets(z, rng)
+    whole = CVMoments()
+    whole.add(_moments_np(z, t))
+    names = control_names(PARAMS, SCENE.motor)
+    ref = finalize_cv(whole, names)
+    for slabs in (2, 5):
+        acc = CVMoments()
+        for zi, ti in zip(np.array_split(z, slabs),
+                          np.array_split(t, slabs)):
+            acc.add(_moments_np(zi, ti))
+        got = finalize_cv(acc, names)
+        assert got["n"] == ref["n"] == 6000
+        for m in ("apogee_altitude", "range"):
+            np.testing.assert_allclose(got[m]["mean"], ref[m]["mean"],
+                                       rtol=1e-9)
+            np.testing.assert_allclose(got[m]["stderr"], ref[m]["stderr"],
+                                       rtol=1e-7)
+
+
+def test_key_sweep_rms_and_bias():
+    """Across independent keys the adjusted estimator is unbiased and its
+    RMS error matches its own reported stderr (the synthetic truth is
+    known exactly)."""
+    rng = np.random.default_rng(2)
+    names = control_names(PARAMS, SCENE.motor)
+    w = rng.standard_normal(len(names))
+    errs, plain_errs, stderrs = [], [], []
+    for seed in range(6):
+        z = _draw(2048, seed=seed)
+        noise_rng = np.random.default_rng(100 + seed)
+        y = 100.0 + z @ w + 0.05 * noise_rng.standard_normal(len(z))
+        t = np.zeros((len(z), len(TARGETS)))
+        t[:, 0] = y
+        t[:, -1] = 1.0
+        acc = CVMoments()
+        acc.add(_moments_np(z, t))
+        blk = finalize_cv(acc, names)["apogee_altitude"]
+        errs.append(blk["mean"] - 100.0)
+        plain_errs.append(blk["plain_mean"] - 100.0)
+        stderrs.append(blk["stderr"])
+    errs = np.asarray(errs)
+    assert np.sqrt((errs ** 2).mean()) < 5.0 * np.mean(stderrs)
+    assert np.sqrt((errs ** 2).mean()) < 0.2 * np.sqrt(
+        (np.asarray(plain_errs) ** 2).mean()
+    )
+
+
+def test_ratio_form_with_filtered_lanes():
+    """Validity correlated with a control must not bias the adjusted mean:
+    the ratio estimator adjusts numerator and denominator over ALL lanes."""
+    rng = np.random.default_rng(3)
+    names = control_names(PARAMS, SCENE.motor)
+    i_mass = names.index("mass")
+    means = []
+    for seed in range(6):
+        z = _draw(4096, seed=10 + seed)
+        y = 200.0 + 3.0 * z[:, i_mass] + 0.1 * rng.standard_normal(len(z))
+        valid = z[:, i_mass] < 1.0  # drop the high-mass tail (~16%)
+        t = np.zeros((len(z), len(TARGETS)))
+        t[:, 0] = np.where(valid, y, 0.0)
+        t[:, -1] = valid.astype(float)
+        acc = CVMoments()
+        acc.add(_moments_np(z, t))
+        blk = finalize_cv(acc, names)["apogee_altitude"]
+        means.append(blk["mean"])
+        # truth: E[y | z_mass < 1] = 200 + 3 E[z|z<1] (truncated normal)
+        truth = 200.0 - 3.0 * np.exp(-0.5) / np.sqrt(2 * np.pi) / \
+            0.8413447460685429
+        assert abs(blk["mean"] - truth) < 6.0 * max(blk["stderr"], 1e-3)
+    assert np.std(means) < 0.05  # adjusted means are stable across keys
+
+
+def test_insufficient_samples_falls_back_to_plain():
+    rng = np.random.default_rng(4)
+    z = _draw(32)
+    t, _ = _linear_targets(z, rng)
+    acc = CVMoments()
+    acc.add(_moments_np(z, t))
+    out = finalize_cv(acc, control_names(PARAMS, SCENE.motor))
+    assert out.get("insufficient_samples") is True
+    assert out["apogee_altitude"]["variance_reduction"] == 1.0
+
+
+def test_analyzer_single_call_cv_block():
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            control_variates=True)
+    a = mc.run_monte_carlo(IC, n_samples=256, seed=1)
+    blk = a["control_variates"]
+    assert blk["n"] == 256  # moments see every lane, valid or not
+    apo = blk["apogee_altitude"]
+    # flight response is near-linear in the scalar channels at the 1k-step
+    # window (the QMC study's regime) — CV must pay substantially
+    assert apo["variance_reduction"] > 3.0
+    assert apo["stderr"] < apo["plain_stderr"]
+    # adjustment moves the mean by O(stderr), not O(sigma)
+    assert abs(apo["mean"] - apo["plain_mean"]) < 6.0 * apo["plain_stderr"]
+    # plain ratio mean agrees with the headline stats block over the same
+    # jointly-finite lanes
+    np.testing.assert_allclose(apo["plain_mean"],
+                               a["apogee_altitude"]["mean"], rtol=1e-6)
+    # beta readout exists and the thrust channel dominates apogee (the
+    # default params have zero position sigma, so no pos_* channel exists)
+    assert "pos_x" not in apo["beta"]
+    assert abs(apo["beta"]["motor_thrust"]) > abs(apo["beta"]["vel_x"])
+
+
+def test_analyzer_slabbed_cv_accumulates_all_lanes():
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            control_variates=True)
+    a = mc.run_monte_carlo(IC, n_samples=80, seed=2, lane_slab=32)
+    blk = a["control_variates"]
+    assert blk["n"] == 80  # ragged final slab contributes 16, not 32
+    # plain ratio mean equals the mean over this run's own valid records
+    recs = a["results"]
+    vals = np.asarray([r["apogee_altitude"] for r in recs])
+    np.testing.assert_allclose(blk["apogee_altitude"]["plain_mean"],
+                               vals.mean(), rtol=1e-5)
