@@ -179,6 +179,23 @@ def _controls(sample, params, motor):
     return jnp.stack(cols, axis=1)
 
 
+def _targets(summary, valid, dtype):
+    """[n, T] target stack: metrics zeroed off the jointly-finite valid
+    lanes, plus the validity indicator (the ratio denominator)."""
+    lp = summary.landing_position
+    fin = (valid & jnp.isfinite(summary.apogee_altitude)
+           & jnp.isfinite(summary.range) & jnp.isfinite(summary.flight_time)
+           & jnp.isfinite(lp[:, 0]) & jnp.isfinite(lp[:, 1]))
+    return jnp.stack([
+        jnp.where(fin, summary.apogee_altitude, 0.0),
+        jnp.where(fin, summary.range, 0.0),
+        jnp.where(fin, summary.flight_time, 0.0),
+        jnp.where(fin, lp[:, 0], 0.0),
+        jnp.where(fin, lp[:, 1], 0.0),
+        fin.astype(dtype),
+    ], axis=1).astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def cv_slab_moments(sample, summary, valid, include, params, motor):
     """One slab's centered CV moments, reduced ON DEVICE.
@@ -191,18 +208,7 @@ def cv_slab_moments(sample, summary, valid, include, params, motor):
     reduction is one [d,n]x[n,d] matmul — MXU work, not a host loop.
     """
     z = _controls(sample, params, motor)
-    lp = summary.landing_position
-    fin = (valid & jnp.isfinite(summary.apogee_altitude)
-           & jnp.isfinite(summary.range) & jnp.isfinite(summary.flight_time)
-           & jnp.isfinite(lp[:, 0]) & jnp.isfinite(lp[:, 1]))
-    t = jnp.stack([
-        jnp.where(fin, summary.apogee_altitude, 0.0),
-        jnp.where(fin, summary.range, 0.0),
-        jnp.where(fin, summary.flight_time, 0.0),
-        jnp.where(fin, lp[:, 0], 0.0),
-        jnp.where(fin, lp[:, 1], 0.0),
-        fin.astype(z.dtype),
-    ], axis=1)
+    t = _targets(summary, valid, z.dtype)
     inc = include.astype(z.dtype)[:, None]
     n = jnp.sum(include)
     nf = jnp.maximum(n, 1).astype(z.dtype)

@@ -2,13 +2,15 @@
 
 from .mesh import (BATCH_AXIS, init_distributed, make_global_batch, make_mesh,
                    pad_to_devices, replicate, shard_batch)
-from .sharded import (collective_footprint, collective_footprint_moments,
-                      collective_stats, run_sharded_summaries)
+from .sharded import (collective_cv_moments, collective_footprint,
+                      collective_footprint_moments, collective_stats,
+                      run_sharded_summaries)
 
 __all__ = [
     "BATCH_AXIS", "make_mesh", "pad_to_devices", "replicate", "shard_batch",
     "collective_stats", "collective_footprint",
-    "collective_footprint_moments", "run_sharded_summaries",
+    "collective_footprint_moments", "collective_cv_moments",
+    "run_sharded_summaries",
     "init_distributed",
     "make_global_batch",
 ]

@@ -260,3 +260,58 @@ def collective_footprint(landing: jnp.ndarray, mask: jnp.ndarray | None,
     acc = FootprintAccumulator()
     acc.add(*collective_footprint_moments(landing, mask, mesh))
     return acc.footprint()
+
+
+def collective_cv_moments(sample, summary, valid, mask, params, motor,
+                          mesh: Mesh) -> tuple:
+    """Control-variate moments with explicit collectives — the pod-scale
+    twin of ``mc.cv.cv_slab_moments``. Returns the same
+    ``(n, mean_z, mean_t, Szz, Szt, Stt)`` tuple for
+    ``mc.cv.CVMoments.add``; merge across slabs/hosts and call
+    ``mc.cv.finalize_cv`` once at the end.
+
+    The control matrix is built per shard (elementwise in the lane axis, no
+    communication); means ride one ``psum`` each and the centered
+    second-moment matrices one ``psum`` of a [d, d]-per-shard matmul —
+    O(d^2) bytes over ICI per slab regardless of lane count, never a
+    per-lane gather. Two-pass centering for the same f32 reasons as
+    ``collective_stats``' variance.
+    """
+    from ..mc.cv import _controls, _targets
+
+    shard = NamedSharding(mesh, P(BATCH_AXIS))
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, shard), t)
+    sample, summary, valid = put(sample), put(summary), put(valid)
+    if mask is None:
+        mask = jnp.ones(valid.shape, dtype=bool)
+    mask = jax.device_put(mask, shard)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(),
+    )
+    def _moments(sample_s, summary_s, valid_s, inc_s):
+        z = _controls(sample_s, params, motor)
+        t = _targets(summary_s, valid_s, z.dtype)
+        inc = inc_s.astype(z.dtype)[:, None]
+        z = z * inc
+        t = t * inc
+        n = jax.lax.psum(jnp.sum(inc_s), BATCH_AXIS)
+        nf = jnp.maximum(n, 1).astype(z.dtype)
+        mz = jax.lax.psum(jnp.sum(z, axis=0), BATCH_AXIS) / nf
+        mt = jax.lax.psum(jnp.sum(t, axis=0), BATCH_AXIS) / nf
+        zc = (z - mz) * inc
+        tc = (t - mt) * inc
+        return {
+            "n": n, "mz": mz, "mt": mt,
+            "szz": jax.lax.psum(zc.T @ zc, BATCH_AXIS),
+            "szt": jax.lax.psum(zc.T @ tc, BATCH_AXIS),
+            "stt": jax.lax.psum(tc.T @ tc, BATCH_AXIS),
+        }
+
+    mo = _moments(sample, summary, valid, mask)
+    import numpy as np
+
+    return tuple(np.asarray(mo[k]) for k in
+                 ("n", "mz", "mt", "szz", "szt", "stt"))

@@ -217,3 +217,35 @@ def test_analyzer_slabbed_cv_accumulates_all_lanes():
     vals = np.asarray([r["apogee_altitude"] for r in recs])
     np.testing.assert_allclose(blk["apogee_altitude"]["plain_mean"],
                                vals.mean(), rtol=1e-5)
+
+
+def test_collective_cv_moments_match_single_device():
+    """Pod-scale twin: the shard_map psum moments must equal the jitted
+    single-device kernel on the same lanes (virtual 8-device mesh)."""
+    import jax.numpy as jnp
+
+    from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
+    from erpl_monte_carlo_sim_tpu.mc import outlier_mask
+    from erpl_monte_carlo_sim_tpu.mc.cv import cv_slab_moments
+    from erpl_monte_carlo_sim_tpu.parallel import (
+        collective_cv_moments,
+        make_mesh,
+    )
+
+    sb, ib, sample = sample_dispersions(
+        jax.random.PRNGKey(7), SCENE, IC, PARAMS, 64
+    )
+    summary = simulate_summary_batch(sb, ib, CFG)
+    valid, _ = outlier_mask(summary)
+    ref = cv_slab_moments(sample, summary, valid, jnp.ones(64, bool),
+                          PARAMS, SCENE.motor)
+    got = collective_cv_moments(sample, summary, valid, None, PARAMS,
+                                SCENE.motor, make_mesh(n_devices=8))
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-10, atol=1e-12)
+    # and the merged block finalizes cleanly
+    acc = CVMoments()
+    acc.add(got)
+    out = finalize_cv(acc, control_names(PARAMS, SCENE.motor))
+    assert out["n"] == 64
