@@ -146,6 +146,7 @@ class MonteCarloAnalyzer:
         sobol_wind_modes: int = 0,
         antithetic: bool = False,
         control_variates: bool = False,
+        cv_wind_modes: int = 0,
         persistent_cache: bool = True,
         stats_stream_threshold: int = 4_194_304,
         metrics_sample_cap: int = 1_048_576,
@@ -200,6 +201,17 @@ class MonteCarloAnalyzer:
         # Opt-in: it adds one O(d^2) readback per slab and its stderr
         # assumes i.i.d. lanes (prng; for sobol use qmc_error instead).
         self.control_variates = control_variates
+        # With control_variates: ALSO use the top-K AR(1) turbulence-mode
+        # scores of each lane's realized wind table (+ their squares) as
+        # controls (mc.cv.wind_mode_projector) — the turbulence share of
+        # full-flight dispersion becomes reducible, the CV counterpart of
+        # sobol_wind_modes. Valid under any sampler (known-zero means).
+        if cv_wind_modes < 0:
+            raise ValueError("cv_wind_modes must be >= 0")
+        if cv_wind_modes and not control_variates:
+            raise ValueError("cv_wind_modes requires control_variates=True")
+        self.cv_wind_modes = cv_wind_modes
+        self._cv_proj = None  # (grid_key, projector) memo
         # Streaming-statistics mode engages above this many lanes (see
         # _run_slabbed); below it the slab loop keeps exact host arrays.
         if stats_stream_threshold < 1 or metrics_sample_cap < 1:
@@ -381,9 +393,11 @@ class MonteCarloAnalyzer:
             acc.add(jax.device_get(cv_slab_moments(
                 sample, summary, valid, jnp.ones(n_samples, bool),
                 self.uncertainty_params, self.scene.motor,
+                self._cv_wind_ctrl(scene_b, sample, base_wind),
             )))
             analysis["control_variates"] = finalize_cv(
-                acc, control_names(self.uncertainty_params, self.scene.motor)
+                acc, control_names(self.uncertainty_params, self.scene.motor,
+                                   self.cv_wind_modes)
             )
 
         if self.sampler == "sobol" and self.sobol_scrambles > 1:
@@ -413,6 +427,31 @@ class MonteCarloAnalyzer:
             summary_np, sample_np, valid_np, reasons_np, want_valid=False, limit=limit
         )
         return analysis
+
+    def _cv_wind_ctrl(self, scene_b, sample, base_wind):
+        """The wind_ctrl pytree for mc.cv turbulence-mode controls (None
+        when cv_wind_modes is off). The [N,K] projector comes from a
+        host-side SVD of the AR(1) transfer matrix, memoized per grid."""
+        if not self.cv_wind_modes:
+            return None
+        from .cv import wind_mode_projector
+
+        alt = scene_b.wind.altitudes
+        grid_key = (int(alt.shape[0]), float(alt[0]), float(alt[-1]),
+                    self.cv_wind_modes)
+        if self._cv_proj is None or self._cv_proj[0] != grid_key:
+            self._cv_proj = (grid_key, jnp.asarray(wind_mode_projector(
+                self.scene.wind_model, np.asarray(alt), self.cv_wind_modes
+            ), alt.dtype))
+        return {
+            "wind": scene_b.wind.wind,
+            "ws": sample.wind_speed,
+            "wd": sample.wind_direction,
+            "proj": self._cv_proj[1],
+            "alt": alt,
+            "model": self.scene.wind_model,
+            "base": None if base_wind is None else base_wind[1],
+        }
 
     def run_optimized_monte_carlo(self, initial_conditions, n_samples=1000,
                                   chunk_size=None, **kw) -> dict:
@@ -596,6 +635,7 @@ class MonteCarloAnalyzer:
                     sample, summary, valid,
                     include_full if n_s == slab else jnp.arange(slab) < n_s,
                     self.uncertainty_params, self.scene.motor,
+                    self._cv_wind_ctrl(scene_b, sample, base_wind),
                 )))
 
             # Parameter ranges reduce ON DEVICE (18 scalars back per slab,
@@ -696,7 +736,8 @@ class MonteCarloAnalyzer:
             from .cv import control_names, finalize_cv
 
             analysis["control_variates"] = finalize_cv(
-                cv_acc, control_names(self.uncertainty_params, self.scene.motor)
+                cv_acc, control_names(self.uncertainty_params,
+                                      self.scene.motor, self.cv_wind_modes)
             )
         if self.sampler == "sobol" and len(qmc_blocks["apogee_altitude"]) > 1:
             analysis["qmc_error"] = self._qmc_error(qmc_blocks)

@@ -78,7 +78,7 @@ def _uniform_channels(params):
     return ws_active, ws_mid, ws_scale, dir_active, moments
 
 
-def control_names(params, motor) -> list:
+def control_names(params, motor, wind_modes: int = 0) -> list:
     """Names of the control columns, in the order ``_controls`` emits them."""
     names = []
     for base, sig in (
@@ -107,10 +107,67 @@ def control_names(params, motor) -> list:
         names.append("wind_speed^2")
     if dir_active:
         names += ["cos_2dir", "sin_2dir"]
+    for k in range(wind_modes):
+        names += [f"turb_{c}_m{k}" for c in "uvw"]
+    for k in range(wind_modes):
+        names += [f"turb_{c}_m{k}^2" for c in "uvw"]
     return names
 
 
-def _controls(sample, params, motor):
+def wind_mode_projector(wind_model, altitudes, k_modes: int) -> np.ndarray:
+    """[N, K] projector P with ``scores = P^T turb_component`` standard
+    normal under the sampling distribution.
+
+    The AR(1) turbulence is ``turb = A z`` (``models.wind.
+    ar1_transfer_matrix``; vertical component 0.3*A), so with A = U S V^T
+    the statistic ``u_k^T turb / s_k = v_k^T z`` is exactly N(0, 1) and
+    independent across modes/components — a valid control with known
+    mean REGARDLESS of sampler (prng, sobol, antithetic). Host-side SVD,
+    lane-count independent (~ms at N=100).
+    """
+    from ..models.wind import ar1_transfer_matrix
+
+    a = ar1_transfer_matrix(wind_model, np.asarray(altitudes, np.float64))
+    u, s, _ = np.linalg.svd(a)
+    k = min(int(k_modes), len(s))
+    return u[:, :k] / s[:k]
+
+
+def _wind_scores(wind_ctrl, dtype):
+    """[n, 3K] turbulence-mode scores from the REALIZED per-lane wind
+    tables: subtract each lane's deterministic mean profile (power-law
+    shear for synthesized profiles, base forecast + uniform offset for
+    perturbed ones — mirrors ``mc.dispersions._build_scene``), project the
+    residual turbulence on the AR(1) principal directions. Output columns
+    are standard normal with exactly zero expectation."""
+    from ..models.wind import power_law_profile
+
+    w = jnp.asarray(wind_ctrl["wind"], dtype)  # [n, N, 3]
+    ws = jnp.asarray(wind_ctrl["ws"], dtype)
+    wd = jnp.asarray(wind_ctrl["wd"], dtype)
+    proj = jnp.asarray(wind_ctrl["proj"], dtype)  # [N, K]
+    cosd, sind = jnp.cos(wd), jnp.sin(wd)
+    if wind_ctrl.get("base") is not None:
+        base = jnp.asarray(wind_ctrl["base"], dtype)  # [N, 3]
+        off = jnp.stack([ws * cosd, ws * sind, jnp.zeros_like(ws)], axis=-1)
+        turb = w - base[None, :, :] - off[:, None, :]
+    else:
+        speed = power_law_profile(
+            wind_ctrl["model"], wind_ctrl["alt"][None, :], ws[:, None]
+        )  # [n, N]
+        mean_uv = jnp.stack(
+            [speed * cosd[:, None], speed * sind[:, None]], axis=-1
+        )
+        turb = w - jnp.concatenate(
+            [mean_uv, jnp.zeros_like(mean_uv[..., :1])], axis=-1
+        )
+    # scores[n, k, c] = proj[:, k] . turb[n, :, c]; vertical runs at 0.3x
+    s = jnp.einsum("nic,ik->nkc", turb, proj)
+    s = s / jnp.asarray([1.0, 1.0, 0.3], dtype)
+    return s.reshape(s.shape[0], -1)
+
+
+def _controls(sample, params, motor, wind_ctrl=None):
     """[n, d] matrix of controls with EXACT zero mean under sampling.
 
     Gaussian channels standardize to z = (x - mu)/sigma; uniform wind
@@ -176,7 +233,14 @@ def _controls(sample, params, motor):
     if dir_active:
         cols.append(jnp.cos(2.0 * sample.wind_direction) - ec2)
         cols.append(jnp.sin(2.0 * sample.wind_direction) - es2)
-    return jnp.stack(cols, axis=1)
+    z = jnp.stack(cols, axis=1)
+    if wind_ctrl is not None:
+        # turbulence-mode scores (+ squares: weather-cocking losses are
+        # roughly even in crosswind, so the quadratic terms carry much of
+        # the apogee response); E[s] = 0 and E[s^2] = 1 exactly
+        s = _wind_scores(wind_ctrl, z.dtype)
+        z = jnp.concatenate([z, s, s ** 2 - 1.0], axis=1)
+    return z
 
 
 def _targets(summary, valid, dtype):
@@ -197,7 +261,8 @@ def _targets(summary, valid, dtype):
 
 
 @partial(jax.jit, static_argnames=("params",))
-def cv_slab_moments(sample, summary, valid, include, params, motor):
+def cv_slab_moments(sample, summary, valid, include, params, motor,
+                    wind_ctrl=None):
     """One slab's centered CV moments, reduced ON DEVICE.
 
     Readback is O(d^2) scalars (d ~ 40), not O(n d): (n_inc, mean_z [d],
@@ -207,7 +272,7 @@ def cv_slab_moments(sample, summary, valid, include, params, motor):
     ``include`` masks padding lanes of a ragged final slab. The z'z
     reduction is one [d,n]x[n,d] matmul — MXU work, not a host loop.
     """
-    z = _controls(sample, params, motor)
+    z = _controls(sample, params, motor, wind_ctrl)
     t = _targets(summary, valid, z.dtype)
     inc = include.astype(z.dtype)[:, None]
     n = jnp.sum(include)

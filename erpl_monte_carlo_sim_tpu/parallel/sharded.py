@@ -263,7 +263,7 @@ def collective_footprint(landing: jnp.ndarray, mask: jnp.ndarray | None,
 
 
 def collective_cv_moments(sample, summary, valid, mask, params, motor,
-                          mesh: Mesh) -> tuple:
+                          mesh: Mesh, wind_ctrl=None) -> tuple:
     """Control-variate moments with explicit collectives — the pod-scale
     twin of ``mc.cv.cv_slab_moments``. Returns the same
     ``(n, mean_z, mean_t, Szz, Szt, Stt)`` tuple for
@@ -285,14 +285,25 @@ def collective_cv_moments(sample, summary, valid, mask, params, motor,
     if mask is None:
         mask = jnp.ones(valid.shape, dtype=bool)
     mask = jax.device_put(mask, shard)
+    # wind_ctrl: per-lane leaves shard, the projector/grid/model replicate
+    wc_spec = P()  # empty pytree when wind_ctrl is None
+    if wind_ctrl is not None:
+        lane_keys = ("wind", "ws", "wd")
+        wind_ctrl = {
+            k: (put(v) if k in lane_keys else v)
+            for k, v in wind_ctrl.items()
+        }
+        wc_spec = {k: (P(BATCH_AXIS) if k in lane_keys else P())
+                   for k in wind_ctrl}
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS)),
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS),
+                  wc_spec),
         out_specs=P(),
     )
-    def _moments(sample_s, summary_s, valid_s, inc_s):
-        z = _controls(sample_s, params, motor)
+    def _moments(sample_s, summary_s, valid_s, inc_s, wc_s):
+        z = _controls(sample_s, params, motor, wc_s)
         t = _targets(summary_s, valid_s, z.dtype)
         inc = inc_s.astype(z.dtype)[:, None]
         z = z * inc
@@ -310,7 +321,7 @@ def collective_cv_moments(sample, summary, valid, mask, params, motor,
             "stt": jax.lax.psum(tc.T @ tc, BATCH_AXIS),
         }
 
-    mo = _moments(sample, summary, valid, mask)
+    mo = _moments(sample, summary, valid, mask, wind_ctrl)
     import numpy as np
 
     return tuple(np.asarray(mo[k]) for k in

@@ -51,6 +51,11 @@ def analyzers(cfg):
     return {
         "prng": MonteCarloAnalyzer(scene=SCENE, sim_config=cfg,
                                    control_variates=True),
+        # identical lanes to "prng" (sampling is unchanged by CV knobs);
+        # only the control set differs
+        "prng_w": MonteCarloAnalyzer(scene=SCENE, sim_config=cfg,
+                                     control_variates=True,
+                                     cv_wind_modes=24),
         "sobol": MonteCarloAnalyzer(scene=SCENE, sim_config=cfg,
                                     sampler="sobol"),
     }
@@ -77,6 +82,7 @@ def main():
             rows = {
                 "prng": {k: [] for k in METRICS},
                 "prng+cv": {k: [] for k in METRICS},
+                "prng+cv+wind24": {k: [] for k in METRICS},
                 "sobol": {k: [] for k in METRICS},
             }
             stderrs = {k: [] for k in METRICS}
@@ -89,6 +95,11 @@ def main():
                     rows["prng+cv"][k].append(cv[k]["mean"] - truth[k])
                     stderrs[k].append(cv[k]["stderr"])
                     vrs[k].append(cv[k]["variance_reduction"])
+                w = mcs["prng_w"].run_monte_carlo(IC, n_samples=n, seed=key)
+                for k in METRICS:
+                    rows["prng+cv+wind24"][k].append(
+                        w["control_variates"][k]["mean"] - truth[k]
+                    )
                 s = mcs["sobol"].run_monte_carlo(IC, n_samples=n, seed=key)
                 for k in METRICS:
                     rows["sobol"][k].append(s[k]["mean"] - truth[k])

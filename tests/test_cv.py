@@ -239,9 +239,19 @@ def test_collective_cv_moments_match_single_device():
     valid, _ = outlier_mask(summary)
     ref = cv_slab_moments(sample, summary, valid, jnp.ones(64, bool),
                           PARAMS, SCENE.motor)
+    mesh = make_mesh(n_devices=8)
     got = collective_cv_moments(sample, summary, valid, None, PARAMS,
-                                SCENE.motor, make_mesh(n_devices=8))
+                                SCENE.motor, mesh)
     for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-10, atol=1e-12)
+    # with turbulence-mode controls riding along
+    wc = _wind_ctrl(sb, sample, k=3)
+    ref_w = cv_slab_moments(sample, summary, valid, jnp.ones(64, bool),
+                            PARAMS, SCENE.motor, wc)
+    got_w = collective_cv_moments(sample, summary, valid, None, PARAMS,
+                                  SCENE.motor, mesh, wc)
+    for r, g in zip(ref_w, got_w):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-10, atol=1e-12)
     # and the merged block finalizes cleanly
@@ -249,3 +259,65 @@ def test_collective_cv_moments_match_single_device():
     acc.add(got)
     out = finalize_cv(acc, control_names(PARAMS, SCENE.motor))
     assert out["n"] == 64
+
+
+def _wind_ctrl(scene_b, sample, k=6, base=None):
+    from erpl_monte_carlo_sim_tpu.mc.cv import wind_mode_projector
+
+    alt = scene_b.wind.altitudes
+    return {
+        "wind": scene_b.wind.wind, "ws": sample.wind_speed,
+        "wd": sample.wind_direction,
+        "proj": wind_mode_projector(SCENE.wind_model, np.asarray(alt), k),
+        "alt": alt, "model": SCENE.wind_model, "base": base,
+    }
+
+
+def test_wind_mode_scores_are_standard_normal():
+    """The turbulence-mode controls must be exactly standard normal: this
+    pins BOTH the mean-profile subtraction (power-law shear reconstruction)
+    and the transfer-matrix mirror of models.wind._ar1_scan."""
+    from erpl_monte_carlo_sim_tpu.mc.cv import _wind_scores
+
+    n = 8192
+    sb, _, sample = sample_dispersions(jax.random.PRNGKey(3), SCENE, IC,
+                                       PARAMS, n)
+    s = np.asarray(_wind_scores(_wind_ctrl(sb, sample), np.float64))
+    assert s.shape == (n, 18)
+    assert np.abs(s.mean(axis=0)).max() < 5.0 / np.sqrt(n)
+    np.testing.assert_allclose(s.std(axis=0), 1.0, atol=0.06)
+    # modes are independent: off-diagonal correlations are O(1/sqrt(n))
+    c = np.corrcoef(s.T)
+    assert np.abs(c - np.eye(18)).max() < 0.06
+
+
+def test_wind_mode_scores_forecast_case():
+    from erpl_monte_carlo_sim_tpu.mc.cv import _wind_scores
+
+    n = 4096
+    grid = np.linspace(0.0, 25000.0, 100)
+    base = np.stack([3.0 + grid / 5000.0, np.full_like(grid, -1.0),
+                     np.zeros_like(grid)], axis=1)
+    sb, _, sample = sample_dispersions(
+        jax.random.PRNGKey(4), SCENE, IC, PARAMS, n, base_wind=(grid, base)
+    )
+    s = np.asarray(_wind_scores(
+        _wind_ctrl(sb, sample, base=np.asarray(base)), np.float64
+    ))
+    assert np.abs(s.mean(axis=0)).max() < 5.0 / np.sqrt(n)
+    np.testing.assert_allclose(s.std(axis=0), 1.0, atol=0.08)
+
+
+def test_analyzer_cv_wind_modes():
+    with pytest.raises(ValueError):
+        MonteCarloAnalyzer(scene=SCENE, sim_config=CFG, cv_wind_modes=4)
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            control_variates=True, cv_wind_modes=4)
+    a = mc.run_monte_carlo(IC, n_samples=256, seed=3, lane_slab=128)
+    blk = a["control_variates"]
+    assert blk["n"] == 256
+    assert "turb_u_m0" in blk["kept_controls"]
+    assert "turb_w_m3^2" in blk["kept_controls"]
+    apo = blk["apogee_altitude"]
+    assert np.isfinite(apo["mean"]) and np.isfinite(apo["stderr"])
+    assert apo["stderr"] <= apo["plain_stderr"] * 1.05
