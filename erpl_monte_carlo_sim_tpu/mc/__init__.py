@@ -10,7 +10,12 @@ from .dispersions import (
     select_lane,
 )
 from .filter import OutlierBounds, decode_reasons, outlier_mask
-from .stats import PERCENTILES, masked_stats
+from .stats import (
+    PERCENTILES,
+    exceedance,
+    exceedance_from_analysis,
+    masked_stats,
+)
 
 __all__ = [
     "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
@@ -18,4 +23,5 @@ __all__ = [
     "decode_reasons",
     "outlier_mask", "PERCENTILES", "masked_stats",
     "CVMoments", "control_names", "cv_slab_moments", "finalize_cv",
+    "exceedance", "exceedance_from_analysis",
 ]

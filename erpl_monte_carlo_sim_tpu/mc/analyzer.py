@@ -716,6 +716,10 @@ class MonteCarloAnalyzer:
             # sobol/antithetic correlation caveat); stats above come from
             # exact moments + the quantile sketch over EVERY lane.
             "metrics_is_sample": streaming,
+            # Streaming runs keep their quantile sketches queryable:
+            # stats.exceedance_from_analysis answers P(metric > t) from
+            # the sketch after the per-lane data is gone.
+            "streams": stream,
             "n_total": n_samples,
             "sample": None,
             "valid_mask": valid_np,

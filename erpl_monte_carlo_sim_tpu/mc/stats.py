@@ -331,3 +331,99 @@ class FootprintAccumulator:
         block["cep_m"] = _gaussian_cep(cov)
         block["cep_method"] = "gaussian"
         return block
+
+
+# ------------------------------------------------------------- exceedance
+__all__ += ["exceedance", "exceedance_from_analysis"]
+
+
+def _wilson(k: int, n: int, z: float = 1.959963984540054) -> tuple:
+    """Wilson 95% score interval for a binomial proportion — behaves at
+    p=0/1 where the normal interval collapses (rare-event tails are the
+    whole point of an exceedance query)."""
+    if n == 0:
+        return (float("nan"), float("nan"))
+    p = k / n
+    den = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / den
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    return (max(center - half, 0.0), min(center + half, 1.0))
+
+
+def exceedance(values: "np.ndarray", mask: "np.ndarray", thresholds) -> list:
+    """P(metric > t | valid) per threshold, exact, with Wilson 95% CI.
+
+    The range-safety deliverable the reference's stats block never
+    computes (`monte_carlo.py:444-459` stops at fixed percentiles):
+    probability of exceeding an apogee ceiling, a range limit, a flight
+    window. Lanes are ``values[mask & finite]``.
+    """
+    v = np.asarray(values, np.float64)
+    m = np.asarray(mask, bool) & np.isfinite(v)
+    v = v[m]
+    n = int(v.size)
+    out = []
+    for t in np.atleast_1d(np.asarray(thresholds, np.float64)):
+        k = int((v > t).sum())
+        lo, hi = _wilson(k, n)
+        out.append({"threshold": float(t), "probability":
+                    (k / n) if n else float("nan"),
+                    "n_exceed": k, "n": n,
+                    "ci95": [lo, hi], "method": "exact"})
+    return out
+
+
+def _sketch_cdf(stream: "StreamingStats", x: float) -> float:
+    """P(value <= x) from the quantile sketch (or exact buffer)."""
+    if stream.n == 0:
+        return float("nan")
+    if stream._exact_parts is not None:
+        vals = np.concatenate(stream._exact_parts)
+        return float((vals <= x).mean())
+    order = np.argsort(stream._cent_v, kind="stable")
+    cv = stream._cent_v[order]
+    cw = stream._cent_w[order]
+    cum = np.cumsum(cw)
+    mid = cum - 0.5 * cw
+    if x < cv[0]:
+        return 0.0
+    if x >= cv[-1]:
+        # beyond the last centroid the sketch cannot resolve the extreme
+        # tail; clamp using the exact max
+        return 1.0 if x >= stream._max else float(mid[-1] / stream.n)
+    return float(np.interp(x, cv, mid) / stream.n)
+
+
+def exceedance_from_analysis(analysis: dict, metric: str,
+                             thresholds) -> list:
+    """Exceedance probabilities for a finished analyzer run, whatever its
+    layout: exact with Wilson CI when per-lane metrics exist (single-call
+    runs via ``summary``, slabbed runs via ``metrics`` + ``valid_mask``),
+    sketch-based for streaming runs (``method="sketch"``, rank error
+    ~1/(2*max_centroids) of total mass, no CI — the per-lane data is
+    gone by design)."""
+    streams = analysis.get("streams") or {}
+    if analysis.get("metrics_is_sample") and metric in streams:
+        s = streams[metric]
+        out = []
+        for t in np.atleast_1d(np.asarray(thresholds, np.float64)):
+            p = _sketch_cdf(s, float(t))
+            out.append({"threshold": float(t),
+                        "probability": float(1.0 - p),
+                        "n": s.n, "method":
+                        "exact" if s.is_exact else "sketch"})
+        return out
+    if analysis.get("summary") is not None:
+        vals = getattr(analysis["summary"], metric)
+        return exceedance(vals, analysis["valid_mask"], thresholds)
+    metrics = analysis.get("metrics")
+    if metrics is None or metric not in metrics:
+        raise KeyError(f"no per-lane data or sketch for metric {metric!r}")
+    out = exceedance(metrics[metric], analysis["valid_mask"], thresholds)
+    if analysis.get("metrics_is_sample"):
+        # streaming run, un-sketched metric: only the capped lane prefix
+        # exists; the estimate is a sample (i.i.d. for prng — see
+        # _run_slabbed's sobol/antithetic caveat)
+        for row in out:
+            row["method"] = "sample_prefix"
+    return out

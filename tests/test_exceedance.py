@@ -1,0 +1,99 @@
+"""Exceedance probabilities (mc/stats.py exceedance / exceedance_from_analysis).
+
+Beyond-reference range-safety deliverable: P(metric > threshold) with a
+Wilson 95% CI when per-lane data exists, and a sketch-based answer that
+survives streaming runs after the per-lane data is gone (the reference's
+stats block stops at fixed percentiles, `monte_carlo.py:444-459`).
+"""
+
+import numpy as np
+import pytest
+
+from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+from erpl_monte_carlo_sim_tpu.mc import (
+    MonteCarloAnalyzer,
+    exceedance,
+    exceedance_from_analysis,
+)
+from erpl_monte_carlo_sim_tpu.mc.stats import StreamingStats, _sketch_cdf
+from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+SCENE = nominal_scene(liquid_motor())
+IC = InitialConditions.vertical_launch()
+CFG = SimConfig(max_time=6.0)
+
+
+def test_exact_exceedance_matches_numpy_and_wilson_behaves():
+    rng = np.random.default_rng(0)
+    v = rng.normal(100.0, 10.0, 50_000)
+    mask = rng.random(50_000) < 0.9
+    rows = exceedance(v, mask, [80.0, 100.0, 120.0, 1e9])
+    vv = v[mask]
+    for row, t in zip(rows, [80.0, 100.0, 120.0, 1e9]):
+        assert row["probability"] == pytest.approx((vv > t).mean())
+        lo, hi = row["ci95"]
+        assert 0.0 <= lo <= row["probability"] <= hi <= 1.0
+    # p = 0 tail: the Wilson upper bound stays informative (~3.8/n), the
+    # lower bound is exactly 0
+    zero = rows[-1]
+    assert zero["probability"] == 0.0
+    assert zero["ci95"][0] == 0.0
+    assert 0.0 < zero["ci95"][1] < 5.0 / zero["n"]
+    # NaN lanes are dropped, not counted
+    v2 = v.copy()
+    v2[:1000] = np.nan
+    r = exceedance(v2, np.ones_like(mask), [100.0])[0]
+    assert r["n"] == 49_000
+
+
+def test_sketch_cdf_tracks_exact():
+    rng = np.random.default_rng(1)
+    vals = rng.normal(0.0, 1.0, 300_000)
+    s = StreamingStats(exact_threshold=10_000)
+    for part in np.array_split(vals, 30):
+        s.add(part)
+    assert not s.is_exact
+    for x in (-2.0, -0.5, 0.0, 0.7, 1.5, 3.0):
+        got = _sketch_cdf(s, x)
+        want = (vals <= x).mean()
+        assert abs(got - want) < 2e-3, (x, got, want)
+    # beyond the observed extremes the exact min/max clamp the answer
+    assert _sketch_cdf(s, vals.max() + 1.0) == 1.0
+    assert _sketch_cdf(s, vals.min() - 1.0) == 0.0
+
+
+def test_from_analysis_single_call_and_slabbed():
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG)
+    a = mc.run_monte_carlo(IC, n_samples=96, seed=3)
+    med = a["apogee_altitude"]["percentiles"][2]
+    row = exceedance_from_analysis(a, "apogee_altitude", [med])[0]
+    assert row["method"] == "exact"
+    assert 0.3 < row["probability"] < 0.7
+    # slabbed (non-streaming): metrics arrays carry every lane
+    b = mc.run_monte_carlo(IC, n_samples=96, seed=3, lane_slab=32)
+    row_b = exceedance_from_analysis(b, "apogee_altitude", [med])[0]
+    assert row_b["method"] == "exact"
+    assert row_b["n"] == b["n_samples"]
+    # max_speed works via the metrics dict too
+    ms = exceedance_from_analysis(b, "max_speed", [0.0])[0]
+    assert ms["probability"] == 1.0
+
+
+def test_from_analysis_streaming_run():
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            stats_stream_threshold=64,
+                            metrics_sample_cap=64)
+    a = mc.run_monte_carlo(IC, n_samples=192, seed=4, lane_slab=64)
+    assert a["metrics_is_sample"]
+    med = a["apogee_altitude"]["percentiles"][2]
+    row = exceedance_from_analysis(a, "apogee_altitude", [med])[0]
+    assert row["method"] == "sketch"
+    # recompute exactly from this run's own records (192 < the record cap)
+    vals = np.asarray([r["apogee_altitude"] for r in a["results"]])
+    want = (vals > med).mean()
+    assert abs(row["probability"] - want) < 0.02
+    # un-sketched metric: falls back to the capped prefix, flagged as such
+    ms = exceedance_from_analysis(a, "max_speed", [0.0])[0]
+    assert ms["method"] == "sample_prefix"
+    with pytest.raises(KeyError):
+        exceedance_from_analysis(a, "nope", [0.0])
