@@ -54,6 +54,12 @@ def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
         # beyond-reference block (additive; the reference schema is a
         # subset); an all-outlier run's n=0 NaN footprint is omitted
         report["landing_footprint"] = analysis["landing_footprint"]
+    if analysis.get("control_variates"):
+        # beyond-reference: variance-reduced means + delta-method stderr
+        # (mc/cv.py); additive block, reference schema unaffected
+        report["control_variates"] = analysis["control_variates"]
+    if analysis.get("qmc_error"):
+        report["qmc_error"] = analysis["qmc_error"]
     if analyzer is not None:
         report["uncertainty_parameters"] = analyzer.uncertainty_params.as_dict()
         report["rocket_parameters"] = object_to_serializable_dict(analyzer.scene.rocket)
@@ -110,6 +116,19 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                     f"{e95['semi_minor_m']:.1f} m at "
                     f"{fp['orientation_deg']:.1f} deg\n")
             f.write(f"  CEP: {fp['cep_m']:.1f} m ({fp['cep_method']})\n\n")
+        if "control_variates" in report:
+            cv = report["control_variates"]
+            f.write("Control-Variate Adjusted Means:\n")
+            for name, unit in (("apogee_altitude", "m"), ("range", "m"),
+                               ("flight_time", "s")):
+                blk = cv.get(name)
+                if blk:
+                    f.write(
+                        f"  {name}: {blk['mean']:.2f} +- "
+                        f"{blk['stderr']:.3f} {unit} "
+                        f"(variance reduction {blk['variance_reduction']:.1f}x)\n"
+                    )
+            f.write("\n")
         if "performance" in report:
             perf = report["performance"]
             f.write("Performance Statistics:\n")

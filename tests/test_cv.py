@@ -321,3 +321,19 @@ def test_analyzer_cv_wind_modes():
     apo = blk["apogee_altitude"]
     assert np.isfinite(apo["mean"]) and np.isfinite(apo["stderr"])
     assert apo["stderr"] <= apo["plain_stderr"] * 1.05
+
+
+def test_report_carries_cv_block(tmp_path):
+    from erpl_monte_carlo_sim_tpu.reporting import save_report
+
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            control_variates=True)
+    a = mc.run_monte_carlo(IC, n_samples=256, seed=9)
+    rep = save_report(a, str(tmp_path), analyzer=mc)
+    assert rep["control_variates"]["apogee_altitude"]["stderr"] > 0
+    import json
+    with open(tmp_path / "monte_carlo_report.json") as f:
+        on_disk = json.load(f)
+    assert "control_variates" in on_disk
+    txt = (tmp_path / "monte_carlo_report.txt").read_text()
+    assert "Control-Variate Adjusted Means" in txt
