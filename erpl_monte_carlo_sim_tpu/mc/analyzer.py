@@ -387,7 +387,7 @@ class MonteCarloAnalyzer:
             },
         }
         if self.control_variates:
-            from .cv import CVMoments, control_names, cv_slab_moments, finalize_cv
+            from .cv import CVMoments, cv_slab_moments, finalize_cv
 
             acc = CVMoments()
             acc.add(jax.device_get(cv_slab_moments(
@@ -395,10 +395,7 @@ class MonteCarloAnalyzer:
                 self.uncertainty_params, self.scene.motor,
                 self._cv_wind_ctrl(scene_b, sample, base_wind),
             )))
-            analysis["control_variates"] = finalize_cv(
-                acc, control_names(self.uncertainty_params, self.scene.motor,
-                                   self.cv_wind_modes)
-            )
+            analysis["control_variates"] = finalize_cv(acc, self._cv_names())
 
         if self.sampler == "sobol" and self.sobol_scrambles > 1:
             K = self.sobol_scrambles
@@ -437,11 +434,15 @@ class MonteCarloAnalyzer:
         from .cv import wind_mode_projector
 
         alt = scene_b.wind.altitudes
-        grid_key = (int(alt.shape[0]), float(alt[0]), float(alt[-1]),
-                    self.cv_wind_modes)
-        if self._cv_proj is None or self._cv_proj[0] != grid_key:
-            self._cv_proj = (grid_key, jnp.asarray(wind_mode_projector(
-                self.scene.wind_model, np.asarray(alt), self.cv_wind_modes
+        alt_np = np.asarray(alt, np.float64)
+        # memo on the FULL grid (a forecast grid can share length and
+        # endpoints with a different interior spacing — a stale projector
+        # would silently break the scores' exact standard-normality)
+        if (self._cv_proj is None
+                or self._cv_proj[0].shape != alt_np.shape
+                or not np.array_equal(self._cv_proj[0], alt_np)):
+            self._cv_proj = (alt_np, jnp.asarray(wind_mode_projector(
+                self.scene.wind_model, alt_np, self.cv_wind_modes
             ), alt.dtype))
         return {
             "wind": scene_b.wind.wind,
@@ -452,6 +453,19 @@ class MonteCarloAnalyzer:
             "model": self.scene.wind_model,
             "base": None if base_wind is None else base_wind[1],
         }
+
+    def _cv_names(self) -> list:
+        """Control names matching the control matrix actually built: the
+        projector may clamp cv_wind_modes to the grid size, and the name
+        list must clamp identically or every beta after the boundary would
+        be silently mislabeled (found by review, round 3)."""
+        from .cv import control_names
+
+        k_eff = 0
+        if self.cv_wind_modes and self._cv_proj is not None:
+            k_eff = int(self._cv_proj[1].shape[1])
+        return control_names(self.uncertainty_params, self.scene.motor,
+                             k_eff)
 
     def run_optimized_monte_carlo(self, initial_conditions, n_samples=1000,
                                   chunk_size=None, **kw) -> dict:
@@ -737,11 +751,10 @@ class MonteCarloAnalyzer:
             "outliers": outlier_records,
         }
         if cv_acc is not None:
-            from .cv import control_names, finalize_cv
+            from .cv import finalize_cv
 
             analysis["control_variates"] = finalize_cv(
-                cv_acc, control_names(self.uncertainty_params,
-                                      self.scene.motor, self.cv_wind_modes)
+                cv_acc, self._cv_names()
             )
         if self.sampler == "sobol" and len(qmc_blocks["apogee_altitude"]) > 1:
             analysis["qmc_error"] = self._qmc_error(qmc_blocks)

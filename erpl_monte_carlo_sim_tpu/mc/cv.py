@@ -79,7 +79,12 @@ def _uniform_channels(params):
 
 
 def control_names(params, motor, wind_modes: int = 0) -> list:
-    """Names of the control columns, in the order ``_controls`` emits them."""
+    """Names of the control columns, in the order ``_controls`` emits them.
+
+    ``wind_modes`` must equal the EFFECTIVE mode count — the projector's
+    column count (``wind_mode_projector`` clamps to the grid size), not the
+    requested one; a mismatch silently mislabels every column after the
+    boundary. The analyzer handles this via ``_cv_names``."""
     names = []
     for base, sig in (
         ("pos", params.initial_position), ("vel", params.initial_velocity),
@@ -123,7 +128,9 @@ def wind_mode_projector(wind_model, altitudes, k_modes: int) -> np.ndarray:
     the statistic ``u_k^T turb / s_k = v_k^T z`` is exactly N(0, 1) and
     independent across modes/components — a valid control with known
     mean REGARDLESS of sampler (prng, sobol, antithetic). Host-side SVD,
-    lane-count independent (~ms at N=100).
+    lane-count independent (~ms at N=100). ``k_modes`` is clamped to the
+    grid size; use the returned column count when building the matching
+    ``control_names`` list.
     """
     from ..models.wind import ar1_transfer_matrix
 

@@ -179,21 +179,48 @@ class StreamingStats:
     def is_exact(self) -> bool:
         return self._exact_parts is not None
 
+    def _centroid_curve(self) -> tuple:
+        """Sorted centroid values + cumulative mass midpoints (the sketch's
+        empirical CDF support), computed once per query batch."""
+        order = np.argsort(self._cent_v, kind="stable")
+        cv = self._cent_v[order]
+        cw = self._cent_w[order]
+        cum = np.cumsum(cw)
+        return cv, cum - 0.5 * cw  # mass midpoint of each centroid
+
     def percentiles(self, qs=PERCENTILES) -> list:
         if self.n == 0:
             return [float("nan")] * len(qs)
         if self._exact_parts is not None:
             vals = np.concatenate(self._exact_parts)
             return [float(x) for x in np.percentile(vals, list(qs))]
-        order = np.argsort(self._cent_v, kind="stable")
-        cv = self._cent_v[order]
-        cw = self._cent_w[order]
-        cum = np.cumsum(cw)
-        mid = cum - 0.5 * cw  # mass midpoint of each centroid
+        cv, mid = self._centroid_curve()
         # np.percentile's linear rule targets rank q/100*(n-1); a unit-weight
         # point at rank r has mass midpoint r + 0.5
         targets = np.asarray(qs, np.float64) / 100.0 * (self.n - 1) + 0.5
         return [float(x) for x in np.interp(targets, mid, cv)]
+
+    def cdf(self, xs) -> "np.ndarray":
+        """P(value <= x) per query point — exact while the raw buffer is
+        retained, sketch-interpolated after (rank error ~1/(2*max_centroids)
+        of total mass). The exact min/max clamp both tails: beyond them the
+        answer is certain even though the sketch cannot resolve it.
+        """
+        xs = np.atleast_1d(np.asarray(xs, np.float64))
+        if self.n == 0:
+            return np.full(xs.shape, np.nan)
+        if self._exact_parts is not None:
+            vals = np.concatenate(self._exact_parts)
+            return (vals[None, :] <= xs[:, None]).mean(axis=1)
+        cv, mid = self._centroid_curve()
+        p = np.interp(xs, cv, mid) / self.n
+        # both tails: certain outside [min, max]; between an exact extreme
+        # and the first/last centroid, hold the boundary centroid's mass
+        p = np.where(xs < cv[0], mid[0] / self.n, p)
+        p = np.where(xs >= cv[-1], mid[-1] / self.n, p)
+        p = np.where(xs < self._min, 0.0, p)
+        p = np.where(xs >= self._max, 1.0, p)
+        return p
 
     def stats(self) -> dict:
         """The analysis-dict stats block (same schema as ``_host_stats``)."""
@@ -373,47 +400,31 @@ def exceedance(values: "np.ndarray", mask: "np.ndarray", thresholds) -> list:
     return out
 
 
-def _sketch_cdf(stream: "StreamingStats", x: float) -> float:
-    """P(value <= x) from the quantile sketch (or exact buffer)."""
-    if stream.n == 0:
-        return float("nan")
-    if stream._exact_parts is not None:
-        vals = np.concatenate(stream._exact_parts)
-        return float((vals <= x).mean())
-    order = np.argsort(stream._cent_v, kind="stable")
-    cv = stream._cent_v[order]
-    cw = stream._cent_w[order]
-    cum = np.cumsum(cw)
-    mid = cum - 0.5 * cw
-    if x < cv[0]:
-        return 0.0
-    if x >= cv[-1]:
-        # beyond the last centroid the sketch cannot resolve the extreme
-        # tail; clamp using the exact max
-        return 1.0 if x >= stream._max else float(mid[-1] / stream.n)
-    return float(np.interp(x, cv, mid) / stream.n)
-
-
 def exceedance_from_analysis(analysis: dict, metric: str,
                              thresholds) -> list:
     """Exceedance probabilities for a finished analyzer run, whatever its
-    layout: exact with Wilson CI when per-lane metrics exist (single-call
-    runs via ``summary``, slabbed runs via ``metrics`` + ``valid_mask``),
-    sketch-based for streaming runs (``method="sketch"``, rank error
-    ~1/(2*max_centroids) of total mass, no CI — the per-lane data is
-    gone by design)."""
+    layout: exact with Wilson CI whenever per-lane values exist
+    (single-call runs via ``summary``, slabbed runs via ``metrics`` +
+    ``valid_mask``, streaming runs whose sketch still holds its exact
+    buffer), sketch-interpolated otherwise (``method="sketch"``, rank
+    error ~1/(2*max_centroids) of total mass, no CI — the per-lane data
+    is gone by design)."""
     streams = analysis.get("streams") or {}
     if analysis.get("metrics_is_sample") and metric in streams:
         s = streams[metric]
-        out = []
-        for t in np.atleast_1d(np.asarray(thresholds, np.float64)):
-            p = _sketch_cdf(s, float(t))
-            out.append({"threshold": float(t),
-                        "probability": float(1.0 - p),
-                        "n": s.n, "method":
-                        "exact" if s.is_exact else "sketch"})
-        return out
+        if s.is_exact:
+            # the raw buffer is still held: answer with the full exact
+            # schema (Wilson CI included), same as any per-lane layout
+            vals = np.concatenate(s._exact_parts) if s.n else np.empty(0)
+            return exceedance(vals, np.ones(vals.shape, bool), thresholds)
+        ts = np.atleast_1d(np.asarray(thresholds, np.float64))
+        ps = s.cdf(ts)
+        return [{"threshold": float(t), "probability": float(1.0 - p),
+                 "n": s.n, "method": "sketch"}
+                for t, p in zip(ts, ps)]
     if analysis.get("summary") is not None:
+        if not hasattr(analysis["summary"], metric):
+            raise KeyError(f"no per-lane data or sketch for metric {metric!r}")
         vals = getattr(analysis["summary"], metric)
         return exceedance(vals, analysis["valid_mask"], thresholds)
     metrics = analysis.get("metrics")

@@ -30,7 +30,8 @@ from ..mc.stats import PERCENTILES
 from .mesh import BATCH_AXIS, shard_batch
 
 __all__ = ["run_sharded_summaries", "collective_stats",
-           "collective_footprint", "collective_footprint_moments"]
+           "collective_footprint", "collective_footprint_moments",
+           "collective_cv_moments"]
 
 
 def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,

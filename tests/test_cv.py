@@ -337,3 +337,23 @@ def test_report_carries_cv_block(tmp_path):
     assert "control_variates" in on_disk
     txt = (tmp_path / "monte_carlo_report.txt").read_text()
     assert "Control-Variate Adjusted Means" in txt
+
+
+def test_cv_wind_modes_clamped_to_grid_keeps_labels_consistent():
+    """cv_wind_modes larger than the wind grid: the projector clamps, and
+    the finalize names must clamp identically — every kept control must be
+    a real column (review, round 3: labels past the boundary silently
+    mislabeled the beta readout)."""
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            control_variates=True, cv_wind_modes=24,
+                            wind_grid_points=10)
+    a = mc.run_monte_carlo(IC, n_samples=128, seed=5)
+    blk = a["control_variates"]
+    names = blk["controls"]
+    # 10-knot grid: modes clamp to 10 -> no m10+ labels anywhere
+    assert "turb_u_m9" in names and "turb_u_m9^2" in names
+    assert not any("m10" in nm or "m23" in nm for nm in names)
+    # every column is labeled: names length == moment dimension
+    from erpl_monte_carlo_sim_tpu.mc.cv import CVMoments  # noqa: F401
+    assert len(names) == len(blk["apogee_altitude"].get("beta", names)) or \
+        blk.get("insufficient_samples")

@@ -15,7 +15,7 @@ from erpl_monte_carlo_sim_tpu.mc import (
     exceedance,
     exceedance_from_analysis,
 )
-from erpl_monte_carlo_sim_tpu.mc.stats import StreamingStats, _sketch_cdf
+from erpl_monte_carlo_sim_tpu.mc.stats import StreamingStats
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
 
 SCENE = nominal_scene(liquid_motor())
@@ -53,13 +53,46 @@ def test_sketch_cdf_tracks_exact():
     for part in np.array_split(vals, 30):
         s.add(part)
     assert not s.is_exact
-    for x in (-2.0, -0.5, 0.0, 0.7, 1.5, 3.0):
-        got = _sketch_cdf(s, x)
-        want = (vals <= x).mean()
-        assert abs(got - want) < 2e-3, (x, got, want)
-    # beyond the observed extremes the exact min/max clamp the answer
-    assert _sketch_cdf(s, vals.max() + 1.0) == 1.0
-    assert _sketch_cdf(s, vals.min() - 1.0) == 0.0
+    xs = np.array([-2.0, -0.5, 0.0, 0.7, 1.5, 3.0])
+    got = s.cdf(xs)  # vectorized: one centroid sort for all thresholds
+    want = (vals[None, :] <= xs[:, None]).mean(axis=1)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    # beyond the observed extremes the exact min/max clamp the answer —
+    # symmetrically on BOTH tails (review, round 3: the lower tail used to
+    # report a falsely certain 0.0 between min and the first centroid)
+    assert s.cdf(vals.max() + 1.0)[0] == 1.0
+    assert s.cdf(vals.min() - 1.0)[0] == 0.0
+    lo_gap = 0.5 * (s._min + np.sort(s._cent_v)[0])
+    assert 0.0 < s.cdf(lo_gap)[0] < 1e-3
+    hi_gap = 0.5 * (s._max + np.sort(s._cent_v)[-1])
+    assert 1.0 - 1e-3 < s.cdf(hi_gap)[0] < 1.0
+    # exact mode: cdf is the empirical CDF
+    se = StreamingStats(exact_threshold=10_000)
+    se.add(vals[:5000])
+    np.testing.assert_allclose(se.cdf(xs),
+                               (vals[:5000][None, :] <= xs[:, None]).mean(1))
+
+
+def test_streaming_exact_buffer_keeps_wilson_schema():
+    """A streaming run whose sketch still holds its exact buffer must
+    answer with the full exact schema (ci95 + n_exceed), not a stripped
+    'exact' row (review, round 3)."""
+    rng = np.random.default_rng(2)
+    vals = rng.normal(50.0, 5.0, 1000)
+    s = StreamingStats(exact_threshold=10_000)
+    s.add(vals)
+    assert s.is_exact
+    a = {"metrics_is_sample": True, "streams": {"apogee_altitude": s}}
+    row = exceedance_from_analysis(a, "apogee_altitude", [50.0])[0]
+    assert row["method"] == "exact"
+    assert "ci95" in row and row["n_exceed"] == int((vals > 50.0).sum())
+
+
+def test_unknown_metric_raises_keyerror_on_all_layouts():
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG)
+    a = mc.run_monte_carlo(IC, n_samples=32, seed=11)
+    with pytest.raises(KeyError):
+        exceedance_from_analysis(a, "apogee_typo", [0.0])
 
 
 def test_from_analysis_single_call_and_slabbed():
