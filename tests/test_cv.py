@@ -357,3 +357,20 @@ def test_cv_wind_modes_clamped_to_grid_keeps_labels_consistent():
     from erpl_monte_carlo_sim_tpu.mc.cv import CVMoments  # noqa: F401
     assert len(names) == len(blk["apogee_altitude"].get("beta", names)) or \
         blk.get("insufficient_samples")
+
+
+def test_cv_composes_with_streaming_stats():
+    """CV moments accumulate over EVERY lane even when the stats layer
+    streams (metrics arrays capped): the two accumulators are independent."""
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            control_variates=True,
+                            stats_stream_threshold=64,
+                            metrics_sample_cap=64)
+    a = mc.run_monte_carlo(IC, n_samples=192, seed=6, lane_slab=64)
+    assert a["metrics_is_sample"]
+    blk = a["control_variates"]
+    assert blk["n"] == 192
+    apo = blk["apogee_altitude"]
+    # streamed headline mean and the CV plain ratio mean see the same lanes
+    np.testing.assert_allclose(apo["plain_mean"],
+                               a["apogee_altitude"]["mean"], rtol=1e-6)
