@@ -10,6 +10,7 @@ from .dispersions import (
     select_lane,
 )
 from .filter import OutlierBounds, decode_reasons, outlier_mask
+from .importance import log_weights, weighted_mean, weighted_tail
 from .stats import (
     PERCENTILES,
     exceedance,
@@ -24,4 +25,5 @@ __all__ = [
     "outlier_mask", "PERCENTILES", "masked_stats",
     "CVMoments", "control_names", "cv_slab_moments", "finalize_cv",
     "exceedance", "exceedance_from_analysis",
+    "log_weights", "weighted_mean", "weighted_tail",
 ]

@@ -147,6 +147,7 @@ class MonteCarloAnalyzer:
         antithetic: bool = False,
         control_variates: bool = False,
         cv_wind_modes: int = 0,
+        importance_shift: Optional[dict] = None,
         persistent_cache: bool = True,
         stats_stream_threshold: int = 4_194_304,
         metrics_sample_cap: int = 1_048_576,
@@ -212,6 +213,25 @@ class MonteCarloAnalyzer:
             raise ValueError("cv_wind_modes requires control_variates=True")
         self.cv_wind_modes = cv_wind_modes
         self._cv_proj = None  # (grid_key, projector) memo
+        # Importance sampling (mc.importance): draw the named Gaussian
+        # multiplier channels mean-shifted by the given sigmas and report
+        # self-normalized weighted estimates under the NOMINAL distribution
+        # in analysis["importance"] — rare-event tails become estimable.
+        # The headline stats blocks then describe the SHIFTED population.
+        if importance_shift:
+            if sampler != "prng" or antithetic:
+                raise ValueError(
+                    "importance_shift requires sampler='prng', no antithetic"
+                )
+            if control_variates:
+                # the CV controls' exactly-known means are means under the
+                # NOMINAL distribution; tilting breaks that premise
+                raise ValueError(
+                    "importance_shift and control_variates are exclusive"
+                )
+            self.importance_shift = tuple(sorted(importance_shift.items()))
+        else:
+            self.importance_shift = ()
         # Streaming-statistics mode engages above this many lanes (see
         # _run_slabbed); below it the slab loop keeps exact host arrays.
         if stats_stream_threshold < 1 or metrics_sample_cap < 1:
@@ -301,6 +321,7 @@ class MonteCarloAnalyzer:
             sobol_scrambles=self.sobol_scrambles,
             sobol_wind_modes=self.sobol_wind_modes,
             antithetic=self.antithetic,
+            importance_shift=self.importance_shift,
             wind_grid_points=self.wind_grid_points,
             wind_grid_top=self.wind_grid_top,
         )
@@ -386,6 +407,26 @@ class MonteCarloAnalyzer:
                 ),
             },
         }
+        if self.importance_shift:
+            from .importance import log_weights, weighted_mean
+
+            lw = log_weights(sample_np, self.uncertainty_params,
+                             self.scene.motor, self.importance_shift)
+            imp = {
+                "shift": dict(self.importance_shift),
+                "log_weights": lw,
+                # the headline stats blocks above describe the SHIFTED
+                # population; these are nominal-distribution estimates
+                "note": "self-normalized IS estimates under the nominal "
+                        "distribution; use mc.importance.weighted_tail or "
+                        "exceedance_from_analysis for tail probabilities",
+            }
+            for kname in ("apogee_altitude", "range", "flight_time"):
+                imp[kname] = weighted_mean(
+                    getattr(summary_np, kname), valid_np, lw
+                )
+            analysis["importance"] = imp
+
         if self.control_variates:
             from .cv import CVMoments, cv_slab_moments, finalize_cv
 
@@ -526,6 +567,15 @@ class MonteCarloAnalyzer:
         from .stats import StreamingStats
 
         streaming = n_samples > self.stats_stream_threshold
+        if streaming and self.importance_shift:
+            # weighted tail estimators need every lane's (weight, metric)
+            # pair; IS exists to make n SMALL, so this is a config error,
+            # not a capability gap
+            raise ValueError(
+                "importance_shift runs need per-lane weights: keep "
+                "n_samples <= stats_stream_threshold (IS makes small n "
+                "sufficient; that is its purpose)"
+            )
         cap = self.metrics_sample_cap if streaming else n_samples
         stream = (
             {k: StreamingStats(exact_threshold=self.stats_stream_threshold)
@@ -545,6 +595,7 @@ class MonteCarloAnalyzer:
 
             cv_acc = CVMoments()
             include_full = jnp.ones(slab, bool)
+        lw_parts = [] if self.importance_shift else None
         pranges = None
         n_done = 0
         n_valid_total = 0
@@ -564,6 +615,7 @@ class MonteCarloAnalyzer:
                 sobol_scrambles=self.sobol_scrambles,
                 sobol_wind_modes=self.sobol_wind_modes,
                 antithetic=self.antithetic,
+                importance_shift=self.importance_shift,
                 wind_grid_points=self.wind_grid_points,
                 wind_grid_top=self.wind_grid_top,
             )
@@ -641,6 +693,14 @@ class MonteCarloAnalyzer:
                     summary.landing_position, ranges_mask
                 )
             ))
+
+            if lw_parts is not None:
+                from .importance import log_weights
+
+                lw_parts.append(log_weights(
+                    sample, self.uncertainty_params, self.scene.motor,
+                    self.importance_shift,
+                )[:n_s])
 
             if cv_acc is not None:
                 from .cv import cv_slab_moments
@@ -750,6 +810,20 @@ class MonteCarloAnalyzer:
             "results": records,
             "outliers": outlier_records,
         }
+        if lw_parts is not None:
+            from .importance import weighted_mean
+
+            lw = np.concatenate(lw_parts)
+            imp = {
+                "shift": dict(self.importance_shift),
+                "log_weights": lw,
+                "note": "self-normalized IS estimates under the nominal "
+                        "distribution; use mc.importance.weighted_tail or "
+                        "exceedance_from_analysis for tail probabilities",
+            }
+            for kname in ("apogee_altitude", "range", "flight_time"):
+                imp[kname] = weighted_mean(metrics[kname], valid_np, lw)
+            analysis["importance"] = imp
         if cv_acc is not None:
             from .cv import finalize_cv
 
@@ -823,6 +897,7 @@ class MonteCarloAnalyzer:
                     sobol_scrambles=self.sobol_scrambles,
                     sobol_wind_modes=self.sobol_wind_modes,
                     antithetic=self.antithetic,
+                    importance_shift=self.importance_shift,
                     wind_grid_points=self.wind_grid_points,
                     wind_grid_top=self.wind_grid_top,
                 )
@@ -906,6 +981,7 @@ class MonteCarloAnalyzer:
                 sobol_scrambles=self.sobol_scrambles,
                 sobol_wind_modes=self.sobol_wind_modes,
                 antithetic=self.antithetic,
+                importance_shift=self.importance_shift,
                 wind_grid_points=self.wind_grid_points,
                 wind_grid_top=self.wind_grid_top,
             )

@@ -110,6 +110,7 @@ def _sample_impl(
     sampler: str = "prng",
     sobol_scrambles: int = 1,
     sobol_wind_modes: int = 0,
+    importance_shift: tuple = (),
 ):
     """Draw ``n`` dispersed (Scene, InitialConditions) lanes.
 
@@ -153,6 +154,16 @@ def _sample_impl(
     300-dim noise could never support (`environment.py:125-200`). 0 = off
     (turbulence fully pseudo-random, the pre-round-3 behavior).
 
+    ``importance_shift``: sorted tuple of ``(channel, sigmas)`` pairs —
+    exponential tilting for rare-event estimation. Each named Gaussian
+    multiplier channel (``mass`` | ``motor_thrust`` | ``motor_flow`` |
+    ``density``) is drawn with its mean shifted by ``sigmas`` standard
+    deviations; the likelihood ratio back to the nominal distribution is
+    ``exp(sum_c(-theta_c z_c + theta_c^2/2))`` with ``z_c`` the recorded
+    standardized draw (see ``mc.importance.log_weights`` — recoverable
+    post-hoc from the sample, so the pytree schema is unchanged).
+    Prng-only; incompatible with antithetic/sobol.
+
     Returns ``(batched_scene, batched_ic, sample: DispersionSample)``.
     """
     if dtype is None:
@@ -180,27 +191,34 @@ def _sample_impl(
             0.5 * (lo + hi),
         )
 
+    shift = dict(importance_shift)
+
+    def tilted(k, sigma, name):
+        # mean-shifted Gaussian multiplier: 1 + sigma*(z + theta)
+        s = jnp.asarray(sigma, dtype)
+        return 1.0 + normal(k, (n,), s) + s * shift.get(name, 0.0)
+
     ch = {
         "pos_off": normal(keys[0], (n, 3), params.initial_position),
         "vel_off": normal(keys[1], (n, 3), params.initial_velocity),
         "att_off": normal(keys[2], (n, 3), params.initial_attitude),
         "omg_off": normal(keys[3], (n, 3), params.initial_angular_velocity),
-        "mass_mult": 1.0 + normal(keys[4], (n,), params.mass_uncertainty),
+        "mass_mult": tilted(keys[4], params.mass_uncertainty, "mass"),
         "thrust_mult_recorded": 1.0 + normal(
             keys[5], (n,), params.thrust_uncertainty
         ),
-        "motor_thrust_mult": 1.0 + normal(
-            keys[6], (n,), jnp.asarray(scene.motor.thrust_uncertainty, dtype)
+        "motor_thrust_mult": tilted(
+            keys[6], scene.motor.thrust_uncertainty, "motor_thrust"
         ),
-        "motor_flow_mult": 1.0 + normal(
-            keys[7], (n,), jnp.asarray(scene.motor.mass_flow_uncertainty, dtype)
+        "motor_flow_mult": tilted(
+            keys[7], scene.motor.mass_flow_uncertainty, "motor_flow"
         ),
         "wind_speed": uniform(keys[8], params.wind_speed_range[0],
                               params.wind_speed_range[1]),
         "wind_dir": uniform(keys[9], params.wind_direction_range[0],
                             params.wind_direction_range[1]),
-        "density_mult": 1.0 + normal(
-            keys[10], (n,), params.atmospheric_density_uncertainty
+        "density_mult": tilted(
+            keys[10], params.atmospheric_density_uncertainty, "density"
         ),
     }
     if base_wind is not None:
@@ -466,7 +484,7 @@ _sample_impl_jit = jax.jit(
     _sample_impl,
     static_argnames=("params", "n", "wind_grid_points", "wind_grid_top",
                      "dtype", "antithetic", "sampler", "sobol_scrambles",
-                     "sobol_wind_modes"),
+                     "sobol_wind_modes", "importance_shift"),
 )
 
 
@@ -488,6 +506,18 @@ def _validate_sampling(a: dict) -> None:
         raise ValueError("n must be a positive multiple of sobol_scrambles")
     if a["sobol_wind_modes"] and a["sampler"] != "sobol":
         raise ValueError("sobol_wind_modes requires sampler='sobol'")
+    if a["importance_shift"]:
+        allowed = {"mass", "motor_thrust", "motor_flow", "density"}
+        bad = [c for c, _ in a["importance_shift"] if c not in allowed]
+        if bad:
+            raise ValueError(
+                f"unknown importance channels {bad}; tiltable Gaussian "
+                f"multiplier channels are {sorted(allowed)}"
+            )
+        if a["sampler"] != "prng" or a["antithetic"]:
+            raise ValueError(
+                "importance_shift requires sampler='prng' without antithetic"
+            )
     if a["sampler"] == "sobol":
         from ..ops.sobol import max_dims
 

@@ -408,7 +408,25 @@ def exceedance_from_analysis(analysis: dict, metric: str,
     ``valid_mask``, streaming runs whose sketch still holds its exact
     buffer), sketch-interpolated otherwise (``method="sketch"``, rank
     error ~1/(2*max_centroids) of total mass, no CI — the per-lane data
-    is gone by design)."""
+    is gone by design). Importance-sampled runs route through
+    ``mc.importance.weighted_tail`` automatically (``method="importance"``)
+    — a plain count on a tilted population would silently answer the
+    wrong question."""
+    imp = analysis.get("importance")
+    if imp is not None:
+        from .importance import weighted_tail
+
+        if analysis.get("summary") is not None:
+            if not hasattr(analysis["summary"], metric):
+                raise KeyError(f"no per-lane data for metric {metric!r}")
+            vals = getattr(analysis["summary"], metric)
+        else:
+            metrics = analysis.get("metrics") or {}
+            if metric not in metrics:
+                raise KeyError(f"no per-lane data for metric {metric!r}")
+            vals = metrics[metric]
+        return weighted_tail(vals, analysis["valid_mask"],
+                             imp["log_weights"], thresholds)
     streams = analysis.get("streams") or {}
     if analysis.get("metrics_is_sample") and metric in streams:
         s = streams[metric]
