@@ -29,7 +29,7 @@ PARAMS = UncertaintyParams()
 
 
 def test_weighted_tail_recovers_analytic_gaussian_tail():
-    """theta=3 tilt, P(z > 3) under the nominal N(0,1): the IS estimate
+    """theta=2 tilt, P(z > 3) under the nominal N(0,1): the IS estimate
     must hit the analytic 1.3499e-3 far more precisely than plain
     counting at the same n ever could."""
     from scipy.stats import norm
@@ -113,12 +113,6 @@ def test_analyzer_importance_slabbed_accumulates():
                             importance_shift={"motor_thrust": 1.0})
     a = mc.run_monte_carlo(IC, n_samples=80, seed=2, lane_slab=32)
     assert len(a["importance"]["log_weights"]) == 80
-    # slabbed weights must equal a by-key recomputation from the records'
-    # parameters (the weights are a pure function of the recorded draws)
-    sig = float(np.asarray(SCENE.motor.thrust_uncertainty))
-    for rec in a["results"][:5]:
-        z = (rec["parameters"]["thrust_multiplier"] - 1.0) / sig
-        del z  # recorded-but-dead channel; just assert presence
     row = weighted_tail(a["metrics"]["apogee_altitude"], a["valid_mask"],
                         a["importance"]["log_weights"], [0.0])[0]
     assert row["probability"] == pytest.approx(1.0)
@@ -142,3 +136,19 @@ def test_importance_validation():
                             stats_stream_threshold=16)
     with pytest.raises(ValueError):
         mc.run_monte_carlo(IC, n_samples=64, seed=0, lane_slab=32)
+
+
+def test_tail_probability_cli(capsys):
+    from erpl_monte_carlo_sim_tpu.cli.tail_probability import main
+
+    out = main(["--threshold", "20000", "--n", "128", "--max-time", "6"])
+    assert out["method"] == "exact" and "ci95" in out
+    assert 0.0 <= out["probability"] <= 1.0
+    shifted = main(["--threshold", "26000", "--n", "128", "--max-time", "6",
+                    "--shift", "motor_thrust=1.5"])
+    assert shifted["method"] == "importance"
+    assert shifted["shift"] == {"motor_thrust": 1.5}
+    assert "n_eff" in shifted
+    # both printed valid JSON
+    printed = capsys.readouterr().out
+    assert printed.count('"method"') == 2
