@@ -1,6 +1,7 @@
 """Reporting & visualization: reference-schema artifacts."""
 
 from .plots import (
+    plot_exceedance,
     plot_landing_footprint,
     plot_results,
     plot_single_simulation,
@@ -14,7 +15,7 @@ from .results import to_results_dict
 __all__ = [
     "plot_results", "plot_single_simulation", "plot_thrust_twr",
     "plot_trajectory_cloud", "plot_trajectory_cloud_3d",
-    "plot_landing_footprint",
+    "plot_landing_footprint", "plot_exceedance",
     "create_output_directory", "save_report", "save_simulation_results",
     "to_results_dict",
 ]

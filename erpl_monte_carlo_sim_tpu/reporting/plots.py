@@ -36,6 +36,7 @@ __all__ = [
     "plot_single_simulation",
     "plot_thrust_twr",
     "plot_landing_footprint",
+    "plot_exceedance",
 ]
 
 
@@ -309,3 +310,56 @@ def plot_thrust_twr(results: dict, output_dir: str) -> str:
     plt.savefig(path, dpi=150, bbox_inches="tight")
     plt.close()
     return path
+
+
+def plot_exceedance(analysis: dict, metric: str = "apogee_altitude",
+                    output_dir: str | None = None,
+                    thresholds=None, n_points: int = 100) -> str | None:
+    """Exceedance curve P(metric > t) vs t on a log-probability axis —
+    the range-safety readout of ``mc.exceedance_from_analysis`` as a
+    figure (beyond reference). Exact layouts get a Wilson 95% CI band;
+    importance-sampled runs get a +-2 stderr band; sketch-backed
+    streaming runs plot the point curve (rank-bounded, no CI by design).
+    """
+    from ..mc.stats import exceedance_from_analysis
+
+    stats = analysis.get(metric)
+    if not isinstance(stats, dict) or not np.isfinite(stats.get("min", np.nan)):
+        return None
+    if thresholds is None:
+        lo, hi = stats["min"], stats["max"]
+        pad = 0.02 * max(hi - lo, 1e-9)
+        thresholds = np.linspace(lo - pad, hi + pad, n_points)
+    rows = exceedance_from_analysis(analysis, metric, thresholds)
+
+    t = np.asarray([r["threshold"] for r in rows])
+    p = np.asarray([r["probability"] for r in rows])
+    _, ax = plt.subplots(figsize=(9, 6))
+    ax.plot(t, p, color="tab:blue", label=f"P({metric} > t)")
+    if "ci95" in rows[0]:
+        lo_b = np.asarray([r["ci95"][0] for r in rows])
+        hi_b = np.asarray([r["ci95"][1] for r in rows])
+        ax.fill_between(t, lo_b, hi_b, alpha=0.25, color="tab:blue",
+                        label="Wilson 95% CI")
+    elif "stderr" in rows[0]:
+        se = np.asarray([r["stderr"] for r in rows])
+        ax.fill_between(t, np.maximum(p - 2 * se, 0.0),
+                        np.minimum(p + 2 * se, 1.0), alpha=0.25,
+                        color="tab:blue", label="+-2 stderr")
+    ax.set_yscale("log")
+    floor = 1.0 / max(rows[0].get("n", analysis.get("n_samples", 1)), 2)
+    ax.set_ylim(max(floor * 0.1, 1e-12), 1.2)
+    ax.set_xlabel(f"{metric.replace('_', ' ')} threshold")
+    ax.set_ylabel("exceedance probability")
+    ax.set_title(f"Exceedance: {metric.replace('_', ' ')} "
+                 f"({rows[0]['method']})")
+    ax.grid(True, alpha=0.3, which="both")
+    ax.legend()
+    plt.tight_layout()
+    if output_dir is not None:
+        path = os.path.join(output_dir, f"exceedance_{metric}.png")
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+        return path
+    plt.close()
+    return None

@@ -130,3 +130,20 @@ def test_from_analysis_streaming_run():
     assert ms["method"] == "sample_prefix"
     with pytest.raises(KeyError):
         exceedance_from_analysis(a, "nope", [0.0])
+
+
+def test_plot_exceedance(tmp_path):
+    from erpl_monte_carlo_sim_tpu.reporting import plot_exceedance
+
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG)
+    a = mc.run_monte_carlo(IC, n_samples=96, seed=3)
+    path = plot_exceedance(a, "apogee_altitude", str(tmp_path))
+    assert path is not None
+    import os
+    assert os.path.getsize(path) > 10_000
+    # importance-sampled runs route through the weighted estimator
+    mi = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            importance_shift={"motor_thrust": 1.5})
+    ai = mi.run_monte_carlo(IC, n_samples=96, seed=4)
+    path_i = plot_exceedance(ai, "apogee_altitude", str(tmp_path))
+    assert path_i is not None and os.path.getsize(path_i) > 10_000
