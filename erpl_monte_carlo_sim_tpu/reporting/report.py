@@ -60,6 +60,12 @@ def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
         report["control_variates"] = analysis["control_variates"]
     if analysis.get("qmc_error"):
         report["qmc_error"] = analysis["qmc_error"]
+    if analysis.get("importance"):
+        # weighted nominal-distribution estimates; per-lane log_weights
+        # stay in the analysis dict (arrays don't belong in the report)
+        imp = {k: v for k, v in analysis["importance"].items()
+               if k != "log_weights"}
+        report["importance"] = imp
     if analyzer is not None:
         report["uncertainty_parameters"] = analyzer.uncertainty_params.as_dict()
         report["rocket_parameters"] = object_to_serializable_dict(analyzer.scene.rocket)
@@ -128,6 +134,18 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                         f"{blk['stderr']:.3f} {unit} "
                         f"(variance reduction {blk['variance_reduction']:.1f}x)\n"
                     )
+            f.write("\n")
+        if "importance" in report:
+            imp = report["importance"]
+            f.write("Importance-Sampled Nominal Estimates "
+                    f"(shift {imp['shift']}):\n")
+            for name, unit in (("apogee_altitude", "m"), ("range", "m"),
+                               ("flight_time", "s")):
+                blk = imp.get(name)
+                if blk:
+                    f.write(f"  {name}: {blk['mean']:.2f} +- "
+                            f"{blk['stderr']:.3f} {unit} "
+                            f"(n_eff {blk['n_eff']:.0f})\n")
             f.write("\n")
         if "performance" in report:
             perf = report["performance"]

@@ -152,3 +152,20 @@ def test_tail_probability_cli(capsys):
     # both printed valid JSON
     printed = capsys.readouterr().out
     assert printed.count('"method"') == 2
+
+
+def test_report_carries_importance_block(tmp_path):
+    import json
+
+    from erpl_monte_carlo_sim_tpu.reporting import save_report
+
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            importance_shift={"motor_thrust": 1.0})
+    a = mc.run_monte_carlo(IC, n_samples=96, seed=7)
+    rep = save_report(a, str(tmp_path), analyzer=mc)
+    assert "log_weights" not in rep["importance"]
+    with open(tmp_path / "monte_carlo_report.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["importance"]["shift"] == {"motor_thrust": 1.0}
+    txt = (tmp_path / "monte_carlo_report.txt").read_text()
+    assert "Importance-Sampled Nominal Estimates" in txt
