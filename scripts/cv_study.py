@@ -72,7 +72,10 @@ def main():
                                             seed=1000 + s)
             for k in METRICS:
                 truth_acc[k].append(a[k]["mean"])
-            print(f"# {regime} truth slab {s} done", flush=True)
+            # print the slab means so a killed run's truth is recoverable
+            print(f"# {regime} truth slab {s}: "
+                  f"{json.dumps({k: truth_acc[k][-1] for k in METRICS})}",
+                  flush=True)
         truth = {k: float(np.mean(v)) for k, v in truth_acc.items()}
         print(f"# {regime} truth:", json.dumps(truth), "spread:",
               json.dumps({k: float(np.std(v)) for k, v in truth_acc.items()}),
