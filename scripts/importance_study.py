@@ -67,12 +67,13 @@ def main():
             a = mc.run_monte_carlo(IC, n_samples=N_EST, seed=key)
             row = exceedance_from_analysis(a, "apogee_altitude", [thr])[0]
             errs.append(row["probability"] - p_truth)
-            stderrs.append(row.get("stderr",
-                                   np.sqrt(max(row["probability"], 1e-12)
-                                           * (1 - row["probability"])
-                                           / row["n"])))
-            n_effs.append(row.get("n_eff_tail",
-                                  row["probability"] * row.get("n", N_EST)))
+            p = row["probability"]
+            if "stderr" in row:
+                stderrs.append(row["stderr"])
+            else:  # plain rows carry a Wilson CI, not a stderr
+                stderrs.append(np.sqrt(max(p, 1e-12) * (1 - p) / row["n"]))
+            n_effs.append(row["n_eff_tail"] if "n_eff_tail" in row
+                          else p * row.get("n", N_EST))
         rows[label] = {
             "n": N_EST,
             "rms_rel_err": float(np.sqrt(np.mean(np.square(errs))) / p_truth),
