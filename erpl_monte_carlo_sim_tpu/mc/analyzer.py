@@ -408,24 +408,15 @@ class MonteCarloAnalyzer:
             },
         }
         if self.importance_shift:
-            from .importance import log_weights, weighted_mean
+            from .importance import log_weights
 
-            lw = log_weights(sample_np, self.uncertainty_params,
-                             self.scene.motor, self.importance_shift)
-            imp = {
-                "shift": dict(self.importance_shift),
-                "log_weights": lw,
-                # the headline stats blocks above describe the SHIFTED
-                # population; these are nominal-distribution estimates
-                "note": "self-normalized IS estimates under the nominal "
-                        "distribution; use mc.importance.weighted_tail or "
-                        "exceedance_from_analysis for tail probabilities",
-            }
-            for kname in ("apogee_altitude", "range", "flight_time"):
-                imp[kname] = weighted_mean(
-                    getattr(summary_np, kname), valid_np, lw
-                )
-            analysis["importance"] = imp
+            analysis["importance"] = self._importance_block(
+                {k: getattr(summary_np, k) for k in
+                 ("apogee_altitude", "range", "flight_time")},
+                valid_np,
+                log_weights(sample_np, self.uncertainty_params,
+                            self.scene.motor, self.importance_shift),
+            )
 
         if self.control_variates:
             from .cv import CVMoments, cv_slab_moments, finalize_cv
@@ -494,6 +485,24 @@ class MonteCarloAnalyzer:
             "model": self.scene.wind_model,
             "base": None if base_wind is None else base_wind[1],
         }
+
+    def _importance_block(self, values_by_name: dict, valid_np, lw) -> dict:
+        """The ``analysis["importance"]`` block, shared by the single-call
+        and slabbed layouts: shift, per-lane log-weights, and weighted
+        nominal-distribution means per headline metric. (The headline
+        stats blocks describe the SHIFTED population by design.)"""
+        from .importance import weighted_mean
+
+        imp = {
+            "shift": dict(self.importance_shift),
+            "log_weights": lw,
+            "note": "self-normalized IS estimates under the nominal "
+                    "distribution; use mc.importance.weighted_tail or "
+                    "exceedance_from_analysis for tail probabilities",
+        }
+        for kname, vals in values_by_name.items():
+            imp[kname] = weighted_mean(vals, valid_np, lw)
+        return imp
 
     def _cv_names(self) -> list:
         """Control names matching the control matrix actually built: the
@@ -811,19 +820,11 @@ class MonteCarloAnalyzer:
             "outliers": outlier_records,
         }
         if lw_parts is not None:
-            from .importance import weighted_mean
-
-            lw = np.concatenate(lw_parts)
-            imp = {
-                "shift": dict(self.importance_shift),
-                "log_weights": lw,
-                "note": "self-normalized IS estimates under the nominal "
-                        "distribution; use mc.importance.weighted_tail or "
-                        "exceedance_from_analysis for tail probabilities",
-            }
-            for kname in ("apogee_altitude", "range", "flight_time"):
-                imp[kname] = weighted_mean(metrics[kname], valid_np, lw)
-            analysis["importance"] = imp
+            analysis["importance"] = self._importance_block(
+                {k: metrics[k] for k in
+                 ("apogee_altitude", "range", "flight_time")},
+                valid_np, np.concatenate(lw_parts),
+            )
         if cv_acc is not None:
             from .cv import finalize_cv
 

@@ -507,17 +507,42 @@ def _validate_sampling(a: dict) -> None:
     if a["sobol_wind_modes"] and a["sampler"] != "sobol":
         raise ValueError("sobol_wind_modes requires sampler='sobol'")
     if a["importance_shift"]:
-        allowed = {"mass", "motor_thrust", "motor_flow", "density"}
-        bad = [c for c, _ in a["importance_shift"] if c not in allowed]
+        import numpy as _np
+
+        motor = a["scene"].motor
+        params = a["params"]
+        sigmas = {
+            "mass": float(params.mass_uncertainty),
+            "motor_thrust": float(_np.asarray(motor.thrust_uncertainty)),
+            "motor_flow": float(_np.asarray(motor.mass_flow_uncertainty)),
+            "density": float(params.atmospheric_density_uncertainty),
+        }
+        bad = [c for c, _ in a["importance_shift"] if c not in sigmas]
         if bad:
             raise ValueError(
                 f"unknown importance channels {bad}; tiltable Gaussian "
-                f"multiplier channels are {sorted(allowed)}"
+                f"multiplier channels are {sorted(sigmas)}"
             )
         if a["sampler"] != "prng" or a["antithetic"]:
             raise ValueError(
                 "importance_shift requires sampler='prng' without antithetic"
             )
+        for c, _ in a["importance_shift"]:
+            # fail BEFORE the (possibly minutes-long) simulation: a
+            # zero-sigma channel cannot be tilted, and the solid motor's
+            # flow multiplier is drawn but never acts (mdot follows
+            # thrust) — tilting it adds exp(theta^2) weight variance with
+            # zero extra tail hits, strictly worse than plain counting.
+            if sigmas[c] <= 0.0:
+                raise ValueError(
+                    f"importance channel {c!r} has zero sigma; it cannot "
+                    "be tilted"
+                )
+            if c == "motor_flow" and motor.mdot_follows_thrust:
+                raise ValueError(
+                    "motor_flow is inert for this motor (mdot follows "
+                    "thrust); tilting it only adds weight variance"
+                )
     if a["sampler"] == "sobol":
         from ..ops.sobol import max_dims
 

@@ -121,12 +121,20 @@ def weighted_tail(values, mask, log_w, thresholds) -> list:
                         "method": "importance"})
             continue
         hit = m & (v > t)
+        if not hit.any():
+            # zero weighted hits: the estimate is VACUOUS, not certain.
+            # A 0 +- 0 row would read as confidence exactly where the
+            # tool is pointed at rare events; stderr=NaN flags it and
+            # n_eff_tail=0 quantifies it (re-tilt toward the threshold).
+            out.append({"threshold": float(t), "probability": 0.0,
+                        "stderr": float("nan"), "n_eff_tail": 0.0,
+                        "method": "importance"})
+            continue
         p = float((w * hit).sum() / den)
         r = w * (hit.astype(np.float64) - p) * m
         se = float(np.sqrt((r ** 2).sum()) / den)
         wt = w * hit
-        n_eff = float(wt.sum() ** 2 / max((wt ** 2).sum(), 1e-300)) \
-            if hit.any() else 0.0
+        n_eff = float(wt.sum() ** 2 / max((wt ** 2).sum(), 1e-300))
         out.append({"threshold": float(t), "probability": p, "stderr": se,
                     "n_eff_tail": n_eff, "method": "importance"})
     return out

@@ -347,8 +347,15 @@ def plot_exceedance(analysis: dict, metric: str = "apogee_altitude",
                         np.minimum(p + 2 * se, 1.0), alpha=0.25,
                         color="tab:blue", label="+-2 stderr")
     ax.set_yscale("log")
-    floor = 1.0 / max(rows[0].get("n", analysis.get("n_samples", 1)), 2)
-    ax.set_ylim(max(floor * 0.1, 1e-12), 1.2)
+    # Floor: show every resolved point. Importance-sampled runs estimate
+    # probabilities far below 1/n (that is their purpose), so the floor
+    # follows the smallest positive estimate, not the lane count.
+    pos = p[p > 0]
+    if pos.size:
+        floor = max(float(pos.min()) * 0.3, 1e-12)
+    else:
+        floor = 0.1 / max(rows[0].get("n", analysis.get("n_samples", 1)), 2)
+    ax.set_ylim(max(floor, 1e-12), 1.2)
     ax.set_xlabel(f"{metric.replace('_', ' ')} threshold")
     ax.set_ylabel("exceedance probability")
     ax.set_title(f"Exceedance: {metric.replace('_', ' ')} "

@@ -169,3 +169,27 @@ def test_report_carries_importance_block(tmp_path):
     assert on_disk["importance"]["shift"] == {"motor_thrust": 1.0}
     txt = (tmp_path / "monte_carlo_report.txt").read_text()
     assert "Importance-Sampled Nominal Estimates" in txt
+
+
+def test_review_fixes_validation_and_vacuous_rows():
+    from erpl_monte_carlo_sim_tpu.models import solid_motor
+
+    # solid motor: flow multiplier is inert -> tilting it must be refused
+    solid_scene = nominal_scene(solid_motor())
+    with pytest.raises(ValueError, match="inert"):
+        sample_dispersions(jax.random.PRNGKey(0), solid_scene, IC, PARAMS, 8,
+                           importance_shift=(("motor_flow", 1.0),))
+    # liquid motor: the same tilt is fine
+    sample_dispersions(jax.random.PRNGKey(0), SCENE, IC, PARAMS, 8,
+                       importance_shift=(("motor_flow", 1.0),))
+    # zero-sigma channel fails BEFORE any simulation
+    zp = UncertaintyParams(atmospheric_density_uncertainty=0.0)
+    with pytest.raises(ValueError, match="zero sigma"):
+        sample_dispersions(jax.random.PRNGKey(0), SCENE, IC, zp, 8,
+                           importance_shift=(("density", 1.0),))
+    # vacuous tail rows: no hits -> stderr NaN (not a confident 0 +- 0)
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal(100)
+    row = weighted_tail(z, np.ones(100, bool), np.zeros(100), [99.0])[0]
+    assert row["probability"] == 0.0
+    assert np.isnan(row["stderr"]) and row["n_eff_tail"] == 0.0
