@@ -283,7 +283,13 @@ class MonteCarloAnalyzer:
 
         Returns the reference-schema analysis dict (`monte_carlo.py:461-471`)
         plus SoA extras (``summary``, ``valid_mask``, ``reasons``,
-        ``sample``) and a ``performance`` block.
+        ``sample``), a ``performance`` block, and the beyond-reference
+        blocks the constructor knobs enable: ``landing_footprint``
+        (always), ``control_variates`` (control_variates=True),
+        ``importance`` (importance_shift=), ``qmc_error``
+        (sobol_scrambles>1 or slabbed sobol runs), and ``streams``
+        (streaming slabbed runs — retained quantile sketches for
+        ``mc.exceedance_from_analysis``).
 
         ``chunk_steps``: execute at most this many RK4 steps per device call
         (host-chunked; see ``engine.simulate_batch_chunked``). Use for large
