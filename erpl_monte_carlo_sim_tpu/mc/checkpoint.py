@@ -85,6 +85,11 @@ def load_summaries(path: str) -> dict:
             },
             "valid_mask": data["valid_mask"],
             "reasons": data["reasons"],
+            # surfaced at top level so post-hoc consumers (e.g.
+            # mc.exceedance_from_analysis) see the same layout flags a
+            # live analysis carries — a streaming run's checkpointed
+            # metrics are a capped prefix, not the full population
+            "metrics_is_sample": bool(meta.get("metrics_is_sample", False)),
             "meta": meta,
         }
 

@@ -166,3 +166,26 @@ def test_slabbed_checkpoint_roundtrip(slabbed_analysis, tmp_path):
     np.testing.assert_allclose(
         back["metrics"]["apogee_altitude"], a["metrics"]["apogee_altitude"]
     )
+
+
+def test_loaded_checkpoint_answers_exceedance(slabbed_analysis, tmp_path):
+    """Post-hoc exceedance on a LOADED checkpoint matches the live
+    analysis, and a streaming checkpoint's capped metrics stay flagged
+    as a sample (not mislabeled 'exact')."""
+    from erpl_monte_carlo_sim_tpu.mc.checkpoint import (
+        load_summaries,
+        save_summaries,
+    )
+    from erpl_monte_carlo_sim_tpu.mc.stats import exceedance_from_analysis
+
+    _, a = slabbed_analysis
+    path = str(tmp_path / "ck.npz")
+    save_summaries(path, a, seed=5)
+    back = load_summaries(path)
+    med = a["apogee_altitude"]["percentiles"][2]
+    live = exceedance_from_analysis(a, "apogee_altitude", [med])[0]
+    loaded = exceedance_from_analysis(back, "apogee_altitude", [med])[0]
+    assert loaded["probability"] == live["probability"]
+    assert loaded["method"] == (
+        "sample_prefix" if a.get("metrics_is_sample") else "exact"
+    )
