@@ -374,3 +374,18 @@ def test_cv_composes_with_streaming_stats():
     # streamed headline mean and the CV plain ratio mean see the same lanes
     np.testing.assert_allclose(apo["plain_mean"],
                                a["apogee_altitude"]["mean"], rtol=1e-6)
+
+
+def test_cv_solid_motor_drops_inert_flow_channel():
+    from erpl_monte_carlo_sim_tpu.models import solid_motor
+
+    solid = nominal_scene(solid_motor())
+    names = control_names(PARAMS, solid.motor)
+    assert "motor_flow" not in names  # drawn but inert for solids
+    mc = MonteCarloAnalyzer(scene=solid, sim_config=CFG,
+                            control_variates=True)
+    a = mc.run_monte_carlo(IC, n_samples=128, seed=8)
+    blk = a["control_variates"]
+    assert blk["n"] == 128
+    assert "motor_flow" not in blk["controls"]
+    assert np.isfinite(blk["apogee_altitude"]["plain_mean"])
