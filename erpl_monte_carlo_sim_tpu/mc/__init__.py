@@ -11,6 +11,7 @@ from .dispersions import (
 )
 from .filter import OutlierBounds, decode_reasons, outlier_mask
 from .importance import log_weights, weighted_mean, weighted_tail
+from .two_level import parity_twin, two_level_block
 from .stats import (
     PERCENTILES,
     exceedance,
@@ -26,4 +27,5 @@ __all__ = [
     "CVMoments", "control_names", "cv_slab_moments", "finalize_cv",
     "exceedance", "exceedance_from_analysis",
     "log_weights", "weighted_mean", "weighted_tail",
+    "parity_twin", "two_level_block",
 ]

@@ -148,6 +148,7 @@ class MonteCarloAnalyzer:
         control_variates: bool = False,
         cv_wind_modes: int = 0,
         importance_shift: Optional[dict] = None,
+        two_level_lanes: int = 0,
         persistent_cache: bool = True,
         stats_stream_threshold: int = 4_194_304,
         metrics_sample_cap: int = 1_048_576,
@@ -232,6 +233,33 @@ class MonteCarloAnalyzer:
             self.importance_shift = tuple(sorted(importance_shift.items()))
         else:
             self.importance_shift = ()
+        # Two-level bias correction (mc.two_level): with any fast flag set
+        # on sim_config, ALSO run this many COUPLED lanes (same dispersion
+        # draws) under the run config and its exact-parity twin, and report
+        # the measured integration bias plus bias-corrected headline means
+        # (the MLMC identity E[f_parity] = E[f_fast] + E[f_parity-f_fast])
+        # in analysis["two_level"]. Use when n is large enough that the
+        # mean's sampling stderr drops below the tiered-dt bias (crossover
+        # n ~ (sigma/bias)^2 — measured in scripts/two_level_check.py).
+        if two_level_lanes < 0:
+            raise ValueError("two_level_lanes must be >= 0")
+        if two_level_lanes:
+            from .two_level import FAST_FIELDS, parity_twin
+
+            if parity_twin(sim_config) == sim_config:
+                raise ValueError(
+                    "two_level_lanes needs at least one fast flag in "
+                    f"sim_config (one of {FAST_FIELDS}); the config is "
+                    "already exact parity — there is no bias to correct"
+                )
+            if importance_shift:
+                # the correction estimates the NOMINAL-population bias;
+                # under exponential tilting the headline stats describe the
+                # SHIFTED population and the two would not compose
+                raise ValueError(
+                    "two_level_lanes and importance_shift are exclusive"
+                )
+        self.two_level_lanes = two_level_lanes
         # Streaming-statistics mode engages above this many lanes (see
         # _run_slabbed); below it the slab loop keeps exact host arrays.
         if stats_stream_threshold < 1 or metrics_sample_cap < 1:
@@ -287,7 +315,9 @@ class MonteCarloAnalyzer:
         blocks the constructor knobs enable: ``landing_footprint``
         (always), ``control_variates`` (control_variates=True),
         ``importance`` (importance_shift=), ``qmc_error``
-        (sobol_scrambles>1 or slabbed sobol runs), and ``streams``
+        (sobol_scrambles>1 or slabbed sobol runs), ``two_level``
+        (two_level_lanes>0 — measured fast-flag bias + corrected
+        means), and ``streams``
         (streaming slabbed runs — retained quantile sketches for
         ``mc.exceedance_from_analysis``).
 
@@ -450,6 +480,11 @@ class MonteCarloAnalyzer:
                 ]
             analysis["qmc_error"] = self._qmc_error(bm)
 
+        if self.two_level_lanes:
+            analysis["two_level"] = self._two_level(
+                ic, seed, base_wind, analysis
+            )
+
         # Same default cap as the slab path: materializing a Python dict
         # per lane at 100k+ lanes costs tens of seconds of host time and GBs
         # of RAM when the caller only wants statistics. Pass
@@ -509,6 +544,31 @@ class MonteCarloAnalyzer:
         for kname, vals in values_by_name.items():
             imp[kname] = weighted_mean(vals, valid_np, lw)
         return imp
+
+    def _two_level(self, ic, seed, base_wind, analysis) -> dict:
+        """``analysis["two_level"]``: measured fast-flag integration bias
+        (small coupled parity batch — mc.two_level) plus bias-corrected
+        headline means. The corrected stderr combines the main run's
+        sampling stderr with the correction's own (the correction batch is
+        key-decorrelated from every main slab, so variances add)."""
+        from .two_level import METRICS, two_level_block
+
+        block = two_level_block(
+            self.scene, ic, self.sim_config, self.two_level_lanes,
+            jax.random.PRNGKey(seed), params=self.uncertainty_params,
+            bounds=self.bounds, base_wind=base_wind,
+            wind_grid_points=self.wind_grid_points,
+            wind_grid_top=self.wind_grid_top,
+        )
+        n_main = max(int(analysis["n_samples"]), 1)
+        for k in METRICS:
+            st = analysis[k]
+            main_stderr = float(st["std"]) / np.sqrt(n_main)
+            block[k]["corrected_mean"] = float(st["mean"]) + block[k]["bias"]
+            block[k]["corrected_stderr"] = float(
+                np.hypot(main_stderr, block[k]["bias_stderr"])
+            )
+        return block
 
     def _cv_names(self) -> list:
         """Control names matching the control matrix actually built: the
@@ -839,6 +899,10 @@ class MonteCarloAnalyzer:
             )
         if self.sampler == "sobol" and len(qmc_blocks["apogee_altitude"]) > 1:
             analysis["qmc_error"] = self._qmc_error(qmc_blocks)
+        if self.two_level_lanes:
+            analysis["two_level"] = self._two_level(
+                ic, seed, base_wind, analysis
+            )
         return analysis
 
     _RANGE_FIELDS = (

@@ -60,6 +60,10 @@ def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
         report["control_variates"] = analysis["control_variates"]
     if analysis.get("qmc_error"):
         report["qmc_error"] = analysis["qmc_error"]
+    if analysis.get("two_level"):
+        # beyond-reference: measured fast-flag integration bias + corrected
+        # means from the coupled parity batch (mc/two_level.py)
+        report["two_level"] = analysis["two_level"]
     if analysis.get("importance"):
         # weighted nominal-distribution estimates; per-lane log_weights
         # stay in the analysis dict (arrays don't belong in the report)
@@ -133,6 +137,21 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                         f"  {name}: {blk['mean']:.2f} +- "
                         f"{blk['stderr']:.3f} {unit} "
                         f"(variance reduction {blk['variance_reduction']:.1f}x)\n"
+                    )
+            f.write("\n")
+        if "two_level" in report:
+            tl = report["two_level"]
+            f.write("Two-Level Bias Correction "
+                    f"({tl['n_coupled']} coupled parity lanes):\n")
+            for name, unit in (("apogee_altitude", "m"), ("range", "m"),
+                               ("flight_time", "s")):
+                blk = tl.get(name)
+                if blk:
+                    f.write(
+                        f"  {name}: bias {blk['bias']:+.3f} +- "
+                        f"{blk['bias_stderr']:.3f} {unit}; corrected mean "
+                        f"{blk['corrected_mean']:.2f} +- "
+                        f"{blk['corrected_stderr']:.3f} {unit}\n"
                     )
             f.write("\n")
         if "importance" in report:
