@@ -147,6 +147,7 @@ class MonteCarloAnalyzer:
         antithetic: bool = False,
         control_variates: bool = False,
         cv_wind_modes: int = 0,
+        cv_wind_speed: int = 0,
         importance_shift: Optional[dict] = None,
         two_level_lanes: int = 0,
         persistent_cache: bool = True,
@@ -213,7 +214,21 @@ class MonteCarloAnalyzer:
         if cv_wind_modes and not control_variates:
             raise ValueError("cv_wind_modes requires control_variates=True")
         self.cv_wind_modes = cv_wind_modes
+        # With control_variates: ALSO use the realized horizontal wind
+        # SPEED and ENERGY at this many altitude knots as controls
+        # (mc.cv.wind_speed_control_means — exact Rice/quadrature means).
+        # These are EVEN in the turbulence, carrying the cross-mode and
+        # mean x turbulence structure the per-mode diagonal squares miss;
+        # the weather-cocking response is ~|w| (NOTES.md full-flight CV
+        # study), so this is the nonlinear-regime counterpart of
+        # cv_wind_modes.
+        if cv_wind_speed < 0:
+            raise ValueError("cv_wind_speed must be >= 0")
+        if cv_wind_speed and not control_variates:
+            raise ValueError("cv_wind_speed requires control_variates=True")
+        self.cv_wind_speed = cv_wind_speed
         self._cv_proj = None  # (grid_key, projector) memo
+        self._cv_spd = None   # (grid_key, base_key, idx, means) memo
         # Importance sampling (mc.importance): draw the named Gaussian
         # multiplier channels mean-shifted by the given sigmas and report
         # self-normalized weighted estimates under the NOMINAL distribution
@@ -499,33 +514,74 @@ class MonteCarloAnalyzer:
         return analysis
 
     def _cv_wind_ctrl(self, scene_b, sample, base_wind):
-        """The wind_ctrl pytree for mc.cv turbulence-mode controls (None
-        when cv_wind_modes is off). The [N,K] projector comes from a
-        host-side SVD of the AR(1) transfer matrix, memoized per grid."""
-        if not self.cv_wind_modes:
+        """The wind_ctrl pytree for mc.cv wind-table controls (None when
+        both cv_wind_modes and cv_wind_speed are off). The [N,K] projector
+        comes from a host-side SVD of the AR(1) transfer matrix; the
+        wind-speed knot means from Rice/quadrature — both memoized per
+        grid (+ base profile for the means)."""
+        if not (self.cv_wind_modes or self.cv_wind_speed):
             return None
-        from .cv import wind_mode_projector
+        from .cv import (wind_mode_projector, wind_speed_control_means,
+                         wind_speed_knots)
 
         alt = scene_b.wind.altitudes
         alt_np = np.asarray(alt, np.float64)
+        base_np = None if base_wind is None else np.asarray(
+            base_wind[1], np.float64
+        )
         # memo on the FULL grid (a forecast grid can share length and
         # endpoints with a different interior spacing — a stale projector
         # would silently break the scores' exact standard-normality)
-        if (self._cv_proj is None
-                or self._cv_proj[0].shape != alt_np.shape
-                or not np.array_equal(self._cv_proj[0], alt_np)):
+        grid_stale = (self._cv_proj is None
+                      or self._cv_proj[0].shape != alt_np.shape
+                      or not np.array_equal(self._cv_proj[0], alt_np))
+        if self.cv_wind_modes and grid_stale:
             self._cv_proj = (alt_np, jnp.asarray(wind_mode_projector(
                 self.scene.wind_model, alt_np, self.cv_wind_modes
             ), alt.dtype))
-        return {
+        ctrl = {
             "wind": scene_b.wind.wind,
             "ws": sample.wind_speed,
             "wd": sample.wind_direction,
-            "proj": self._cv_proj[1],
+            "proj": self._cv_proj[1] if self.cv_wind_modes else None,
             "alt": alt,
             "model": self.scene.wind_model,
             "base": None if base_wind is None else base_wind[1],
         }
+        if self.cv_wind_speed:
+            spd_stale = (
+                self._cv_spd is None
+                or self._cv_spd[0].shape != alt_np.shape
+                or not np.array_equal(self._cv_spd[0], alt_np)
+                or (self._cv_spd[1] is None) != (base_np is None)
+                or (base_np is not None
+                    and not np.array_equal(self._cv_spd[1], base_np))
+            )
+            if spd_stale:
+                idx = wind_speed_knots(len(alt_np), self.cv_wind_speed)
+                e_spd, e_en, _ = wind_speed_control_means(
+                    self.uncertainty_params, self.scene.wind_model,
+                    alt_np, idx, base=base_np,
+                )
+                # deterministic O(std) scales from the exact first two
+                # moments (scale choice cannot bias the mean; it only
+                # conditions the regression): std|w| from the moments,
+                # std|w|^2 by first-order propagation
+                std = np.sqrt(np.maximum(e_en - e_spd * e_spd, 1e-6))
+                scale = np.maximum(std, 0.05)
+                scale_en = np.maximum(2.0 * e_spd * std + 2.0 * std * std,
+                                      0.1)
+                self._cv_spd = (alt_np, base_np, idx,
+                                (jnp.asarray(e_spd, alt.dtype),
+                                 jnp.asarray(e_en, alt.dtype),
+                                 jnp.asarray(scale, alt.dtype),
+                                 jnp.asarray(scale_en, alt.dtype)))
+            idx, (e_spd, e_en, scale, scale_en) = (self._cv_spd[2],
+                                                   self._cv_spd[3])
+            ctrl.update(spd_idx=jnp.asarray(idx), spd_mean=e_spd,
+                        spd_en_mean=e_en, spd_scale=scale,
+                        spd_en_scale=scale_en)
+        return ctrl
 
     def _importance_block(self, values_by_name: dict, valid_np, lw) -> dict:
         """The ``analysis["importance"]`` block, shared by the single-call
@@ -580,8 +636,11 @@ class MonteCarloAnalyzer:
         k_eff = 0
         if self.cv_wind_modes and self._cv_proj is not None:
             k_eff = int(self._cv_proj[1].shape[1])
+        spd_alts = ()
+        if self.cv_wind_speed and self._cv_spd is not None:
+            spd_alts = tuple(self._cv_spd[0][self._cv_spd[2]])
         return control_names(self.uncertainty_params, self.scene.motor,
-                             k_eff)
+                             k_eff, spd_alts)
 
     def run_optimized_monte_carlo(self, initial_conditions, n_samples=1000,
                                   chunk_size=None, **kw) -> dict:

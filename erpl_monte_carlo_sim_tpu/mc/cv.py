@@ -46,7 +46,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["CVMoments", "control_names", "cv_slab_moments", "finalize_cv"]
+__all__ = ["CVMoments", "control_names", "cv_slab_moments", "finalize_cv",
+           "wind_speed_knots", "wind_speed_control_means"]
 
 # Metric targets adjusted by the CV block. landing x/y give the footprint
 # mean an adjusted twin; "valid" is the ratio denominator.
@@ -78,13 +79,16 @@ def _uniform_channels(params):
     return ws_active, ws_mid, ws_scale, dir_active, moments
 
 
-def control_names(params, motor, wind_modes: int = 0) -> list:
+def control_names(params, motor, wind_modes: int = 0,
+                  wind_speed_alts=()) -> list:
     """Names of the control columns, in the order ``_controls`` emits them.
 
     ``wind_modes`` must equal the EFFECTIVE mode count — the projector's
     column count (``wind_mode_projector`` clamps to the grid size), not the
     requested one; a mismatch silently mislabels every column after the
-    boundary. The analyzer handles this via ``_cv_names``."""
+    boundary. The analyzer handles this via ``_cv_names``.
+    ``wind_speed_alts``: the knot ALTITUDES actually used (deduplicated —
+    ``wind_speed_knots`` can return fewer than requested)."""
     names = []
     for base, sig in (
         ("pos", params.initial_position), ("vel", params.initial_velocity),
@@ -116,6 +120,8 @@ def control_names(params, motor, wind_modes: int = 0) -> list:
         names += [f"turb_{c}_m{k}" for c in "uvw"]
     for k in range(wind_modes):
         names += [f"turb_{c}_m{k}^2" for c in "uvw"]
+    names += [f"wspd@{a:.0f}m" for a in wind_speed_alts]
+    names += [f"wspd@{a:.0f}m^2" for a in wind_speed_alts]
     return names
 
 
@@ -138,6 +144,109 @@ def wind_mode_projector(wind_model, altitudes, k_modes: int) -> np.ndarray:
     u, s, _ = np.linalg.svd(a)
     k = min(int(k_modes), len(s))
     return u[:, :k] / s[:k]
+
+
+def wind_speed_knots(n_grid: int, j: int) -> np.ndarray:
+    """``j`` evenly spaced knot INDICES over an ``n_grid``-point altitude
+    grid (deduplicated, so the returned count can be < j on tiny grids)."""
+    return np.unique(np.round(np.linspace(0, n_grid - 1, int(j))).astype(int))
+
+
+def _rice_mean(nu, sigma):
+    """E|m + t| for a 2-D isotropic Gaussian t ~ N(0, sigma^2 I) around a
+    mean of magnitude ``nu`` (the Rice-distribution mean), vectorized and
+    stable via exponentially scaled Bessel functions."""
+    from scipy.special import i0e, i1e
+
+    nu = np.asarray(nu, np.float64)
+    if sigma <= 0.0:
+        return nu.copy()
+    t = nu * nu / (2.0 * sigma * sigma)
+    return (sigma * math.sqrt(math.pi / 2.0)
+            * ((1.0 + t) * i0e(t / 2.0) + t * i1e(t / 2.0)))
+
+
+def wind_speed_control_means(params, wind_model, altitudes, idx,
+                             base=None) -> tuple:
+    """Exact sampling-distribution means of the horizontal wind speed
+    ``|w_uv(h_i)|`` and energy ``|w_uv(h_i)|^2`` at grid knots ``idx``.
+
+    Conditioned on the uniform (wind_speed, wind_direction) draws the
+    horizontal wind at a knot is 2-D isotropic Gaussian around the mean
+    profile (AR(1) turbulence, per-component sigma from the transfer-matrix
+    row norm — ``models.wind.ar1_transfer_matrix``), so E|w| is the Rice
+    mean and E|w|^2 adds 2 sigma^2; the uniform channels integrate out by
+    Gauss-Legendre quadrature (the integrand is smooth, 48 nodes are exact
+    to ~1e-14 — far below f32 lane arithmetic). Mirrors
+    ``mc.dispersions._build_scene``: synthesized profiles use the power-law
+    shear projected on the direction draw, forecast runs add the uniform
+    offset to the base at every knot. Returns ``(e_spd[J], e_energy[J],
+    sigma[J])`` as float64 host arrays.
+    """
+    from ..models.wind import ar1_transfer_matrix
+
+    alt = np.asarray(altitudes, np.float64)
+    idx = np.asarray(idx, int)
+    a = ar1_transfer_matrix(wind_model, alt)
+    sig = np.sqrt((a * a).sum(axis=1))[idx]  # per-component turb sigma
+
+    lo, hi = (float(params.wind_speed_range[0]),
+              float(params.wind_speed_range[1]))
+    dlo, dhi = (float(params.wind_direction_range[0]),
+                float(params.wind_direction_range[1]))
+
+    def gl(a_, b_, n=48):
+        if b_ <= a_:
+            return np.array([a_]), np.array([1.0])
+        x, w = np.polynomial.legendre.leggauss(n)
+        return 0.5 * (b_ - a_) * x + 0.5 * (a_ + b_), w / w.sum()
+
+    ws, wws = gl(lo, hi)
+    wd, wwd = gl(dlo, dhi)
+    e_spd = np.empty(len(idx))
+    e_en = np.empty(len(idx))
+    if base is None:
+        # synthesized: |mean| = ws * c_i, independent of direction
+        from ..models.wind import power_law_profile
+
+        c = np.asarray(power_law_profile(wind_model, alt[idx], 1.0),
+                       np.float64)
+        for j in range(len(idx)):
+            nu = ws * c[j]
+            e_spd[j] = wws @ _rice_mean(nu, sig[j])
+            e_en[j] = wws @ (nu * nu) + 2.0 * sig[j] ** 2
+    else:
+        b = np.asarray(base, np.float64)[idx, :2]
+        cosd, sind = np.cos(wd), np.sin(wd)
+        for j in range(len(idx)):
+            # |mean|(ws, wd) on the quadrature grid
+            mu = np.sqrt(
+                (b[j, 0] + ws[:, None] * cosd[None, :]) ** 2
+                + (b[j, 1] + ws[:, None] * sind[None, :]) ** 2
+            )
+            e_spd[j] = wws @ (_rice_mean(mu, sig[j]) @ wwd)
+            e_en[j] = wws @ ((mu * mu) @ wwd) + 2.0 * sig[j] ** 2
+    return e_spd, e_en, sig
+
+
+def _wind_speed_controls(wind_ctrl, dtype):
+    """[n, 2J] columns: realized horizontal wind speed and energy at the
+    knots minus their exact means, on deterministic O(1) scales (scale
+    choice cannot bias the mean; it only conditions the regression)."""
+    w = jnp.asarray(wind_ctrl["wind"], dtype)  # [n, N, 3]
+    idx = wind_ctrl["spd_idx"]
+    e_spd = jnp.asarray(wind_ctrl["spd_mean"], dtype)  # [J]
+    e_en = jnp.asarray(wind_ctrl["spd_en_mean"], dtype)
+    scl = jnp.asarray(wind_ctrl["spd_scale"], dtype)
+    scl_en = jnp.asarray(wind_ctrl["spd_en_scale"], dtype)
+    u = w[:, idx, 0]
+    v = w[:, idx, 1]
+    en = u * u + v * v
+    spd = jnp.sqrt(en)
+    return jnp.concatenate([
+        (spd - e_spd[None, :]) / scl[None, :],
+        (en - e_en[None, :]) / scl_en[None, :],
+    ], axis=1)
 
 
 def _wind_scores(wind_ctrl, dtype):
@@ -241,12 +350,19 @@ def _controls(sample, params, motor, wind_ctrl=None):
         cols.append(jnp.cos(2.0 * sample.wind_direction) - ec2)
         cols.append(jnp.sin(2.0 * sample.wind_direction) - es2)
     z = jnp.stack(cols, axis=1)
-    if wind_ctrl is not None:
+    if wind_ctrl is not None and wind_ctrl.get("proj") is not None:
         # turbulence-mode scores (+ squares: weather-cocking losses are
         # roughly even in crosswind, so the quadratic terms carry much of
         # the apogee response); E[s] = 0 and E[s^2] = 1 exactly
         s = _wind_scores(wind_ctrl, z.dtype)
         z = jnp.concatenate([z, s, s ** 2 - 1.0], axis=1)
+    if wind_ctrl is not None and wind_ctrl.get("spd_idx") is not None:
+        # realized wind speed/energy at altitude knots: EVEN in the
+        # turbulence, with cross-mode and mean x turbulence structure the
+        # per-mode diagonal squares cannot span — the weather-cocking
+        # response is ~|w|, not w (NOTES.md full-flight CV study)
+        z = jnp.concatenate([z, _wind_speed_controls(wind_ctrl, z.dtype)],
+                            axis=1)
     return z
 
 

@@ -389,3 +389,123 @@ def test_cv_solid_motor_drops_inert_flow_channel():
     assert blk["n"] == 128
     assert "motor_flow" not in blk["controls"]
     assert np.isfinite(blk["apogee_altitude"]["plain_mean"])
+
+def _spd_leaves(scene_b, j=5, base=None):
+    """The wind-speed control leaves the analyzer builds (mc/analyzer.
+    _cv_wind_ctrl), for direct kernel-level tests."""
+    import jax.numpy as jnp
+
+    from erpl_monte_carlo_sim_tpu.mc.cv import (
+        wind_speed_control_means,
+        wind_speed_knots,
+    )
+
+    alt = np.asarray(scene_b.wind.altitudes, np.float64)
+    idx = wind_speed_knots(len(alt), j)
+    e_spd, e_en, _ = wind_speed_control_means(
+        PARAMS, SCENE.wind_model, alt, idx, base=base
+    )
+    std = np.sqrt(np.maximum(e_en - e_spd * e_spd, 1e-6))
+    return {
+        "spd_idx": jnp.asarray(idx),
+        "spd_mean": jnp.asarray(e_spd),
+        "spd_en_mean": jnp.asarray(e_en),
+        "spd_scale": jnp.asarray(np.maximum(std, 0.05)),
+        "spd_en_scale": jnp.asarray(
+            np.maximum(2.0 * e_spd * std + 2.0 * std * std, 0.1)
+        ),
+    }, idx
+
+
+def test_wind_speed_control_means_exact():
+    """The Rice/quadrature means must match the sampled wind tables: this
+    pins the mean-profile reconstruction (power-law x uniform direction for
+    synthesized profiles, base + uniform offset for forecasts) AND the
+    AR(1) per-knot sigma against models.wind._ar1_scan, for both the speed
+    and energy controls."""
+    n = 32768
+    grid = np.linspace(0.0, 25000.0, 100)
+    base = np.stack([3.0 + grid / 5000.0, np.full_like(grid, -1.0),
+                     np.zeros_like(grid)], axis=1)
+    for base_wind in (None, (grid, base)):
+        sb, _, _ = sample_dispersions(jax.random.PRNGKey(11), SCENE, IC,
+                                      PARAMS, n, base_wind=base_wind)
+        spd_ctrl, idx = _spd_leaves(
+            sb, j=5, base=None if base_wind is None else base
+        )
+        w = np.asarray(sb.wind.wind, np.float64)
+        spd = np.hypot(w[:, idx, 0], w[:, idx, 1])
+        for pred, emp in ((np.asarray(spd_ctrl["spd_mean"]), spd),
+                          (np.asarray(spd_ctrl["spd_en_mean"]), spd ** 2)):
+            z = (emp.mean(0) - pred) / (emp.std(0) / np.sqrt(n))
+            assert np.abs(z).max() < 5.0, (base_wind is None, z)
+
+
+def test_wind_speed_columns_centered_and_scaled():
+    from erpl_monte_carlo_sim_tpu.mc.cv import _wind_speed_controls
+
+    n = 32768
+    sb, _, sample = sample_dispersions(jax.random.PRNGKey(12), SCENE, IC,
+                                       PARAMS, n)
+    spd_ctrl, idx = _spd_leaves(sb, j=5)
+    spd_ctrl["wind"] = sb.wind.wind
+    cols = np.asarray(_wind_speed_controls(spd_ctrl, np.float64))
+    assert cols.shape == (n, 2 * len(idx))
+    # exact-zero means (sample noise only) on O(1) columns
+    se = cols.std(axis=0) / np.sqrt(n)
+    assert np.abs(cols.mean(axis=0) / se).max() < 5.0
+    assert cols.std(axis=0).min() > 0.2 and cols.std(axis=0).max() < 5.0
+
+
+def test_analyzer_cv_wind_speed():
+    with pytest.raises(ValueError, match="control_variates"):
+        MonteCarloAnalyzer(scene=SCENE, sim_config=CFG, cv_wind_speed=4)
+    with pytest.raises(ValueError, match=">= 0"):
+        MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                           control_variates=True, cv_wind_speed=-1)
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            control_variates=True, cv_wind_modes=2,
+                            cv_wind_speed=4)
+    a = mc.run_monte_carlo(IC, n_samples=256, seed=3, lane_slab=128)
+    blk = a["control_variates"]
+    assert blk["n"] == 256
+    names = blk["controls"]
+    spd_names = [nm for nm in names if nm.startswith("wspd@")]
+    assert len(spd_names) == 8  # 4 knots x (speed, energy)
+    assert "wspd@0m" in names and "wspd@25000m^2" in names
+    # names align with columns: every kept control is a real label and the
+    # beta readout covers all kept columns
+    apo = blk["apogee_altitude"]
+    assert set(apo["beta"]) == set(blk["kept_controls"])
+    assert np.isfinite(apo["mean"]) and np.isfinite(apo["stderr"])
+    assert apo["stderr"] <= apo["plain_stderr"] * 1.05
+
+
+def test_collective_cv_moments_with_wind_speed():
+    """The pod-scale twin replicates the knot-mean leaves and shards the
+    wind tables; moments must equal the single-device kernel exactly."""
+    import jax.numpy as jnp
+
+    from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
+    from erpl_monte_carlo_sim_tpu.mc import outlier_mask
+    from erpl_monte_carlo_sim_tpu.mc.cv import cv_slab_moments
+    from erpl_monte_carlo_sim_tpu.parallel import (
+        collective_cv_moments,
+        make_mesh,
+    )
+
+    sb, ib, sample = sample_dispersions(
+        jax.random.PRNGKey(8), SCENE, IC, PARAMS, 64
+    )
+    summary = simulate_summary_batch(sb, ib, CFG)
+    valid, _ = outlier_mask(summary)
+    wc = _wind_ctrl(sb, sample, k=2)
+    spd_ctrl, _ = _spd_leaves(sb, j=3)
+    wc.update(spd_ctrl)
+    ref = cv_slab_moments(sample, summary, valid, jnp.ones(64, bool),
+                          PARAMS, SCENE.motor, wc)
+    got = collective_cv_moments(sample, summary, valid, None, PARAMS,
+                                SCENE.motor, make_mesh(n_devices=8), wc)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-10, atol=1e-12)
