@@ -521,8 +521,7 @@ class MonteCarloAnalyzer:
         grid (+ base profile for the means)."""
         if not (self.cv_wind_modes or self.cv_wind_speed):
             return None
-        from .cv import (wind_mode_projector, wind_speed_control_means,
-                         wind_speed_knots)
+        from .cv import wind_mode_projector, wind_speed_ctrl_leaves
 
         alt = scene_b.wind.altitudes
         alt_np = np.asarray(alt, np.float64)
@@ -558,29 +557,12 @@ class MonteCarloAnalyzer:
                     and not np.array_equal(self._cv_spd[1], base_np))
             )
             if spd_stale:
-                idx = wind_speed_knots(len(alt_np), self.cv_wind_speed)
-                e_spd, e_en, _ = wind_speed_control_means(
-                    self.uncertainty_params, self.scene.wind_model,
-                    alt_np, idx, base=base_np,
+                leaves, idx = wind_speed_ctrl_leaves(
+                    self.uncertainty_params, self.scene.wind_model, alt_np,
+                    self.cv_wind_speed, base=base_np, dtype=alt.dtype,
                 )
-                # deterministic O(std) scales from the exact first two
-                # moments (scale choice cannot bias the mean; it only
-                # conditions the regression): std|w| from the moments,
-                # std|w|^2 by first-order propagation
-                std = np.sqrt(np.maximum(e_en - e_spd * e_spd, 1e-6))
-                scale = np.maximum(std, 0.05)
-                scale_en = np.maximum(2.0 * e_spd * std + 2.0 * std * std,
-                                      0.1)
-                self._cv_spd = (alt_np, base_np, idx,
-                                (jnp.asarray(e_spd, alt.dtype),
-                                 jnp.asarray(e_en, alt.dtype),
-                                 jnp.asarray(scale, alt.dtype),
-                                 jnp.asarray(scale_en, alt.dtype)))
-            idx, (e_spd, e_en, scale, scale_en) = (self._cv_spd[2],
-                                                   self._cv_spd[3])
-            ctrl.update(spd_idx=jnp.asarray(idx), spd_mean=e_spd,
-                        spd_en_mean=e_en, spd_scale=scale,
-                        spd_en_scale=scale_en)
+                self._cv_spd = (alt_np, base_np, idx, leaves)
+            ctrl.update(self._cv_spd[3])
         return ctrl
 
     def _importance_block(self, values_by_name: dict, valid_np, lw) -> dict:
@@ -606,7 +588,17 @@ class MonteCarloAnalyzer:
         (small coupled parity batch — mc.two_level) plus bias-corrected
         headline means. The corrected stderr combines the main run's
         sampling stderr with the correction's own (the correction batch is
-        key-decorrelated from every main slab, so variances add)."""
+        key-decorrelated from every main slab, so variances add).
+
+        The main-run term uses the i.i.d. formula std/sqrt(n), which is
+        only the mean's sampling error for ``sampler="prng"`` without
+        antithetic pairing: antithetic lanes are pairwise dependent
+        (std/sqrt(n) OVERSTATES the error by the pairing's VR factor) and
+        sobol lanes are stratified (use ``qmc_error`` there — same caveat
+        mc.cv documents for its stderr). For those samplers the corrected
+        MEAN is still exact, so it is kept and ``corrected_stderr`` is
+        omitted (None) with a ``stderr_note`` saying why.
+        """
         from .two_level import METRICS, two_level_block
 
         block = two_level_block(
@@ -616,14 +608,26 @@ class MonteCarloAnalyzer:
             wind_grid_points=self.wind_grid_points,
             wind_grid_top=self.wind_grid_top,
         )
+        iid_main = self.sampler == "prng" and not self.antithetic
+        if not iid_main:
+            block["stderr_note"] = (
+                "corrected_stderr omitted: the main run's lanes are not "
+                f"i.i.d. (sampler={self.sampler!r}, "
+                f"antithetic={self.antithetic}), so std/sqrt(n) is not its "
+                "mean's sampling error — use qmc_error for sobol; the "
+                "corrected_mean and bias/bias_stderr remain valid"
+            )
         n_main = max(int(analysis["n_samples"]), 1)
         for k in METRICS:
             st = analysis[k]
-            main_stderr = float(st["std"]) / np.sqrt(n_main)
             block[k]["corrected_mean"] = float(st["mean"]) + block[k]["bias"]
-            block[k]["corrected_stderr"] = float(
-                np.hypot(main_stderr, block[k]["bias_stderr"])
-            )
+            if iid_main:
+                main_stderr = float(st["std"]) / np.sqrt(n_main)
+                block[k]["corrected_stderr"] = float(
+                    np.hypot(main_stderr, block[k]["bias_stderr"])
+                )
+            else:
+                block[k]["corrected_stderr"] = None
         return block
 
     def _cv_names(self) -> list:

@@ -47,7 +47,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["CVMoments", "control_names", "cv_slab_moments", "finalize_cv",
-           "wind_speed_knots", "wind_speed_control_means"]
+           "wind_speed_knots", "wind_speed_control_means",
+           "wind_speed_ctrl_leaves"]
 
 # Metric targets adjusted by the CV block. landing x/y give the footprint
 # mean an adjusted twin; "valid" is the ratio denominator.
@@ -120,8 +121,15 @@ def control_names(params, motor, wind_modes: int = 0,
         names += [f"turb_{c}_m{k}" for c in "uvw"]
     for k in range(wind_modes):
         names += [f"turb_{c}_m{k}^2" for c in "uvw"]
-    names += [f"wspd@{a:.0f}m" for a in wind_speed_alts]
-    names += [f"wspd@{a:.0f}m^2" for a in wind_speed_alts]
+    spd = [f"wspd@{a:.0f}m" for a in wind_speed_alts]
+    if len(set(spd)) < len(spd):
+        # fine grids can round adjacent knots to the same integer meter;
+        # duplicate names would silently merge beta entries in finalize_cv
+        spd = [f"wspd@{a:.2f}m" for a in wind_speed_alts]
+    if len(set(spd)) < len(spd):  # sub-centimeter spacing: index-qualify
+        spd = [f"wspd{i}@{a:.2f}m" for i, a in enumerate(wind_speed_alts)]
+    names += spd
+    names += [f"{s}^2" for s in spd]
     return names
 
 
@@ -227,6 +235,37 @@ def wind_speed_control_means(params, wind_model, altitudes, idx,
             e_spd[j] = wws @ (_rice_mean(mu, sig[j]) @ wwd)
             e_en[j] = wws @ ((mu * mu) @ wwd) + 2.0 * sig[j] ** 2
     return e_spd, e_en, sig
+
+
+def wind_speed_ctrl_leaves(params, wind_model, altitudes, j, base=None,
+                           dtype=jnp.float32) -> tuple:
+    """The wind-speed control leaves of the ``wind_ctrl`` pytree
+    (``spd_idx``/``spd_mean``/``spd_en_mean``/``spd_scale``/
+    ``spd_en_scale``), built in ONE place for the analyzer, the
+    kernel-level tests, and the study scripts — the scale constants below
+    condition the regression that production runs, tests, and measured
+    studies must all share. Returns ``(leaves, idx)``.
+
+    Scales are deterministic O(std) values from the exact first two
+    moments (scale choice cannot bias the mean; it only conditions the
+    regression): std|w| from the moments, std|w|^2 by first-order
+    propagation, floored so near-calm knots stay well-conditioned.
+    """
+    alt = np.asarray(altitudes, np.float64)
+    idx = wind_speed_knots(len(alt), j)
+    e_spd, e_en, _ = wind_speed_control_means(params, wind_model, alt, idx,
+                                              base=base)
+    std = np.sqrt(np.maximum(e_en - e_spd * e_spd, 1e-6))
+    scale = np.maximum(std, 0.05)
+    scale_en = np.maximum(2.0 * e_spd * std + 2.0 * std * std, 0.1)
+    leaves = {
+        "spd_idx": jnp.asarray(idx),
+        "spd_mean": jnp.asarray(e_spd, dtype),
+        "spd_en_mean": jnp.asarray(e_en, dtype),
+        "spd_scale": jnp.asarray(scale, dtype),
+        "spd_en_scale": jnp.asarray(scale_en, dtype),
+    }
+    return leaves, idx
 
 
 def _wind_speed_controls(wind_ctrl, dtype):

@@ -90,9 +90,11 @@ def two_level_block(
     the per-metric bias ``E[f_parity - f_fast]``.
 
     Returns a JSON-ready dict: per metric ``bias``, ``bias_stderr``,
-    ``abs_max_delta``; plus coupling diagnostics. Callers add the
-    ``corrected_mean``/``corrected_stderr`` fields from their own main-run
-    statistics (see ``MonteCarloAnalyzer._two_level``).
+    ``abs_max_delta``, ``population_sigma`` (parity-leg spread, for the
+    "at what n does the bias matter" crossover); plus coupling diagnostics
+    and per-leg wall times. Callers add the ``corrected_mean``/
+    ``corrected_stderr`` fields from their own main-run statistics (see
+    ``MonteCarloAnalyzer._two_level``).
     """
     from ..engine.batch import simulate_summary_batch
 
@@ -109,12 +111,17 @@ def two_level_block(
         wind_grid_points=wind_grid_points, wind_grid_top=wind_grid_top,
     )
     runs = {}
+    leg_wall = {}
     for label, c in (("fast", cfg), ("parity", twin)):
+        t1 = time.time()
         s = simulate_summary_batch(scene_b, ic_b, c)
         m, _ = outlier_mask(s, bounds)
+        # np.asarray is a device readback, so leg timing is honestly
+        # synchronized (block_until_ready is a no-op on tunneled TPUs)
         runs[label] = (
             {k: np.asarray(getattr(s, k)) for k in METRICS}, np.asarray(m)
         )
+        leg_wall[label] = round(time.time() - t1, 3)
     both = runs["fast"][1] & runs["parity"][1]
     n_coupled = int(both.sum())
     block = {
@@ -130,17 +137,21 @@ def two_level_block(
             for f in FAST_FIELDS if getattr(cfg, f) != getattr(twin, f)
         },
         "wall_s": 0.0,  # filled below
+        "wall_s_legs": leg_wall,
     }
     for k in METRICS:
-        d = runs["parity"][0][k][both] - runs["fast"][0][k][both]
+        par = runs["parity"][0][k][both]
+        d = par - runs["fast"][0][k][both]
         if n_coupled >= 2:
             bias = float(d.mean())
             stderr = float(d.std(ddof=1) / np.sqrt(n_coupled))
             amax = float(np.abs(d).max())
+            sigma = float(par.std())
         else:  # degenerate run (everything filtered) — NaN, never crash
-            bias = stderr = amax = float("nan")
+            bias = stderr = amax = sigma = float("nan")
         block[k] = {
             "bias": bias, "bias_stderr": stderr, "abs_max_delta": amax,
+            "population_sigma": sigma,
         }
     block["wall_s"] = round(time.time() - t0, 3)
     return block

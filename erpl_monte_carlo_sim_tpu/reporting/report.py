@@ -147,11 +147,15 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                                ("flight_time", "s")):
                 blk = tl.get(name)
                 if blk:
+                    se = blk.get("corrected_stderr")
+                    # None under non-i.i.d. main runs (antithetic/sobol) —
+                    # see MonteCarloAnalyzer._two_level
+                    se_txt = (f"+- {se:.3f} {unit}" if se is not None
+                              else f"{unit} (stderr n/a: non-i.i.d. sampler)")
                     f.write(
                         f"  {name}: bias {blk['bias']:+.3f} +- "
                         f"{blk['bias_stderr']:.3f} {unit}; corrected mean "
-                        f"{blk['corrected_mean']:.2f} +- "
-                        f"{blk['corrected_stderr']:.3f} {unit}\n"
+                        f"{blk['corrected_mean']:.2f} {se_txt}\n"
                     )
             f.write("\n")
         if "importance" in report:

@@ -17,9 +17,11 @@ dispersion.
 When it matters: the mean's sampling stderr crosses the measured bias
 around n ~ (sigma/bias)^2 lanes; below that, tiered means are
 statistically indistinguishable from parity at ~4x less step work. For
-runs beyond that scale (e.g. the 100M capstone), add the measured bias
-as a correction or run the two-level estimator (tiered at full n +
-coupled correction on a small n).
+runs beyond that scale (e.g. the 100M capstone), set
+``MonteCarloAnalyzer(two_level_lanes=K)`` — this script is a thin
+measurement harness around the SAME estimator that knob runs
+(``mc.two_level.two_level_block``); keeping one implementation means the
+numbers recorded in NOTES.md describe exactly what production applies.
 
 Run: PYTHONPATH=.:/root/.axon_site python scripts/two_level_check.py
 """
@@ -27,11 +29,9 @@ import json
 import time
 
 import jax
-import numpy as np
 
 from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
-from erpl_monte_carlo_sim_tpu.engine.batch import simulate_summary_batch
-from erpl_monte_carlo_sim_tpu.mc import outlier_mask, sample_dispersions
+from erpl_monte_carlo_sim_tpu.mc.two_level import METRICS, two_level_block
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
 from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
 
@@ -39,54 +39,37 @@ enable_persistent_cache()
 
 SCENE = nominal_scene(liquid_motor())
 IC = InitialConditions.vertical_launch()
-BASE = dict(energy_consistent_aero=True)
-TIERED = SimConfig(**BASE, descent_dt_scale=16, ascent_q_threshold=8000.0)
-PARITY = SimConfig(**BASE)
+TIERED = SimConfig(energy_consistent_aero=True, descent_dt_scale=16,
+                   ascent_q_threshold=8000.0)
 N = 4096
-METRICS = ("apogee_altitude", "range", "flight_time")
 
 
 def main():
     t0 = time.time()
-    sb, ib, _ = sample_dispersions(jax.random.PRNGKey(42), SCENE, IC, n=N)
-    out = {}
-    times = {}
-    for label, cfg in (("tiered", TIERED), ("parity", PARITY)):
-        t1 = time.time()
-        r = simulate_summary_batch(sb, ib, cfg)
-        m, _ = outlier_mask(r)
-        vals = {k: np.asarray(getattr(r, k)) for k in METRICS}
-        # force sync for honest timing (block_until_ready is a no-op on
-        # the tunneled TPU)
-        np.asarray(vals["apogee_altitude"][:1])
-        times[label] = time.time() - t1
-        out[label] = (vals, np.asarray(m))
-        print(f"# {label}: {int(out[label][1].sum())}/{N} valid, "
-              f"{times[label]:.1f} s", flush=True)
+    block = two_level_block(SCENE, IC, TIERED, N, jax.random.PRNGKey(42))
+    print(f"# coupled {block['n_coupled']}/{N} valid "
+          f"(validity mismatches {block['mismatched_validity']}); "
+          f"tiered {block['wall_s_legs']['fast']:.1f} s, "
+          f"parity {block['wall_s_legs']['parity']:.1f} s", flush=True)
 
-    both = out["tiered"][1] & out["parity"][1]
     rows = {}
     for k in METRICS:
-        d = out["parity"][0][k][both] - out["tiered"][0][k][both]
-        sigma = float(out["parity"][0][k][both].std())
-        bias = float(d.mean())
-        stderr = float(d.std(ddof=1) / np.sqrt(len(d)))
+        b = block[k]
         rows[k] = {
-            "bias": bias, "bias_stderr": stderr,
-            "abs_max_delta": float(np.abs(d).max()),
-            "population_sigma": sigma,
+            **b,
             # lanes at which the mean's sampling stderr equals the bias
             "n_where_bias_matters": (
-                float((sigma / abs(bias)) ** 2) if bias != 0 else float("inf")
+                float((b["population_sigma"] / abs(b["bias"])) ** 2)
+                if b["bias"] != 0.0 else float("inf")
             ),
         }
         print(json.dumps({"metric": k, **rows[k]}), flush=True)
 
     print(json.dumps({
-        "n_coupled": int(both.sum()),
-        "mismatched_validity": int((out["tiered"][1] != out["parity"][1]).sum()),
-        "wall_s_tiered": round(times["tiered"], 1),
-        "wall_s_parity": round(times["parity"], 1),
+        "n_coupled": block["n_coupled"],
+        "mismatched_validity": block["mismatched_validity"],
+        "wall_s_tiered": block["wall_s_legs"]["fast"],
+        "wall_s_parity": block["wall_s_legs"]["parity"],
         "wall_s_total": round(time.time() - t0, 1),
         "rows": rows,
     }))

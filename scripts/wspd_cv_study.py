@@ -35,8 +35,7 @@ from erpl_monte_carlo_sim_tpu.mc import (
 )
 from erpl_monte_carlo_sim_tpu.mc.cv import (
     wind_mode_projector,
-    wind_speed_control_means,
-    wind_speed_knots,
+    wind_speed_ctrl_leaves,
 )
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
 from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
@@ -61,12 +60,12 @@ N_EST = 1024
 
 
 def _wind_ctrl(scene_b, sample):
+    # same shared builder as the analyzer (mc.cv.wind_speed_ctrl_leaves)
+    # so this study measures the estimator production runs actually use
     alt = np.asarray(scene_b.wind.altitudes, np.float64)
-    idx = wind_speed_knots(len(alt), J_KNOTS)
-    e_spd, e_en, _ = wind_speed_control_means(
-        PARAMS, SCENE.wind_model, alt, idx
+    leaves, idx = wind_speed_ctrl_leaves(
+        PARAMS, SCENE.wind_model, alt, J_KNOTS, dtype=jnp.float32
     )
-    std = np.sqrt(np.maximum(e_en - e_spd * e_spd, 1e-6))
     return {
         "wind": scene_b.wind.wind,
         "ws": sample.wind_speed,
@@ -78,14 +77,7 @@ def _wind_ctrl(scene_b, sample):
         "alt": scene_b.wind.altitudes,
         "model": SCENE.wind_model,
         "base": None,
-        "spd_idx": jnp.asarray(idx),
-        "spd_mean": jnp.asarray(e_spd, jnp.float32),
-        "spd_en_mean": jnp.asarray(e_en, jnp.float32),
-        "spd_scale": jnp.asarray(np.maximum(std, 0.05), jnp.float32),
-        "spd_en_scale": jnp.asarray(
-            np.maximum(2.0 * e_spd * std + 2.0 * std * std, 0.1),
-            jnp.float32,
-        ),
+        **leaves,
     }, alt[idx]
 
 
@@ -132,8 +124,9 @@ def main():
     print("# truth:", json.dumps(truth), "slab spread:", json.dumps(spread),
           flush=True)
 
-    # nested control subsets (paired: same sims, different regressions)
-    acc0, spd_alts = run_lanes(KEYS[0], 64)  # shapes only, warm compile
+    # nested control subsets (paired: same sims, different regressions).
+    # spd_alts is deterministic (knot indices over the fixed grid) and the
+    # truth loop above already produced it — no extra simulation needed.
     names = control_names(PARAMS, SCENE.motor, K_MODES, spd_alts)
     d = len(names)
     n_spd = 2 * len(spd_alts)

@@ -391,30 +391,17 @@ def test_cv_solid_motor_drops_inert_flow_channel():
     assert np.isfinite(blk["apogee_altitude"]["plain_mean"])
 
 def _spd_leaves(scene_b, j=5, base=None):
-    """The wind-speed control leaves the analyzer builds (mc/analyzer.
-    _cv_wind_ctrl), for direct kernel-level tests."""
+    """The EXACT wind-speed control leaves the analyzer builds (same
+    shared builder, mc.cv.wind_speed_ctrl_leaves), for direct kernel-level
+    tests — a local copy here could drift from production scales."""
     import jax.numpy as jnp
 
-    from erpl_monte_carlo_sim_tpu.mc.cv import (
-        wind_speed_control_means,
-        wind_speed_knots,
-    )
+    from erpl_monte_carlo_sim_tpu.mc.cv import wind_speed_ctrl_leaves
 
-    alt = np.asarray(scene_b.wind.altitudes, np.float64)
-    idx = wind_speed_knots(len(alt), j)
-    e_spd, e_en, _ = wind_speed_control_means(
-        PARAMS, SCENE.wind_model, alt, idx, base=base
+    return wind_speed_ctrl_leaves(
+        PARAMS, SCENE.wind_model, scene_b.wind.altitudes, j, base=base,
+        dtype=jnp.float64,
     )
-    std = np.sqrt(np.maximum(e_en - e_spd * e_spd, 1e-6))
-    return {
-        "spd_idx": jnp.asarray(idx),
-        "spd_mean": jnp.asarray(e_spd),
-        "spd_en_mean": jnp.asarray(e_en),
-        "spd_scale": jnp.asarray(np.maximum(std, 0.05)),
-        "spd_en_scale": jnp.asarray(
-            np.maximum(2.0 * e_spd * std + 2.0 * std * std, 0.1)
-        ),
-    }, idx
 
 
 def test_wind_speed_control_means_exact():
@@ -479,6 +466,22 @@ def test_analyzer_cv_wind_speed():
     assert set(apo["beta"]) == set(blk["kept_controls"])
     assert np.isfinite(apo["mean"]) and np.isfinite(apo["stderr"])
     assert apo["stderr"] <= apo["plain_stderr"] * 1.05
+
+
+def test_wspd_labels_never_collide():
+    """Knots on a fine grid can round to the same integer meter; duplicate
+    labels would silently merge beta entries in finalize_cv's per-metric
+    dict (found by review, round 3) — names must stay unique at any
+    spacing."""
+    from erpl_monte_carlo_sim_tpu.mc.cv import control_names
+
+    for alts in ((0.0, 12500.0, 25000.0),       # coarse: integer labels
+                 (0.0, 0.3, 0.6, 1.2),           # sub-meter: cm labels
+                 (0.0, 0.001, 0.002)):           # sub-cm: index-qualified
+        names = control_names(PARAMS, SCENE.motor, 0, alts)
+        spd = [nm for nm in names if nm.startswith("wspd")]
+        assert len(spd) == 2 * len(alts)
+        assert len(set(spd)) == len(spd), spd
 
 
 def test_collective_cv_moments_with_wind_speed():

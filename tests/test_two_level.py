@@ -89,6 +89,8 @@ def test_corrected_mean_matches_coupled_parity_run(fast_run):
         b = blk[m]
         assert np.isfinite(b["bias"]) and b["bias_stderr"] >= 0.0
         assert b["abs_max_delta"] >= abs(b["bias"])
+        assert b["population_sigma"] >= 0.0  # parity-leg spread, for the
+        # bias-crossover estimate (scripts/two_level_check.py)
         np.testing.assert_allclose(
             b["corrected_mean"], a[m]["mean"] + b["bias"], rtol=1e-12,
             err_msg=m,
@@ -96,6 +98,31 @@ def test_corrected_mean_matches_coupled_parity_run(fast_run):
         assert b["corrected_stderr"] >= b["bias_stderr"]
         tol = 6.0 * b["bias_stderr"] * np.sqrt(2.0) + 1e-9
         assert abs(b["corrected_mean"] - p[m]["mean"]) <= tol, m
+
+
+def test_non_iid_main_run_omits_corrected_stderr(tmp_path):
+    """Antithetic lanes are pairwise dependent, so the main run's
+    std/sqrt(n) is not its mean's sampling error — the corrected MEAN
+    stays valid but the stderr must be omitted with a note, not silently
+    misstated (found by review, round 3). The report must render the
+    None cleanly."""
+    an = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG_FAST,
+                            two_level_lanes=32, antithetic=True,
+                            persistent_cache=False)
+    a = an.run_monte_carlo(IC, n_samples=64, seed=5)
+    blk = a["two_level"]
+    assert "not i.i.d." in blk["stderr_note"]
+    for m in METRICS:
+        assert np.isfinite(blk[m]["corrected_mean"])
+        assert blk[m]["corrected_stderr"] is None
+        assert np.isfinite(blk[m]["bias_stderr"])  # the correction's own
+        # stderr is from a plain prng batch and survives
+
+    from erpl_monte_carlo_sim_tpu.reporting import save_report
+
+    save_report(a, str(tmp_path))
+    txt = (tmp_path / "monte_carlo_report.txt").read_text()
+    assert "stderr n/a: non-i.i.d. sampler" in txt
 
 
 def test_two_level_in_slabbed_run():
