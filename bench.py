@@ -20,6 +20,36 @@ import time
 import numpy as np
 
 
+def _require_device(timeout_s: float = 300.0):
+    """Fail FAST when the device is unreachable: a downed axon tunnel makes
+    jax.devices() hang forever (no error — observed 2026-08-17), which
+    would wedge the whole bench run. Probe device init in a daemon thread
+    and bail with a diagnostic JSON line + nonzero exit on timeout."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "mc_trajectories_per_sec_per_chip_1k_steps",
+            "value": None,
+            "unit": "trajectories/s/chip",
+            "vs_baseline": None,
+            "error": f"device init did not complete in {timeout_s:.0f} s "
+                     "(axon tunnel down?)",
+        }))
+        sys.exit(1)
+
+
 def main() -> None:
     import jax
 
@@ -31,6 +61,7 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+    _require_device()
 
     from erpl_monte_carlo_sim_tpu.engine import (
         InitialConditions,
