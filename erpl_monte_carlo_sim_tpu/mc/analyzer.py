@@ -19,6 +19,7 @@ The analysis dict keeps the reference's schema (keys at
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -321,6 +322,8 @@ class MonteCarloAnalyzer:
         materialize_results: Optional[int] = None,
         chunk_steps: Optional[int] = None,
         lane_slab: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 16,
     ) -> dict:
         """Run ``n_samples`` dispersed flights and analyze.
 
@@ -350,6 +353,13 @@ class MonteCarloAnalyzer:
         headline metrics (not the full FlightSummary SoA) to bound
         device->host traffic. ``run_monte_carlo(n_samples=10_000_000)``
         just works on one chip.
+
+        ``checkpoint_path``: slabbed runs persist their accumulator state
+        to this file every ``checkpoint_every`` slabs; if the process dies,
+        re-running the SAME call resumes from the last checkpoint with
+        bit-identical final results (``mc.slab_checkpoint``). The file is
+        removed on successful completion; a checkpoint from a different
+        run configuration refuses to load.
         """
         del n_processes, optimized
         ic = _as_ic(initial_conditions)
@@ -358,10 +368,20 @@ class MonteCarloAnalyzer:
             base_wind = (self.base_altitude_profile, self.base_wind_profile)
 
         slab = lane_slab if lane_slab is not None else self.max_lanes_per_call
+        if checkpoint_path is not None and checkpoint_every < 1:
+            raise ValueError("checkpoint_every must be >= 1")
         if n_samples > slab:
             return self._run_slabbed(
                 ic, n_samples, slab, seed, materialize_results, chunk_steps,
-                base_wind,
+                base_wind, checkpoint_path, checkpoint_every,
+            )
+        if checkpoint_path is not None:
+            # a single-call run has no slab boundaries to checkpoint at;
+            # silently ignoring would deny the crash protection the caller
+            # asked for
+            raise ValueError(
+                "checkpoint_path applies to slabbed runs (n_samples > "
+                "lane_slab); this run fits one device call"
             )
 
         t_start = time.time()
@@ -670,7 +690,8 @@ class MonteCarloAnalyzer:
 
     # ---------------------------------------------------------- slab loop
     def _run_slabbed(self, ic, n_samples, slab, seed, materialize_results,
-                     chunk_steps, base_wind) -> dict:
+                     chunk_steps, base_wind, checkpoint_path=None,
+                     checkpoint_every=16) -> dict:
         """Lane-slabbed Monte Carlo: bounded per-call device memory/time.
 
         Each slab's dispersions come from ``fold_in(key, slab_idx)``; host
@@ -740,6 +761,37 @@ class MonteCarloAnalyzer:
         kept = 0
         slab_idx = 0
         n_slabs = -(-n_samples // slab)
+        ckpt_fp = None
+        if checkpoint_path:
+            from .slab_checkpoint import (load_slab_state, run_fingerprint,
+                                          save_slab_state)
+
+            ckpt_fp = run_fingerprint(self, ic, n_samples, slab, seed,
+                                      base_wind, chunk_steps, limit)
+            st = load_slab_state(checkpoint_path, ckpt_fp,
+                                 self.stats_stream_threshold)
+            if st is not None:
+                # Resume is EXACT: slab k's dispersions depend only on
+                # (key, k, slab), and every accumulator below is a
+                # deterministic host-side merge — pinned bit-identical to
+                # an uninterrupted run by tests/test_slab_checkpoint.py.
+                n_done, slab_idx = st["n_done"], st["slab_idx"]
+                n_valid_total, kept = st["n_valid_total"], st["kept"]
+                metrics, qmc_blocks = st["metrics"], st["qmc_blocks"]
+                valid_parts = st["valid_parts"]
+                reason_parts = st["reason_parts"]
+                landing_parts, pranges = st["landing_parts"], st["pranges"]
+                records = st["records"]
+                outlier_records = st["outlier_records"]
+                footprint_acc = st["footprint_acc"]
+                if stream is not None:
+                    stream = st["stream"]
+                if cv_acc is not None:
+                    cv_acc = st["cv_acc"]
+                if lw_parts is not None:
+                    lw_parts = st["lw_parts"]
+                log.info("resumed from %s: slab %d/%d (%d lanes done)",
+                         checkpoint_path, slab_idx, n_slabs, n_done)
         while n_done < n_samples:
             n_s = min(slab, n_samples - n_done)
             # Always draw a FULL slab and drop the excess host-side: a
@@ -880,6 +932,25 @@ class MonteCarloAnalyzer:
             slab_idx += 1
             log.info("slab %d/%d: %d/%d lanes", slab_idx, n_slabs, n_done,
                      n_samples)
+            if (ckpt_fp is not None and n_done < n_samples
+                    and slab_idx % checkpoint_every == 0):
+                save_slab_state(checkpoint_path, {
+                    "n_done": n_done, "slab_idx": slab_idx,
+                    "n_valid_total": n_valid_total, "kept": kept,
+                    "metrics": metrics, "qmc_blocks": qmc_blocks,
+                    "valid_parts": valid_parts,
+                    "reason_parts": reason_parts,
+                    "landing_parts": landing_parts, "pranges": pranges,
+                    "records": records,
+                    "outlier_records": outlier_records,
+                    "stream": stream, "footprint_acc": footprint_acc,
+                    "cv_acc": cv_acc, "lw_parts": lw_parts,
+                }, ckpt_fp)
+                log.info("checkpoint written: %s (slab %d/%d)",
+                         checkpoint_path, slab_idx, n_slabs)
+
+        if ckpt_fp is not None and os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)  # completed: nothing left to resume
 
         metrics = {k: np.concatenate(v) for k, v in metrics.items()}
         valid_np = np.concatenate(valid_parts)
