@@ -33,7 +33,11 @@ def main():
     )
     ic = InitialConditions.vertical_launch()
     t0 = time.time()
-    a = mc.run_monte_carlo(ic, n_samples=N, lane_slab=SLAB, seed=7)
+    # ~15 min of wall time: checkpoint every 16 slabs (~40 s) so a tunnel
+    # drop or runtime kill resumes instead of restarting (bit-identical;
+    # mc.slab_checkpoint). The file is removed on completion.
+    a = mc.run_monte_carlo(ic, n_samples=N, lane_slab=SLAB, seed=7,
+                           checkpoint_path="outputs/hundred_million.ckpt.npz")
     wall = time.time() - t0
     print(json.dumps({
         "total_flights": a["n_total"],
