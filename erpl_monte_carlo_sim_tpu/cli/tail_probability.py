@@ -2,16 +2,20 @@
 
 The reference's only route to a tail probability is counting hits over
 its per-sim JSON exports — hopeless below ~10/n. This CLI answers the
-question directly with either plain Monte Carlo (Wilson 95% CI) or
-importance sampling (``--shift channel=sigmas``: exponentially tilted
-draws, self-normalized back to the nominal distribution — see
-``mc/importance.py``), and prints one JSON object.
+question directly with plain Monte Carlo (Wilson 95% CI), importance
+sampling (``--shift channel=sigmas``: exponentially tilted draws,
+self-normalized back to the nominal distribution — see
+``mc/importance.py``), or GPD peaks-over-threshold extrapolation
+(``--gpd``: fit the sample's extreme tail, extrapolate past counting
+reach without choosing a tilt — see ``mc/tail.py``), and prints one
+JSON object.
 
 Usage:
   python -m erpl_monte_carlo_sim_tpu.cli.tail_probability \\
       --metric apogee_altitude --threshold 26000 \\
       [--n 4096] [--seed 0] [--solid] [--max-time 0] \\
-      [--shift motor_thrust=2.0] [--shift mass=1.0]
+      [--shift motor_thrust=2.0] [--shift mass=1.0] \\
+      [--gpd] [--n-tail 1000]
 
 ``--max-time 0`` (default) runs full flights; pass e.g. ``6`` for the
 ascent-window configs used in the studies.
@@ -32,9 +36,16 @@ __all__ = ["tail_probability", "main"]
 def tail_probability(metric: str, threshold: float, n: int = 4096,
                      seed: int = 0, solid: bool = False,
                      max_time: float = 0.0, shift: dict | None = None,
+                     gpd: bool = False, n_tail: int = 1000,
                      scene=None, sim_config=None) -> dict:
     """Estimate P(metric > threshold | valid) and return the result row
-    plus run metadata. ``shift`` non-empty selects importance sampling."""
+    plus run metadata. ``shift`` non-empty selects importance sampling;
+    ``gpd`` selects peaks-over-threshold extrapolation (``mc.tail``) —
+    the no-tilt route to probabilities beyond counting reach (exclusive
+    with ``shift``: the GPD fit needs the nominal population)."""
+    if gpd and shift:
+        raise ValueError("--gpd and --shift are exclusive (the GPD fit "
+                         "needs the nominal population)")
     if scene is None:
         scene = nominal_scene(solid_motor() if solid else liquid_motor())
     if sim_config is None:
@@ -44,7 +55,13 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
                             importance_shift=shift or None)
     a = mc.run_monte_carlo(InitialConditions.vertical_launch(), n_samples=n,
                            seed=seed)
-    row = exceedance_from_analysis(a, metric, [threshold])[0]
+    if gpd:
+        from ..mc.tail import tail_from_analysis
+
+        blk = tail_from_analysis(a, metric, [threshold], n_tail=n_tail)
+        row = {**blk["exceedance"][0], "fit": blk["fit"]}
+    else:
+        row = exceedance_from_analysis(a, metric, [threshold])[0]
     out = {
         "metric": metric,
         "n_lanes": n,
@@ -71,6 +88,10 @@ def main(argv=None) -> dict:
     p.add_argument("--shift", action="append", default=[],
                    metavar="CHANNEL=SIGMAS",
                    help="importance tilt, repeatable (e.g. motor_thrust=2)")
+    p.add_argument("--gpd", action="store_true",
+                   help="GPD tail extrapolation instead of counting")
+    p.add_argument("--n-tail", type=int, default=1000,
+                   help="exceedances used by the --gpd fit")
     args = p.parse_args(argv)
     shift = {}
     for s in args.shift:
@@ -78,7 +99,8 @@ def main(argv=None) -> dict:
         shift[name] = float(val)
     out = tail_probability(args.metric, args.threshold, n=args.n,
                            seed=args.seed, solid=args.solid,
-                           max_time=args.max_time, shift=shift)
+                           max_time=args.max_time, shift=shift,
+                           gpd=args.gpd, n_tail=args.n_tail)
     print(json.dumps(out, indent=2))
     return out
 

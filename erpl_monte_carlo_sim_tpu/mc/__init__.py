@@ -18,6 +18,7 @@ from .stats import (
     exceedance_from_analysis,
     masked_stats,
 )
+from .tail import TailReservoir, fit_gpd_pwm, gpd_tail, tail_from_analysis
 
 __all__ = [
     "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
@@ -28,4 +29,5 @@ __all__ = [
     "exceedance", "exceedance_from_analysis",
     "log_weights", "weighted_mean", "weighted_tail",
     "parity_twin", "two_level_block",
+    "TailReservoir", "fit_gpd_pwm", "gpd_tail", "tail_from_analysis",
 ]

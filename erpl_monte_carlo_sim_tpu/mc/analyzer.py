@@ -741,6 +741,15 @@ class MonteCarloAnalyzer:
              for k in ("apogee_altitude", "range", "flight_time")}
             if streaming else None
         )
+        tails = None
+        if streaming:
+            # top-k/bottom-k order statistics per headline metric, so GPD
+            # tail extrapolation (mc.tail) stays available after the
+            # per-lane arrays are gone; non-streaming layouts fit from
+            # the full arrays instead
+            from .tail import TailReservoir
+
+            tails = {k: TailReservoir() for k in stream}
         metrics = {k: [] for k in
                    ("apogee_altitude", "range", "flight_time", "max_speed")}
         qmc_blocks = {k: [] for k in
@@ -786,6 +795,7 @@ class MonteCarloAnalyzer:
                 footprint_acc = st["footprint_acc"]
                 if stream is not None:
                     stream = st["stream"]
+                    tails = st["tails"]
                 if cv_acc is not None:
                     cv_acc = st["cv_acc"]
                 if lw_parts is not None:
@@ -854,7 +864,9 @@ class MonteCarloAnalyzer:
             }
             if streaming:
                 for k in stream:
-                    stream[k].add(slab_metrics[k][valid_np])
+                    vals_valid = slab_metrics[k][valid_np]
+                    stream[k].add(vals_valid)
+                    tails[k].add(vals_valid)
             take = min(n_s, cap - kept)  # == n_s when not streaming
             if take > 0:
                 for k in metrics:
@@ -943,7 +955,8 @@ class MonteCarloAnalyzer:
                     "landing_parts": landing_parts, "pranges": pranges,
                     "records": records,
                     "outlier_records": outlier_records,
-                    "stream": stream, "footprint_acc": footprint_acc,
+                    "stream": stream, "tails": tails,
+                    "footprint_acc": footprint_acc,
                     "cv_acc": cv_acc, "lw_parts": lw_parts,
                 }, ckpt_fp)
                 log.info("checkpoint written: %s (slab %d/%d)",
@@ -1003,6 +1016,10 @@ class MonteCarloAnalyzer:
             # stats.exceedance_from_analysis answers P(metric > t) from
             # the sketch after the per-lane data is gone.
             "streams": stream,
+            # Streaming runs also keep the top-k/bottom-k order statistics
+            # per metric for GPD tail extrapolation (mc.tail); per-lane
+            # layouts fit from the full arrays instead.
+            "tail_reservoirs": tails,
             "n_total": n_samples,
             "sample": None,
             "valid_mask": valid_np,

@@ -39,6 +39,13 @@ def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
         # runs the slab path exists for.
         for name, arr in analysis["metrics"].items():
             arrays["metrics." + name] = np.asarray(arr)
+        # streaming runs: persist the top-k/bottom-k order statistics so
+        # post-hoc GPD tail queries (mc.tail.tail_from_analysis) work on
+        # loaded checkpoints exactly as on the live analysis
+        for name, r in (analysis.get("tail_reservoirs") or {}).items():
+            arrays[f"tail.{name}.hi"] = r.hi
+            arrays[f"tail.{name}.lo"] = r.lo
+            arrays[f"tail.{name}.nk"] = np.asarray([r.n, r.k], np.int64)
     else:
         for key_path, leaf in jax.tree_util.tree_flatten_with_path(summary)[0]:
             name = "summary" + jax.tree_util.keystr(key_path)
@@ -77,12 +84,25 @@ def load_summaries(path: str) -> dict:
     meta = json.loads(bytes(data[_META_KEY]).decode())
 
     if meta.get("slabbed"):
+        tails = {}
+        for k in data.files:
+            if k.startswith("tail.") and k.endswith(".nk"):
+                from .tail import TailReservoir
+
+                name = k[len("tail."):-len(".nk")]
+                n_seen, k_keep = data[k]
+                r = TailReservoir(int(k_keep))
+                r.n = int(n_seen)
+                r.hi = np.array(data[f"tail.{name}.hi"])
+                r.lo = np.array(data[f"tail.{name}.lo"])
+                tails[name] = r
         return {
             "summary": None,
             "metrics": {
                 k[len("metrics."):]: data[k]
                 for k in data.files if k.startswith("metrics.")
             },
+            "tail_reservoirs": tails or None,
             "valid_mask": data["valid_mask"],
             "reasons": data["reasons"],
             # surfaced at top level so post-hoc consumers (e.g.

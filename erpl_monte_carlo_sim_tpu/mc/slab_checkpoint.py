@@ -44,10 +44,11 @@ import numpy as np
 
 from .cv import CVMoments
 from .stats import FootprintAccumulator, StreamingStats
+from .tail import TailReservoir
 
 __all__ = ["run_fingerprint", "save_slab_state", "load_slab_state"]
 
-_VERSION = 1
+_VERSION = 2  # v2: tail reservoirs ride the checkpoint
 _METRIC_KEYS = ("apogee_altitude", "range", "flight_time", "max_speed")
 _STREAM_KEYS = ("apogee_altitude", "range", "flight_time")
 
@@ -136,6 +137,7 @@ def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
         "has_lw": state["lw_parts"] is not None,
         "has_stream": state["stream"] is not None,
         "has_cv": state["cv_acc"] is not None,
+        "has_tails": state["tails"] is not None,
     }
     for k in _METRIC_KEYS:
         parts = state["metrics"][k]
@@ -155,6 +157,11 @@ def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
     if state["stream"] is not None:
         for k in _STREAM_KEYS:
             _pack_stream(state["stream"][k], arrays, f"stream.{k}.")
+    if state["tails"] is not None:
+        for k, r in state["tails"].items():
+            arrays[f"tail.{k}.hi"] = r.hi
+            arrays[f"tail.{k}.lo"] = r.lo
+            arrays[f"tail.{k}.nk"] = np.asarray([r.n, r.k], np.int64)
     fp = state["footprint_acc"]
     arrays["footprint"] = np.asarray(
         [fp.n, fp.mx, fp.my, fp.m2x, fp.m2y, fp.cxy], np.float64
@@ -206,6 +213,7 @@ def load_slab_state(path: str, fingerprint: str,
             "lw_parts": None,
             "stream": None,
             "cv_acc": None,
+            "tails": None,
         }
         for name in ("valid_parts", "reason_parts", "landing_parts"):
             state[name] = [z[name]] if name in z else []
@@ -216,6 +224,16 @@ def load_slab_state(path: str, fingerprint: str,
                 k: _unpack_stream(z, f"stream.{k}.", exact_threshold)
                 for k in _STREAM_KEYS
             }
+        if meta["has_tails"]:
+            tails = {}
+            for k in _STREAM_KEYS:
+                n_seen, k_keep = z[f"tail.{k}.nk"]
+                r = TailReservoir(int(k_keep))
+                r.n = int(n_seen)
+                r.hi = np.array(z[f"tail.{k}.hi"])
+                r.lo = np.array(z[f"tail.{k}.lo"])
+                tails[k] = r
+            state["tails"] = tails
         if meta["has_cv"]:
             cv = CVMoments()
             if "cv.n" in z:

@@ -1,5 +1,6 @@
-"""Importance-sampling tail study: measured accuracy of
-P(apogee > threshold) vs plain counting on real flights.
+"""Tail-estimator study: measured accuracy of P(apogee > threshold) on
+real flights — plain counting vs GPD extrapolation vs importance
+sampling.
 
 Protocol: window regime (1k-step bench config). Truth = pooled plain
 counting over TRUTH_SLABS x TRUTH_SLAB lanes at a threshold chosen as a
@@ -7,11 +8,13 @@ target quantile of that pool (so the plain-truth tail count is large
 enough to trust). Estimators at n lanes over KEYS independent keys:
 
   * plain counting (the reference's only option),
+  * GPD peaks-over-threshold extrapolation from the SAME plain runs
+    (mc.tail — paired with counting; no tilt choice, no extra lanes),
   * importance sampling with a motor-thrust tilt (theta ~ 2/3 of the
     threshold z-score, the module-docstring rule).
 
-Report RMS relative error over keys, mean reported stderr (calibration),
-and effective sample sizes.
+Report RMS relative error over keys, mean reported stderr / CI width
+(calibration), CI coverage, and effective sample sizes.
 
 Run: PYTHONPATH=.:/root/.axon_site python scripts/importance_study.py
 """
@@ -24,6 +27,7 @@ from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
 from erpl_monte_carlo_sim_tpu.mc import (
     MonteCarloAnalyzer,
     exceedance_from_analysis,
+    tail_from_analysis,
 )
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
 from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
@@ -39,6 +43,7 @@ KEYS = list(range(200, 208))
 N_EST = 1024
 QUANTILE = 99.8  # tail around p ~ 2e-3
 THETA = 2.0
+N_TAIL = 128  # GPD exceedances: u at p ~ 0.125, a ~60x extrapolation
 
 
 def main():
@@ -60,25 +65,50 @@ def main():
 
     mc_is = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
                                importance_shift={"motor_thrust": THETA})
+    acc = {label: {"errs": [], "stderrs": [], "n_effs": [], "cover": []}
+           for label in ("plain", "gpd", "importance")}
+    for key in KEYS:
+        a = plain.run_monte_carlo(IC, n_samples=N_EST, seed=key)
+        row = exceedance_from_analysis(a, "apogee_altitude", [thr])[0]
+        p = row["probability"]
+        acc["plain"]["errs"].append(p - p_truth)
+        acc["plain"]["stderrs"].append(
+            np.sqrt(max(p, 1e-12) * (1 - p) / row["n"])
+        )
+        acc["plain"]["n_effs"].append(p * row.get("n", N_EST))
+        lo, hi = row["ci95"]
+        acc["plain"]["cover"].append(lo <= p_truth <= hi)
+
+        # GPD from the SAME plain run: paired, no extra lanes
+        g = tail_from_analysis(a, "apogee_altitude", [thr],
+                               n_tail=N_TAIL)["exceedance"][0]
+        acc["gpd"]["errs"].append(g["probability"] - p_truth)
+        lo, hi = g["ci95"]
+        acc["gpd"]["stderrs"].append((hi - lo) / 3.92)  # CI -> ~stderr
+        acc["gpd"]["n_effs"].append(N_TAIL)
+        acc["gpd"]["cover"].append(lo <= p_truth <= hi)
+
+        a = mc_is.run_monte_carlo(IC, n_samples=N_EST, seed=key)
+        row = exceedance_from_analysis(a, "apogee_altitude", [thr])[0]
+        p = row["probability"]
+        acc["importance"]["errs"].append(p - p_truth)
+        acc["importance"]["stderrs"].append(row["stderr"])
+        acc["importance"]["n_effs"].append(row["n_eff_tail"])
+        acc["importance"]["cover"].append(
+            abs(p - p_truth) <= 1.96 * row["stderr"]
+        )
+        print(f"# key {key} done ({time.time() - t0:.0f} s)", flush=True)
+
     rows = {}
-    for label, mc in (("plain", plain), ("importance", mc_is)):
-        errs, stderrs, n_effs = [], [], []
-        for key in KEYS:
-            a = mc.run_monte_carlo(IC, n_samples=N_EST, seed=key)
-            row = exceedance_from_analysis(a, "apogee_altitude", [thr])[0]
-            errs.append(row["probability"] - p_truth)
-            p = row["probability"]
-            if "stderr" in row:
-                stderrs.append(row["stderr"])
-            else:  # plain rows carry a Wilson CI, not a stderr
-                stderrs.append(np.sqrt(max(p, 1e-12) * (1 - p) / row["n"]))
-            n_effs.append(row["n_eff_tail"] if "n_eff_tail" in row
-                          else p * row.get("n", N_EST))
+    for label, d in acc.items():
         rows[label] = {
             "n": N_EST,
-            "rms_rel_err": float(np.sqrt(np.mean(np.square(errs))) / p_truth),
-            "mean_stderr_rel": float(np.mean(stderrs) / p_truth),
-            "mean_n_eff_tail": float(np.mean(n_effs)),
+            "rms_rel_err": float(
+                np.sqrt(np.mean(np.square(d["errs"]))) / p_truth
+            ),
+            "mean_stderr_rel": float(np.mean(d["stderrs"]) / p_truth),
+            "mean_n_eff_tail": float(np.mean(d["n_effs"])),
+            "ci95_coverage": float(np.mean(d["cover"])),
         }
         print(json.dumps({"estimator": label, **rows[label]}), flush=True)
 
