@@ -75,6 +75,18 @@ class TailReservoir:
         self.hi = np.sort(hi)
         self.lo = np.sort(lo)
 
+    def merge(self, other: "TailReservoir") -> None:
+        """Exact merge of another reservoir: each side merges
+        independently (the global top-k of a union lies in the union of
+        the parts' top-ks), counts add. NOT ``add`` on the other's
+        arrays — when a small reservoir holds a value in BOTH sides,
+        ``add`` would double-count it."""
+        self.n += other.n
+        hi = np.concatenate([self.hi, other.hi])
+        lo = np.concatenate([self.lo, other.lo])
+        self.hi = np.sort(hi)[-min(self.k, hi.size):]
+        self.lo = np.sort(lo)[:min(self.k, lo.size)]
+
 
 def fit_gpd_pwm(exceedances) -> tuple:
     """(shape xi, scale sigma) of a GPD fitted to positive exceedances by

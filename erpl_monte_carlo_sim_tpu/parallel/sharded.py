@@ -31,7 +31,8 @@ from .mesh import BATCH_AXIS, shard_batch
 
 __all__ = ["run_sharded_summaries", "collective_stats",
            "collective_footprint", "collective_footprint_moments",
-           "collective_cv_moments"]
+           "collective_cv_moments", "collective_tail_extremes",
+           "collective_tail_reservoir"]
 
 
 def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,
@@ -327,3 +328,71 @@ def collective_cv_moments(sample, summary, valid, mask, params, motor,
 
     return tuple(np.asarray(mo[k]) for k in
                  ("n", "mz", "mt", "szz", "szt", "stt"))
+
+
+def collective_tail_extremes(values: jnp.ndarray, mask: jnp.ndarray | None,
+                             mesh: Mesh, k: int = 4096) -> tuple:
+    """(n_valid, hi_candidates, lo_candidates) with explicit collectives —
+    the pod-scale reduction behind ``collective_tail_reservoir``.
+
+    Each shard reduces its lanes to its top-k'/bottom-k'
+    (k' = min(k, shard size)) via ``lax.top_k``; one ``all_gather`` per
+    side moves [devices * k'] scalars over ICI instead of every lane.
+    The gathered candidates are SUPERSETS of the global top-k/bottom-k:
+    any lane in the global top-k lies in its own shard's top-k' (either
+    the shard holds >= k lanes and k' = k, or k' covers the whole shard).
+    Masked / non-finite lanes pad with -inf (hi side) / +inf (lo side);
+    callers drop non-finite entries.
+    """
+    n = values.shape[0]
+    values = jax.device_put(values, NamedSharding(mesh, P(BATCH_AXIS)))
+    if mask is None:
+        mask = jnp.ones_like(values, dtype=bool)
+    else:
+        mask = jax.device_put(mask, NamedSharding(mesh, P(BATCH_AXIS)))
+    k_eff = min(int(k), n // mesh.devices.size)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # all_gather outputs are replicated by construction
+    )
+    def _extremes(v, m):
+        m = m & jnp.isfinite(v)
+        big = jnp.asarray(jnp.inf, v.dtype)
+        cnt = jax.lax.psum(jnp.sum(m), BATCH_AXIS)
+        top = jax.lax.top_k(jnp.where(m, v, -big), k_eff)[0]
+        bot = -jax.lax.top_k(jnp.where(m, -v, -big), k_eff)[0]
+        hi = jax.lax.all_gather(top, BATCH_AXIS, tiled=True)
+        lo = jax.lax.all_gather(bot, BATCH_AXIS, tiled=True)
+        return cnt, hi, lo
+
+    return _extremes(values, mask)
+
+
+def collective_tail_reservoir(values: jnp.ndarray,
+                              mask: jnp.ndarray | None, mesh: Mesh,
+                              k: int = 4096):
+    """``mc.tail.TailReservoir`` over a sharded metric — the pod-scale
+    twin of the analyzer's streaming ``tail_reservoirs`` (feeds
+    ``mc.tail.gpd_tail`` / merges into another reservoir via ``add`` +
+    restoring ``n``). Exact: the reservoir's ``hi``/``lo`` equal a
+    single-host top-k/bottom-k of the same valid lanes."""
+    import numpy as np
+
+    from ..mc.tail import TailReservoir
+
+    cnt, hi, lo = collective_tail_extremes(values, mask, mesh, k)
+    hi = np.asarray(hi, np.float64)
+    lo = np.asarray(lo, np.float64)
+    r = TailReservoir(k)
+    # hi/lo candidates are supersets per side; build each side directly
+    # (an add() on their union would double-count lanes that sit in both
+    # a shard's top-k' and bottom-k')
+    fh = np.sort(hi[np.isfinite(hi)])
+    fl = np.sort(lo[np.isfinite(lo)])
+    r.hi = fh[-min(k, fh.size):]
+    r.lo = fl[:min(k, fl.size)]
+    r.n = int(cnt)
+    return r

@@ -57,8 +57,10 @@ def main(total_lanes: int, n_devices: int | None = None,
     )
     from erpl_monte_carlo_sim_tpu.mc import sample_dispersions
     from erpl_monte_carlo_sim_tpu.mc.stats import FootprintAccumulator
+    from erpl_monte_carlo_sim_tpu.mc.tail import TailReservoir
     from erpl_monte_carlo_sim_tpu.parallel import (
-        collective_footprint_moments, collective_stats, init_distributed,
+        collective_footprint_moments, collective_stats,
+        collective_tail_reservoir, init_distributed,
         make_global_batch, make_mesh,
         run_sharded_summaries,
     )
@@ -84,6 +86,7 @@ def main(total_lanes: int, n_devices: int | None = None,
     # global apogee moments accumulated from collective (exact) stats
     s0 = s1 = s2 = 0.0
     fp_acc = FootprintAccumulator()
+    tail_acc = TailReservoir()  # global apogee extremes for mc.tail.gpd_tail
     t_start = time.time()
     slab_idx = 0
     while done_lanes < total_lanes:
@@ -115,6 +118,11 @@ def main(total_lanes: int, n_devices: int | None = None,
         apo = collective_stats(summary.apogee_altitude, None, mesh)
         fp_acc.add(*collective_footprint_moments(
             summary.landing_position, None, mesh))
+        # merge this slab's collective top-k/bottom-k into the run reservoir
+        # (order-statistics merge: exact, order-independent)
+        tail_acc.merge(collective_tail_reservoir(
+            summary.apogee_altitude, None, mesh, k=tail_acc.k
+        ))
         k = float(apo["n"])
         mean_k = float(apo["mean"])
         std_k = float(apo["std"])
@@ -135,6 +143,13 @@ def main(total_lanes: int, n_devices: int | None = None,
         "lanes": done_lanes,
         "devices": n_dev,
         "processes": nproc,
+        # global apogee order statistics (collective_tail_reservoir):
+        # ready for mc.tail.gpd_tail range-safety queries at pod scale
+        "apogee_extremes": {
+            "n": tail_acc.n,
+            "max": float(tail_acc.hi[-1]) if tail_acc.hi.size else None,
+            "min": float(tail_acc.lo[0]) if tail_acc.lo.size else None,
+        },
         "wall_s": round(wall, 1),
         "traj_per_s": round(done_lanes / wall, 1),
         "apogee_mean_at_cutoff": round(mean, 1),

@@ -298,3 +298,24 @@ def test_collective_footprint_matches_host_footprint(mesh):
     # mask=None: all finite lanes
     all_fp = collective_footprint(landing, None, mesh)
     assert all_fp["n"] == 639
+
+
+def test_collective_tail_reservoir_matches_host(mesh):
+    """The psum/top_k/all_gather tail reduction must equal a single-host
+    TailReservoir of the same valid lanes EXACTLY (it is order statistics,
+    not a sketch), for k both below and above the per-shard lane count."""
+    from erpl_monte_carlo_sim_tpu.mc.tail import TailReservoir
+    from erpl_monte_carlo_sim_tpu.parallel import collective_tail_reservoir
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(25_000.0, 800.0, size=640)
+    vals[::71] = np.nan  # non-finite lanes must drop out
+    mask = rng.uniform(size=640) > 0.2
+    for k in (16, 64, 200):  # 200 > 640/8 = 80 lanes/shard
+        got = collective_tail_reservoir(jnp.asarray(vals),
+                                        jnp.asarray(mask), mesh, k=k)
+        ref = TailReservoir(k)
+        ref.add(vals[mask])
+        assert got.n == ref.n
+        np.testing.assert_array_equal(got.hi, ref.hi)
+        np.testing.assert_array_equal(got.lo, ref.lo)

@@ -63,6 +63,22 @@ def test_reservoir_matches_full_sort():
         np.testing.assert_array_equal(r.lo, fin[:256])
 
 
+def test_reservoir_merge_is_exact_and_never_double_counts():
+    """merge() must equal one reservoir over the union — including the
+    hazard case where a small part holds the same value in BOTH sides
+    (add() on its arrays would double-count it)."""
+    a_vals = RNG.normal(size=500)
+    b_vals = RNG.normal(size=7)  # 7 < k: every value is in hi AND lo
+    ra, rb, ru = TailReservoir(64), TailReservoir(64), TailReservoir(64)
+    ra.add(a_vals)
+    rb.add(b_vals)
+    ru.add(np.concatenate([a_vals, b_vals]))
+    ra.merge(rb)
+    assert ra.n == ru.n
+    np.testing.assert_array_equal(ra.hi, ru.hi)
+    np.testing.assert_array_equal(ra.lo, ru.lo)
+
+
 def test_extrapolation_hits_known_tail():
     """Lognormal truth at p = 1e-5 from n = 100k samples: 10x beyond
     counting reach (expected hits = 1); the point estimate must land
