@@ -314,12 +314,17 @@ def plot_thrust_twr(results: dict, output_dir: str) -> str:
 
 def plot_exceedance(analysis: dict, metric: str = "apogee_altitude",
                     output_dir: str | None = None,
-                    thresholds=None, n_points: int = 100) -> str | None:
+                    thresholds=None, n_points: int = 100,
+                    gpd: bool = False) -> str | None:
     """Exceedance curve P(metric > t) vs t on a log-probability axis —
     the range-safety readout of ``mc.exceedance_from_analysis`` as a
     figure (beyond reference). Exact layouts get a Wilson 95% CI band;
     importance-sampled runs get a +-2 stderr band; sketch-backed
     streaming runs plot the point curve (rank-bounded, no CI by design).
+    ``gpd=True`` overlays the peaks-over-threshold extrapolation
+    (``mc.tail``) past the sample maximum — out to 100x below the
+    empirical floor — with its bootstrap 95% band (refused on
+    importance runs by ``tail_from_analysis``).
     """
     from ..mc.stats import exceedance_from_analysis
 
@@ -346,13 +351,46 @@ def plot_exceedance(analysis: dict, metric: str = "apogee_altitude",
         ax.fill_between(t, np.maximum(p - 2 * se, 0.0),
                         np.minimum(p + 2 * se, 1.0), alpha=0.25,
                         color="tab:blue", label="+-2 stderr")
+    gpd_min = np.inf
+    if gpd:
+        from ..mc.tail import tail_from_analysis
+
+        try:
+            probe = tail_from_analysis(analysis, metric,
+                                       [float(stats["max"])], n_boot=10)
+            fit = probe["fit"]
+            u, xi = fit["threshold"], fit["shape_xi"]
+            sig, pu = fit["scale_sigma"], fit["p_threshold"]
+            # extend the query grid to ~100x below the empirical floor
+            p_lo = max(0.01 / fit["n_total"], 1e-12)
+            if xi < -1e-9:  # bounded tail: stop just short of the endpoint
+                t_end = u + sig / (-xi) * 0.999
+            elif xi < 1e-9:
+                t_end = u + sig * np.log(pu / p_lo)
+            else:
+                t_end = u + sig / xi * ((pu / p_lo) ** xi - 1.0)
+            tg = np.linspace(u, max(t_end, u + 1e-9), 60)[1:]
+            blk = tail_from_analysis(analysis, metric, tg, n_boot=200)
+            gp = np.asarray([r["probability"] for r in blk["exceedance"]])
+            ax.plot(tg, gp, color="tab:red", linestyle="--",
+                    label=f"GPD extrapolation (xi = {xi:+.2f})")
+            ci = np.asarray([r.get("ci95", [np.nan, np.nan])
+                             for r in blk["exceedance"]])
+            ax.fill_between(tg, np.maximum(ci[:, 0], 1e-15), ci[:, 1],
+                            color="tab:red", alpha=0.15,
+                            label="GPD bootstrap 95%")
+            pos_g = gp[gp > 0]
+            if pos_g.size:
+                gpd_min = float(pos_g.min())
+        except (ValueError, KeyError):
+            pass  # too few lanes / layout without per-lane data: plain plot
     ax.set_yscale("log")
     # Floor: show every resolved point. Importance-sampled runs estimate
     # probabilities far below 1/n (that is their purpose), so the floor
     # follows the smallest positive estimate, not the lane count.
     pos = p[p > 0]
     if pos.size:
-        floor = max(float(pos.min()) * 0.3, 1e-12)
+        floor = max(min(float(pos.min()), gpd_min) * 0.3, 1e-12)
     else:
         floor = 0.1 / max(rows[0].get("n", analysis.get("n_samples", 1)), 2)
     ax.set_ylim(max(floor, 1e-12), 1.2)

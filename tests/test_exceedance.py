@@ -147,3 +147,23 @@ def test_plot_exceedance(tmp_path):
     ai = mi.run_monte_carlo(IC, n_samples=96, seed=4)
     path_i = plot_exceedance(ai, "apogee_altitude", str(tmp_path))
     assert path_i is not None and os.path.getsize(path_i) > 10_000
+
+
+def test_plot_exceedance_gpd_overlay(tmp_path):
+    """gpd=True must extend the curve past the sample maximum with the
+    extrapolation band; importance runs must stay plain (the overlay is
+    refused internally, never a crash)."""
+    import os
+
+    from erpl_monte_carlo_sim_tpu.reporting import plot_exceedance
+
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG)
+    a = mc.run_monte_carlo(IC, n_samples=256, seed=5)
+    path = plot_exceedance(a, "apogee_altitude", str(tmp_path), gpd=True)
+    assert path is not None and os.path.getsize(path) > 10_000
+
+    mi = MonteCarloAnalyzer(scene=SCENE, sim_config=CFG,
+                            importance_shift={"motor_thrust": 1.5})
+    ai = mi.run_monte_carlo(IC, n_samples=96, seed=4)
+    path_i = plot_exceedance(ai, "apogee_altitude", str(tmp_path), gpd=True)
+    assert path_i is not None and os.path.getsize(path_i) > 10_000
