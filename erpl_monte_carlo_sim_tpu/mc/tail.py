@@ -23,6 +23,16 @@ Uncertainty: bootstrap over the exceedances joint with Jeffreys-Beta
 resampling of the threshold exceedance rate, so the CI carries both the
 shape/scale and the counting noise.
 
+Measured guidance (NOTES.md tail-estimator study, 8-key paired run at
+p = 2e-3): for thresholds plain counting can still reach, GPD fitted to
+the same lanes matches counting's RMS error exactly (66% vs 66% at
+n=1024) — shape uncertainty at a ~60x extrapolation replaces the
+binomial noise one-for-one — and its tighter claimed CI mildly
+undercovers (7/8). Use GPD for what counting categorically cannot do:
+thresholds BEYOND the deepest observed lane, where counting returns an
+exact 0 with a vacuous CI. When a tilt direction is available, prefer
+``mc.importance`` (3.4x lower RMS at the same lane count, measured).
+
 Honest limits (documented, enforced where possible):
   * extrapolation VALIDITY rests on the GPD tail approximation at the
     chosen threshold — the ``fit`` block reports threshold, n_tail and
