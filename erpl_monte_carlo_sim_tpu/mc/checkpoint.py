@@ -43,9 +43,7 @@ def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
         # post-hoc GPD tail queries (mc.tail.tail_from_analysis) work on
         # loaded checkpoints exactly as on the live analysis
         for name, r in (analysis.get("tail_reservoirs") or {}).items():
-            arrays[f"tail.{name}.hi"] = r.hi
-            arrays[f"tail.{name}.lo"] = r.lo
-            arrays[f"tail.{name}.nk"] = np.asarray([r.n, r.k], np.int64)
+            r.to_arrays(arrays, f"tail.{name}.")
     else:
         for key_path, leaf in jax.tree_util.tree_flatten_with_path(summary)[0]:
             name = "summary" + jax.tree_util.keystr(key_path)
@@ -90,12 +88,7 @@ def load_summaries(path: str) -> dict:
                 from .tail import TailReservoir
 
                 name = k[len("tail."):-len(".nk")]
-                n_seen, k_keep = data[k]
-                r = TailReservoir(int(k_keep))
-                r.n = int(n_seen)
-                r.hi = np.array(data[f"tail.{name}.hi"])
-                r.lo = np.array(data[f"tail.{name}.lo"])
-                tails[name] = r
+                tails[name] = TailReservoir.from_arrays(data, f"tail.{name}.")
         return {
             "summary": None,
             "metrics": {

@@ -48,7 +48,7 @@ from .tail import TailReservoir
 
 __all__ = ["run_fingerprint", "save_slab_state", "load_slab_state"]
 
-_VERSION = 2  # v2: tail reservoirs ride the checkpoint
+_VERSION = 3  # v3: exact-part boundaries preserved; backend fingerprinted
 _METRIC_KEYS = ("apogee_altitude", "range", "flight_time", "max_speed")
 _STREAM_KEYS = ("apogee_altitude", "range", "flight_time")
 
@@ -78,6 +78,10 @@ def run_fingerprint(analyzer, ic, n_samples, slab, seed, base_wind,
     h.update(repr(analyzer.bounds).encode())
     h.update(json.dumps([
         _VERSION, int(n_samples), int(slab), int(seed),
+        # backend: XLA transcendentals differ ~1e-8 between platforms
+        # (CLAUDE.md), so a TPU run resumed on CPU would silently mix two
+        # numerically different slab populations — refuse instead
+        jax.default_backend(),
         analyzer.sampler, int(analyzer.sobol_scrambles),
         int(analyzer.sobol_wind_modes), bool(analyzer.antithetic),
         list(analyzer.importance_shift),
@@ -97,9 +101,16 @@ def _pack_stream(s: StreamingStats, out: dict, prefix: str) -> None:
         [s.n, s._mean, s._m2, s._min, s._max], np.float64
     )
     if s._exact_parts is not None:
+        parts = s._exact_parts
         out[prefix + "exact"] = (
-            np.concatenate(s._exact_parts) if s._exact_parts
-            else np.empty(0)
+            np.concatenate(parts) if parts else np.empty(0)
+        )
+        # part boundaries matter for bit-identical resume: at the
+        # exact->sketch crossing each part is compressed SEPARATELY, so
+        # restoring one concatenated part would build different centroids
+        # than the uninterrupted run
+        out[prefix + "exact_lens"] = np.asarray(
+            [p.size for p in parts], np.int64
         )
     else:
         out[prefix + "cent_v"] = s._cent_v
@@ -113,7 +124,11 @@ def _unpack_stream(z, prefix: str, exact_threshold: int) -> StreamingStats:
     s._mean, s._m2 = float(mean), float(m2)
     s._min, s._max = float(mn), float(mx)
     if prefix + "exact" in z:
-        s._exact_parts = [z[prefix + "exact"]]
+        lens = z[prefix + "exact_lens"]
+        s._exact_parts = (
+            list(np.split(z[prefix + "exact"], np.cumsum(lens)[:-1]))
+            if lens.size else []
+        )
     else:
         s._exact_parts = None
         s._cent_v = z[prefix + "cent_v"]
@@ -159,9 +174,7 @@ def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
             _pack_stream(state["stream"][k], arrays, f"stream.{k}.")
     if state["tails"] is not None:
         for k, r in state["tails"].items():
-            arrays[f"tail.{k}.hi"] = r.hi
-            arrays[f"tail.{k}.lo"] = r.lo
-            arrays[f"tail.{k}.nk"] = np.asarray([r.n, r.k], np.int64)
+            r.to_arrays(arrays, f"tail.{k}.")
     fp = state["footprint_acc"]
     arrays["footprint"] = np.asarray(
         [fp.n, fp.mx, fp.my, fp.m2x, fp.m2y, fp.cxy], np.float64
@@ -174,6 +187,9 @@ def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
@@ -189,6 +205,12 @@ def load_slab_state(path: str, fingerprint: str,
         return None
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
+        if meta["version"] != _VERSION:
+            raise ValueError(
+                f"checkpoint {path!r} uses format v{meta['version']}; "
+                f"this build writes v{_VERSION} — delete it (or finish "
+                "the run with the build that wrote it)"
+            )
         if meta["fingerprint"] != fingerprint:
             raise ValueError(
                 f"checkpoint {path!r} belongs to a different run "
@@ -225,15 +247,10 @@ def load_slab_state(path: str, fingerprint: str,
                 for k in _STREAM_KEYS
             }
         if meta["has_tails"]:
-            tails = {}
-            for k in _STREAM_KEYS:
-                n_seen, k_keep = z[f"tail.{k}.nk"]
-                r = TailReservoir(int(k_keep))
-                r.n = int(n_seen)
-                r.hi = np.array(z[f"tail.{k}.hi"])
-                r.lo = np.array(z[f"tail.{k}.lo"])
-                tails[k] = r
-            state["tails"] = tails
+            state["tails"] = {
+                k: TailReservoir.from_arrays(z, f"tail.{k}.")
+                for k in _STREAM_KEYS
+            }
         if meta["has_cv"]:
             cv = CVMoments()
             if "cv.n" in z:

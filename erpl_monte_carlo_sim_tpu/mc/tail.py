@@ -97,6 +97,24 @@ class TailReservoir:
         self.hi = np.sort(hi)[-min(self.k, hi.size):]
         self.lo = np.sort(lo)[:min(self.k, lo.size)]
 
+    def to_arrays(self, out: dict, prefix: str) -> None:
+        """Serialize into ``out`` under ``prefix`` (npz-ready arrays).
+        The ONE layout both checkpoint formats use (``mc.checkpoint``,
+        ``mc.slab_checkpoint``) — change it here, nowhere else."""
+        out[prefix + "hi"] = self.hi
+        out[prefix + "lo"] = self.lo
+        out[prefix + "nk"] = np.asarray([self.n, self.k], np.int64)
+
+    @classmethod
+    def from_arrays(cls, z, prefix: str) -> "TailReservoir":
+        """Inverse of ``to_arrays`` (``z``: a loaded npz / mapping)."""
+        n_seen, k_keep = (int(x) for x in z[prefix + "nk"])
+        r = cls(k_keep)
+        r.n = n_seen
+        r.hi = np.array(z[prefix + "hi"], np.float64)
+        r.lo = np.array(z[prefix + "lo"], np.float64)
+        return r
+
 
 def fit_gpd_pwm(exceedances) -> tuple:
     """(shape xi, scale sigma) of a GPD fitted to positive exceedances by
@@ -113,9 +131,25 @@ def fit_gpd_pwm(exceedances) -> tuple:
     # order statistic is (n-1-i)/(n-1) — DESCENDING weights.
     a0 = y.mean()
     a1 = (((n - 1.0 - np.arange(n)) / (n - 1.0)) * y).mean()
-    k = a0 / (a0 - 2.0 * a1) - 2.0  # Hosking's shape (= -xi)
+    denom = a0 - 2.0 * a1
+    # Degenerate samples (all exceedances equal, or all mass on the
+    # single top order statistic) drive denom -> 0 or sigma <= 0; the
+    # raw formulas would return inf/NaN shapes that downstream callers
+    # would silently propagate as probability = NaN. Refuse instead
+    # (bootstrap refits catch ValueError and record a NaN replicate).
+    if not (a0 > 0.0) or abs(denom) < 1e-12 * a0:
+        raise ValueError(
+            "degenerate exceedances (constant or heavily tied tail) — "
+            "the GPD fit is undefined; use counting or change n_tail"
+        )
+    k = a0 / denom - 2.0  # Hosking's shape (= -xi)
     sigma = a0 * (1.0 + k)
-    return float(-k), float(max(sigma, 1e-300))
+    if not np.isfinite(sigma) or sigma <= 0.0:
+        raise ValueError(
+            "GPD fit collapsed (non-positive scale) — exceedances are "
+            "too degenerate to extrapolate; use counting or change n_tail"
+        )
+    return float(-k), float(sigma)
 
 
 def _gpd_sf(y, xi, sigma):
@@ -142,6 +176,8 @@ def gpd_tail(values, n_total: int, thresholds, *, side: str = "upper",
     ci95, method}, ...]}`` with probabilities P(X > t) for upper /
     P(X < t) for lower tails; thresholds at or below (above) the fitted
     threshold fall back to counting within the provided values.
+    ``n_boot=0`` skips the bootstrap entirely (no ``ci95`` keys) — the
+    cheap point-estimate mode for probes that only need the fit.
     """
     if side not in ("upper", "lower"):
         raise ValueError("side must be 'upper' or 'lower'")
@@ -191,7 +227,7 @@ def gpd_tail(values, n_total: int, thresholds, *, side: str = "upper",
                             np.nan)
     extr = ts_i > u
     lohi = np.full((2, ts.size), np.nan)
-    if extr.any():  # count-region columns are all-NaN by construction
+    if n_boot > 0 and extr.any():  # count columns are all-NaN anyway
         lohi[:, extr] = np.nanpercentile(boots[:, extr], [2.5, 97.5],
                                          axis=0)
 
@@ -217,7 +253,7 @@ def gpd_tail(values, n_total: int, thresholds, *, side: str = "upper",
             "probability": float(p[j]) if in_window[j] else float("nan"),
             "method": "gpd" if extrapolated else "count",
         }
-        if extrapolated:
+        if extrapolated and n_boot > 0:
             row["ci95"] = [float(lohi[0, j]), float(lohi[1, j])]
         elif not in_window[j]:
             row["note"] = ("threshold below the retained extremes; use "

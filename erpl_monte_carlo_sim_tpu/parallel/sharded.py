@@ -32,7 +32,8 @@ from .mesh import BATCH_AXIS, shard_batch
 __all__ = ["run_sharded_summaries", "collective_stats",
            "collective_footprint", "collective_footprint_moments",
            "collective_cv_moments", "collective_tail_extremes",
-           "collective_tail_reservoir"]
+           "collective_tail_reservoir", "collective_tail_carry",
+           "tail_reservoir_from_carry"]
 
 
 def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,
@@ -345,12 +346,16 @@ def collective_tail_extremes(values: jnp.ndarray, mask: jnp.ndarray | None,
     callers drop non-finite entries.
     """
     n = values.shape[0]
-    values = jax.device_put(values, NamedSharding(mesh, P(BATCH_AXIS)))
-    if mask is None:
-        mask = jnp.ones_like(values, dtype=bool)
-    else:
-        mask = jax.device_put(mask, NamedSharding(mesh, P(BATCH_AXIS)))
-    k_eff = min(int(k), n // mesh.devices.size)
+    ndev = mesh.devices.size
+    if n == 0 or n % ndev:
+        # device_put would also refuse an uneven batch, but with a shape
+        # error three layers down; and n < ndev would silently yield
+        # k_eff = 0 (empty candidate arrays labeled n valid lanes)
+        raise ValueError(
+            f"batch of {n} lanes cannot shard over {ndev} devices; "
+            "pad to a multiple of the device count"
+        )
+    values, mask, k_eff = _tail_args(values, mask, mesh, n, ndev, k)
 
     @partial(
         shard_map, mesh=mesh,
@@ -359,16 +364,95 @@ def collective_tail_extremes(values: jnp.ndarray, mask: jnp.ndarray | None,
         check_vma=False,  # all_gather outputs are replicated by construction
     )
     def _extremes(v, m):
-        m = m & jnp.isfinite(v)
-        big = jnp.asarray(jnp.inf, v.dtype)
-        cnt = jax.lax.psum(jnp.sum(m), BATCH_AXIS)
-        top = jax.lax.top_k(jnp.where(m, v, -big), k_eff)[0]
-        bot = -jax.lax.top_k(jnp.where(m, -v, -big), k_eff)[0]
-        hi = jax.lax.all_gather(top, BATCH_AXIS, tiled=True)
-        lo = jax.lax.all_gather(bot, BATCH_AXIS, tiled=True)
-        return cnt, hi, lo
+        return _shard_extremes(v, m, k_eff)
 
     return _extremes(values, mask)
+
+
+def _tail_args(values, mask, mesh, n, ndev, k):
+    """Shared sharding/validation front end of the tail reductions."""
+    values = jax.device_put(values, NamedSharding(mesh, P(BATCH_AXIS)))
+    if mask is None:
+        mask = jnp.ones_like(values, dtype=bool)
+    else:
+        mask = jax.device_put(mask, NamedSharding(mesh, P(BATCH_AXIS)))
+    return values, mask, min(int(k), n // ndev)
+
+
+def _shard_extremes(v, m, k_eff):
+    """Per-shard body: (global valid count, gathered top/bottom-k_eff
+    candidates). Runs INSIDE shard_map on one shard's lanes."""
+    m = m & jnp.isfinite(v)
+    big = jnp.asarray(jnp.inf, v.dtype)
+    cnt = jax.lax.psum(jnp.sum(m), BATCH_AXIS)
+    top = jax.lax.top_k(jnp.where(m, v, -big), k_eff)[0]
+    bot = -jax.lax.top_k(jnp.where(m, -v, -big), k_eff)[0]
+    hi = jax.lax.all_gather(top, BATCH_AXIS, tiled=True)
+    lo = jax.lax.all_gather(bot, BATCH_AXIS, tiled=True)
+    return cnt, hi, lo
+
+
+def collective_tail_carry(values: jnp.ndarray, mask: jnp.ndarray | None,
+                          mesh: Mesh, carry: tuple | None = None,
+                          k: int = 4096) -> tuple:
+    """Device-resident streaming top-k/bottom-k across slabs.
+
+    Merges this slab's collective extreme candidates into a replicated
+    ``(hi[k], lo[k])`` carry WITHOUT moving candidate arrays to the host
+    (per-slab readback of 2*devices*k floats over a slow link is exactly
+    the device->host traffic the per-slab loop must avoid — read back
+    scalars only). The merge happens INSIDE the shard_map, so it is SPMD
+    and multi-process-safe (eager ops on a replicated global array are
+    not). ``carry=None`` starts a run (+-inf padding). Returns
+    ``(n_valid, (hi, lo))`` where ``n_valid`` is a device scalar and
+    hi/lo the updated replicated carries; feed ``(hi, lo)`` back on the
+    next slab and finalize once with ``tail_reservoir_from_carry``.
+    Exactness argument is ``collective_tail_extremes``'s: the global
+    top-k of a union of slabs lies in the union of per-slab candidate
+    sets, which the carry retains."""
+    n = values.shape[0]
+    ndev = mesh.devices.size
+    if n == 0 or n % ndev:
+        raise ValueError(
+            f"batch of {n} lanes cannot shard over {ndev} devices; "
+            "pad to a multiple of the device count"
+        )
+    values, mask, k_eff = _tail_args(values, mask, mesh, n, ndev, k)
+    if carry is None:
+        dt = values.dtype
+        big = jnp.asarray(jnp.inf, dt)
+        carry = (jnp.full(k, -big, dt), jnp.full(k, big, dt))
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _carry(v, m, ch, cl):
+        cnt, hi, lo = _shard_extremes(v, m, k_eff)
+        new_hi = jax.lax.top_k(jnp.concatenate([ch, hi]), k)[0]
+        new_lo = -jax.lax.top_k(jnp.concatenate([-cl, -lo]), k)[0]
+        return cnt, new_hi, new_lo
+
+    cnt, ch, cl = _carry(values, mask, *carry)
+    return cnt, (ch, cl)
+
+
+def tail_reservoir_from_carry(carry: tuple, n: int):
+    """One end-of-run readback of a ``collective_tail_carry`` state into
+    a ``mc.tail.TailReservoir`` (drops the +-inf padding)."""
+    import numpy as np
+
+    from ..mc.tail import TailReservoir
+
+    hi = np.asarray(carry[0], np.float64)
+    lo = np.asarray(carry[1], np.float64)
+    r = TailReservoir(hi.size)
+    r.hi = np.sort(hi[np.isfinite(hi)])
+    r.lo = np.sort(lo[np.isfinite(lo)])
+    r.n = int(n)
+    return r
 
 
 def collective_tail_reservoir(values: jnp.ndarray,

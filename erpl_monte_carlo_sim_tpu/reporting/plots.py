@@ -356,8 +356,10 @@ def plot_exceedance(analysis: dict, metric: str = "apogee_altitude",
         from ..mc.tail import tail_from_analysis
 
         try:
+            # n_boot=0: the probe only needs the fit parameters to size
+            # the query grid — the real call below carries the bootstrap
             probe = tail_from_analysis(analysis, metric,
-                                       [float(stats["max"])], n_boot=10)
+                                       [float(stats["max"])], n_boot=0)
             fit = probe["fit"]
             u, xi = fit["threshold"], fit["shape_xi"]
             sig, pu = fit["scale_sigma"], fit["p_threshold"]

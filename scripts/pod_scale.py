@@ -57,12 +57,11 @@ def main(total_lanes: int, n_devices: int | None = None,
     )
     from erpl_monte_carlo_sim_tpu.mc import sample_dispersions
     from erpl_monte_carlo_sim_tpu.mc.stats import FootprintAccumulator
-    from erpl_monte_carlo_sim_tpu.mc.tail import TailReservoir
     from erpl_monte_carlo_sim_tpu.parallel import (
         collective_footprint_moments, collective_stats,
-        collective_tail_reservoir, init_distributed,
+        collective_tail_carry, init_distributed,
         make_global_batch, make_mesh,
-        run_sharded_summaries,
+        run_sharded_summaries, tail_reservoir_from_carry,
     )
     from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
     from erpl_monte_carlo_sim_tpu.utils.logging import configure, get_logger
@@ -86,7 +85,7 @@ def main(total_lanes: int, n_devices: int | None = None,
     # global apogee moments accumulated from collective (exact) stats
     s0 = s1 = s2 = 0.0
     fp_acc = FootprintAccumulator()
-    tail_acc = TailReservoir()  # global apogee extremes for mc.tail.gpd_tail
+    tail_carry = None  # device-resident global apogee extremes (top/bot-k)
     t_start = time.time()
     slab_idx = 0
     while done_lanes < total_lanes:
@@ -118,11 +117,12 @@ def main(total_lanes: int, n_devices: int | None = None,
         apo = collective_stats(summary.apogee_altitude, None, mesh)
         fp_acc.add(*collective_footprint_moments(
             summary.landing_position, None, mesh))
-        # merge this slab's collective top-k/bottom-k into the run reservoir
-        # (order-statistics merge: exact, order-independent)
-        tail_acc.merge(collective_tail_reservoir(
-            summary.apogee_altitude, None, mesh, k=tail_acc.k
-        ))
+        # fold this slab's collective top-k/bottom-k into the DEVICE-side
+        # carry (exact order-statistics merge; no per-slab candidate
+        # readback — scalars only cross the host link inside the loop)
+        _, tail_carry = collective_tail_carry(
+            summary.apogee_altitude, None, mesh, tail_carry
+        )
         k = float(apo["n"])
         mean_k = float(apo["mean"])
         std_k = float(apo["std"])
@@ -139,11 +139,13 @@ def main(total_lanes: int, n_devices: int | None = None,
             )
     wall = time.time() - t_start
     mean = s1 / max(s0, 1)
+    # ONE end-of-run readback of the device-side tail carry
+    tail_acc = tail_reservoir_from_carry(tail_carry, int(s0))
     result = {
         "lanes": done_lanes,
         "devices": n_dev,
         "processes": nproc,
-        # global apogee order statistics (collective_tail_reservoir):
+        # global apogee order statistics (collective_tail_carry):
         # ready for mc.tail.gpd_tail range-safety queries at pod scale
         "apogee_extremes": {
             "n": tail_acc.n,

@@ -300,6 +300,42 @@ def test_collective_footprint_matches_host_footprint(mesh):
     assert all_fp["n"] == 639
 
 
+def test_collective_tail_carry_matches_host(mesh):
+    """The device-resident carry (no per-slab candidate readback) must
+    finalize to exactly the host reservoir of all slabs' valid lanes,
+    including NaN lanes and a slab count that underfills k."""
+    from erpl_monte_carlo_sim_tpu.mc.tail import TailReservoir
+    from erpl_monte_carlo_sim_tpu.parallel import (collective_tail_carry,
+                                                   tail_reservoir_from_carry)
+
+    rng = np.random.default_rng(5)
+    for k in (64, 4096):  # 4096 > 3*640 lanes: +-inf padding must drop
+        ref = TailReservoir(k)
+        carry, n_tot = None, 0
+        for s in range(3):
+            vals = rng.normal(25_000.0, 800.0, size=640)
+            vals[::97] = np.nan
+            cnt, carry = collective_tail_carry(jnp.asarray(vals), None,
+                                               mesh, carry, k=k)
+            n_tot += int(cnt)
+            ref.add(vals)
+        got = tail_reservoir_from_carry(carry, n_tot)
+        assert got.n == ref.n
+        np.testing.assert_array_equal(got.hi, ref.hi)
+        np.testing.assert_array_equal(got.lo, ref.lo)
+
+
+def test_collective_tail_rejects_unshardable_batch(mesh):
+    """n not divisible by the device count must be a clear error, not an
+    empty candidate set or a shape failure three layers down."""
+    from erpl_monte_carlo_sim_tpu.parallel import collective_tail_extremes
+
+    with pytest.raises(ValueError, match="cannot shard"):
+        collective_tail_extremes(jnp.ones(9), None, mesh, k=4)
+    with pytest.raises(ValueError, match="cannot shard"):
+        collective_tail_extremes(jnp.ones(0), None, mesh, k=4)
+
+
 def test_collective_tail_reservoir_matches_host(mesh):
     """The psum/top_k/all_gather tail reduction must equal a single-host
     TailReservoir of the same valid lanes EXACTLY (it is order statistics,

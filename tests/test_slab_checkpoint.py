@@ -64,7 +64,10 @@ def test_resume_is_bit_identical(monkeypatch, tmp_path):
     ref = _analyzer().run_monte_carlo(IC, n_samples=N, lane_slab=SLAB,
                                       seed=7)
 
-    ckpt = str(tmp_path / "run.ckpt.npz")
+    # nested, not-yet-existing directory: save_slab_state must create it
+    # (a capstone run that crashes on its FIRST checkpoint write would
+    # lose the crash protection it was asked for)
+    ckpt = str(tmp_path / "nested" / "dir" / "run.ckpt.npz")
     _kill_after(monkeypatch, 2)
     with pytest.raises(RuntimeError, match="simulated crash"):
         _analyzer().run_monte_carlo(IC, n_samples=N, lane_slab=SLAB, seed=7,
@@ -109,6 +112,66 @@ def test_resume_streaming_and_cv(monkeypatch, tmp_path):
         np.testing.assert_allclose(cv_got[k]["mean"], cv_ref[k]["mean"],
                                    rtol=0, atol=0)
         assert cv_got[k]["beta"] == cv_ref[k]["beta"]
+
+
+def test_stream_pack_preserves_part_boundaries():
+    """The exact->sketch crossing compresses each retained slab part
+    SEPARATELY, so the checkpoint must preserve part boundaries: a
+    restore that concatenated the exact parts into one array would build
+    different centroids than the uninterrupted run after the crossing
+    (regression: round-3 review)."""
+    from erpl_monte_carlo_sim_tpu.mc.slab_checkpoint import (_pack_stream,
+                                                             _unpack_stream)
+    from erpl_monte_carlo_sim_tpu.mc.stats import StreamingStats
+
+    rng = np.random.default_rng(0)
+    parts = [rng.normal(size=40) for _ in range(4)]
+
+    ref = StreamingStats(max_centroids=8, exact_threshold=100)
+    live = StreamingStats(max_centroids=8, exact_threshold=100)
+    for p in parts[:2]:  # n = 80 <= 100: both still exact
+        ref.add(p)
+        live.add(p)
+    packed = {}
+    _pack_stream(live, packed, "s.")
+    assert "s.exact" in packed  # premise: checkpointed BEFORE crossing
+    restored = _unpack_stream(packed, "s.", 100)
+    restored.max_centroids = 8
+    for p in parts[2:]:  # third add crosses (120 > 100) and compresses
+        ref.add(p)
+        restored.add(p)
+    assert not ref.is_exact and not restored.is_exact
+    assert restored.percentiles() == ref.percentiles()  # bit-equal
+    np.testing.assert_array_equal(restored._cent_v, ref._cent_v)
+    np.testing.assert_array_equal(restored._cent_w, ref._cent_w)
+
+
+def test_resume_across_exact_to_sketch_crossing(monkeypatch, tmp_path):
+    """Integration twin of the part-boundary test: the crash lands while
+    streaming stats are still in their exact stage, the resumed run
+    crosses to the sketch later — results must equal the uninterrupted
+    run bit-for-bit."""
+    kw = dict(stats_stream_threshold=100, metrics_sample_cap=40)
+    n = 192
+    ref = _analyzer(**kw).run_monte_carlo(IC, n_samples=n, lane_slab=SLAB,
+                                          seed=13)
+    assert ref["metrics_is_sample"]  # streaming engaged, crossing happened
+
+    ckpt = str(tmp_path / "run.ckpt.npz")
+    _kill_after(monkeypatch, 2)  # dies with <= 64 valid lanes: pre-crossing
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _analyzer(**kw).run_monte_carlo(IC, n_samples=n, lane_slab=SLAB,
+                                        seed=13, checkpoint_path=ckpt,
+                                        checkpoint_every=1)
+    with np.load(ckpt) as z:
+        assert "stream.apogee_altitude.exact" in z  # premise holds
+    monkeypatch.undo()
+    got = _analyzer(**kw).run_monte_carlo(IC, n_samples=n, lane_slab=SLAB,
+                                          seed=13, checkpoint_path=ckpt,
+                                          checkpoint_every=1)
+    for k in STATS:
+        assert got[k] == ref[k], k  # sketch percentiles bit-equal
+        np.testing.assert_array_equal(got["metrics"][k], ref["metrics"][k])
 
 
 def test_wrong_run_refuses_to_resume(monkeypatch, tmp_path):

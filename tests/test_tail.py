@@ -108,6 +108,39 @@ def test_below_threshold_falls_back_to_counting():
     assert "note" in out["exceedance"][1]
 
 
+def test_degenerate_exceedances_raise():
+    """Tied/constant tails (a saturating metric, e.g. flight_time clipped
+    at max_time) must raise, not return NaN/garbage fits silently
+    (regression: the raw PWM formulas give 0/0 or sigma <= 0 there)."""
+    with pytest.raises(ValueError, match="degenerate|collapsed"):
+        fit_gpd_pwm(np.zeros(50))  # all ties AT the threshold
+    with pytest.raises(ValueError, match="degenerate|collapsed"):
+        fit_gpd_pwm(np.full(50, 2.0))  # all ties above it
+    y = np.zeros(50)
+    y[-1] = 1.0  # all mass on the top order statistic: sigma = 0
+    with pytest.raises(ValueError, match="degenerate|collapsed"):
+        fit_gpd_pwm(y)
+    # and through gpd_tail: a clipped metric (ties dominate the tail)
+    v = np.concatenate([RNG.normal(size=100), np.full(600, 6.0)])
+    with pytest.raises(ValueError, match="degenerate|collapsed"):
+        gpd_tail(v, 50_000, [7.0], n_tail=500)
+
+
+def test_n_boot_zero_skips_ci():
+    """n_boot=0 is the cheap probe mode: point estimates identical to the
+    bootstrapped call, no ci95 keys, no bootstrap work."""
+    n = 50_000
+    v = np.sort(RNG.normal(size=n))[-2048:]
+    t = [v[-1] + 0.5]
+    fast = gpd_tail(v, n, t, n_tail=500, n_boot=0)
+    full = gpd_tail(v, n, t, n_tail=500, n_boot=50)
+    assert fast["fit"] == full["fit"]
+    assert (fast["exceedance"][0]["probability"]
+            == full["exceedance"][0]["probability"])
+    assert "ci95" not in fast["exceedance"][0]
+    assert "ci95" in full["exceedance"][0]
+
+
 def test_lower_tail():
     n = 50_000
     x = RNG.normal(size=n)
