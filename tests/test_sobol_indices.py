@@ -1,0 +1,135 @@
+"""Variance-based global sensitivity (mc/sobol_indices.py).
+
+No reference counterpart (`monte_carlo.py:400-473` records observed
+parameter ranges, never variance shares); the estimator math is pinned
+against models with KNOWN Sobol' indices, and the flight path against
+structure/determinism invariants.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+from erpl_monte_carlo_sim_tpu.mc import (
+    UncertaintyParams,
+    active_groups,
+    jansen_estimates,
+    sobol_indices,
+)
+from erpl_monte_carlo_sim_tpu.models import (
+    liquid_motor,
+    nominal_scene,
+    solid_motor,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _pick_freeze(f, za, zb, groups):
+    """Evaluate f on A, B and every AB_i (columns of group i from B)."""
+    fabs = {}
+    for i in groups:
+        z = za.copy()
+        z[:, i] = zb[:, i]
+        fabs[i] = f(z)
+    return f(za), f(zb), fabs
+
+
+def test_jansen_recovers_linear_model():
+    """f = 3 z1 + z2: S1 = 9/10, S2 = 1/10, no interactions (T = S)."""
+    n = 200_000
+    za = RNG.normal(size=(n, 2))
+    zb = RNG.normal(size=(n, 2))
+
+    def f(z):
+        return 3.0 * z[:, 0] + z[:, 1] + 5.0
+
+    fa, fb, fabs = _pick_freeze(f, za, zb, [0, 1])
+    est = jansen_estimates(fa, fb, fabs)
+    assert est["groups"][0]["S"] == pytest.approx(0.9, abs=0.01)
+    assert est["groups"][1]["S"] == pytest.approx(0.1, abs=0.01)
+    assert est["groups"][0]["T"] == pytest.approx(0.9, abs=0.01)
+    assert est["groups"][1]["T"] == pytest.approx(0.1, abs=0.01)
+    assert est["variance"] == pytest.approx(10.0, rel=0.02)
+
+
+def test_jansen_recovers_ishigami():
+    """Ishigami (a=7, b=0.1): the classic interaction benchmark — x3 has
+    ZERO first-order effect but a 0.24 total index (pure interaction with
+    x1), exactly the S-vs-T distinction the flight analysis relies on."""
+    a, b = 7.0, 0.1
+    n = 400_000
+    xa = RNG.uniform(-np.pi, np.pi, size=(n, 3))
+    xb = RNG.uniform(-np.pi, np.pi, size=(n, 3))
+
+    def f(x):
+        return (np.sin(x[:, 0]) + a * np.sin(x[:, 1]) ** 2
+                + b * x[:, 2] ** 4 * np.sin(x[:, 0]))
+
+    # analytic values (Saltelli et al.)
+    v1 = 0.5 * (1 + b * np.pi**4 / 5) ** 2
+    v2 = a**2 / 8
+    v13 = b**2 * np.pi**8 * (1 / 18 - 1 / 50)
+    v = v1 + v2 + v13
+    fa, fb, fabs = _pick_freeze(f, xa, xb, [0, 1, 2])
+    est = jansen_estimates(fa, fb, fabs)
+    assert est["groups"][0]["S"] == pytest.approx(v1 / v, abs=0.015)
+    assert est["groups"][1]["S"] == pytest.approx(v2 / v, abs=0.015)
+    assert est["groups"][2]["S"] == pytest.approx(0.0, abs=0.015)
+    assert est["groups"][0]["T"] == pytest.approx((v1 + v13) / v, abs=0.015)
+    assert est["groups"][1]["T"] == pytest.approx(v2 / v, abs=0.015)
+    assert est["groups"][2]["T"] == pytest.approx(v13 / v, abs=0.015)
+
+
+def test_constant_output_attributes_nothing():
+    est = jansen_estimates(np.ones(64), np.ones(64),
+                           {"g": np.ones(64)})
+    assert est["variance"] == 0.0
+    assert est["groups"]["g"] == {"S": 0.0, "T": 0.0}
+
+
+def test_active_groups_skip_inert_channels():
+    """Zero-sigma channels (default position sigma is 0) and the solid
+    motor's flow multiplier (mdot follows thrust) must be skipped, not
+    reported as zero — same inertness logic as cv/importance."""
+    liquid = active_groups(nominal_scene(liquid_motor()))
+    solid = active_groups(nominal_scene(solid_motor()))
+    assert "position" not in liquid
+    assert "motor_flow" in liquid
+    assert "motor_flow" not in solid
+    assert "wind_turbulence" in liquid
+    p = UncertaintyParams(initial_position=(1.0, 1.0, 0.0))
+    assert "position" in active_groups(nominal_scene(liquid_motor()), p)
+
+
+def test_flight_indices_structure_and_determinism():
+    """Window-regime decomposition: structure, estimator sanity bounds,
+    and bit-identical determinism in the seed."""
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    cfg = SimConfig(max_time=4.0)
+    kw = dict(n=192, seed=3, n_boot=50)
+    out = sobol_indices(scene, ic, cfg, **kw)
+    assert out["n_valid"] > 150
+    assert out["n_sims"] == 192 * (2 + len(out["groups"]))
+    apo = out["apogee_altitude"]
+    assert apo["variance"] > 0.0
+    for g in out["groups"]:
+        s = apo["first_order"][g]
+        t = apo["total_order"][g]
+        # estimator noise allows slight excursions outside [0, 1]
+        assert -0.15 < s["S"] < 1.15, g
+        assert -0.05 < t["T"] < 1.3, g
+        assert s["ci95"][0] <= s["S"] <= s["ci95"][1], g
+    # thrust must matter for how high the rocket is at cutoff
+    assert apo["first_order"]["motor_thrust"]["S"] > 0.05
+    again = sobol_indices(scene, ic, cfg, **kw)
+    assert again == out  # deterministic in (seed, n, config)
+
+
+def test_unknown_group_raises():
+    scene = nominal_scene(liquid_motor())
+    with pytest.raises(ValueError, match="unknown or inert"):
+        sobol_indices(scene, InitialConditions.vertical_launch(),
+                      SimConfig(max_time=2.0), groups=["bogus"], n=32)
