@@ -17,8 +17,19 @@ mdot follows thrust for solids but draws its own multiplier for liquids;
 density multiplies the working ``density_scale``) so the linearization is
 of the SAME map the Monte Carlo samples.
 
+This linearization is one of THREE sensitivity views the package offers,
+in increasing order of cost and generality: (1) this CLI's default mode —
+gradients x sigmas, one reverse pass, local and first-order only; (2) the
+control-variate shares (``mc.cv`` — the measured linear-response fraction
+of an actual Monte Carlo run); (3) ``--sobol`` — full variance-based
+Sobol' indices (``mc.sobol_indices``), which also capture interactions
+and the AR(1) wind-turbulence group that the other two cannot see, at
+(k_groups + 2) x n simulations.
+
 Usage:
   python -m erpl_monte_carlo_sim_tpu.cli.sensitivity [max_time] [--solid]
+  python -m erpl_monte_carlo_sim_tpu.cli.sensitivity [max_time] [--solid] \
+      --sobol [n_lanes]
 """
 
 from __future__ import annotations
@@ -201,11 +212,19 @@ def main(argv=None) -> dict:
     motor = solid_motor() if "--solid" in argv else liquid_motor()
     scene = nominal_scene(motor)
     ic = InitialConditions.vertical_launch()
-    metrics = ("apogee_altitude", "range", "flight_time")
-    out = {
-        m: variance_budget(scene, ic, SimConfig(max_time=max_time), metric=m)
-        for m in metrics
-    }
+    cfg = SimConfig(max_time=max_time)
+    if "--sobol" in argv:
+        from ..mc.sobol_indices import sobol_indices
+
+        i = argv.index("--sobol")
+        n = (int(argv[i + 1]) if i + 1 < len(argv)
+             and not argv[i + 1].startswith("-") else 1024)
+        out = sobol_indices(scene, ic, cfg, n=n, n_boot=200)
+    else:
+        metrics = ("apogee_altitude", "range", "flight_time")
+        out = {
+            m: variance_budget(scene, ic, cfg, metric=m) for m in metrics
+        }
     print(json.dumps(out, indent=2))
     return out
 

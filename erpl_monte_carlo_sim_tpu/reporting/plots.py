@@ -37,6 +37,7 @@ __all__ = [
     "plot_thrust_twr",
     "plot_landing_footprint",
     "plot_exceedance",
+    "plot_sobol_indices",
 ]
 
 
@@ -405,6 +406,74 @@ def plot_exceedance(analysis: dict, metric: str = "apogee_altitude",
     plt.tight_layout()
     if output_dir is not None:
         path = os.path.join(output_dir, f"exceedance_{metric}.png")
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+        return path
+    plt.close()
+    return None
+
+
+def plot_sobol_indices(indices: dict, output_dir: str | None = None,
+                       metrics=None) -> str | None:
+    """Variance-decomposition bars: which dispersion channel drives each
+    metric's spread (beyond reference — the figure form of
+    ``mc.sobol_indices``). One panel per metric; per channel group a
+    first-order bar S (variance explained alone) under a total-order bar
+    T (including interactions); bootstrap 95% CIs as error bars when the
+    decomposition carried them. A T bar towering over its S bar marks a
+    channel whose effect is mostly interaction (e.g. wind turbulence on
+    apogee) — exactly where linear tools (gradients, control variates)
+    stop working. Estimates are plotted as returned, including small
+    negative estimator-noise excursions.
+    """
+    groups = list(indices["groups"])
+    if metrics is None:
+        metrics = [m for m in ("apogee_altitude", "range", "flight_time")
+                   if m in indices]
+    if not groups or not metrics:
+        return None
+    # one group order for every panel (barh plots bottom-up, so ascending
+    # max-T puts the dominant channels on top)
+    order = sorted(groups, key=lambda g: max(
+        indices[m]["total_order"][g]["T"] for m in metrics))
+    y = np.arange(len(order), dtype=float)
+    h = 0.38
+    _, axes = plt.subplots(
+        1, len(metrics),
+        figsize=(4.5 * len(metrics), 0.55 * len(order) + 2.2),
+        sharey=True,
+    )
+    axes = np.atleast_1d(axes)
+    for ax, m in zip(axes, metrics):
+        blk = indices[m]
+
+        def _xerr(which, vals):
+            ci = [blk[which][g]["ci95"] for g in order]
+            if any(c[0] is None for c in ci):
+                return None  # n_boot=0 run: no CI to draw
+            lo = vals - np.asarray([c[0] for c in ci], np.float64)
+            hi = np.asarray([c[1] for c in ci], np.float64) - vals
+            # bootstrap percentile bands can exclude the point estimate
+            # in pathological resamples; error bars must be >= 0
+            return np.vstack([np.maximum(lo, 0.0), np.maximum(hi, 0.0)])
+
+        s = np.asarray([blk["first_order"][g]["S"] for g in order])
+        t = np.asarray([blk["total_order"][g]["T"] for g in order])
+        ax.barh(y + h / 2, t, height=h, color="tab:orange", alpha=0.7,
+                xerr=_xerr("total_order", t), label="total-order T")
+        ax.barh(y - h / 2, s, height=h, color="tab:blue", alpha=0.7,
+                xerr=_xerr("first_order", s), label="first-order S")
+        ax.axvline(0.0, color="black", linewidth=0.8)
+        ax.set_xlabel("variance share")
+        ax.set_title(f"{m.replace('_', ' ')}\n"
+                     f"(sigma = {blk['variance'] ** 0.5:.4g})")
+        ax.grid(True, alpha=0.3, axis="x")
+    axes[0].set_yticks(y)
+    axes[0].set_yticklabels([g.replace("_", " ") for g in order])
+    axes[0].legend(loc="lower right")
+    plt.tight_layout()
+    if output_dir is not None:
+        path = os.path.join(output_dir, "sobol_indices.png")
         plt.savefig(path, dpi=150, bbox_inches="tight")
         plt.close()
         return path

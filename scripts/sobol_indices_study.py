@@ -20,8 +20,14 @@ SCENE = nominal_scene(liquid_motor())
 IC = InitialConditions.vertical_launch()
 REGIMES = {
     "window": (SimConfig(max_time=6.0), 8192),
+    # energy_consistent_aero: under parity aero, full flights in dispersed
+    # wind diverge (the reference's own quirk — NOTES.md round 2) and the
+    # outlier filter rejects every lane; same choice as every other
+    # full-flight study in scripts/.
     "full_flight": (
-        SimConfig(descent_dt_scale=16, ascent_q_threshold=8000.0), 2048
+        SimConfig(energy_consistent_aero=True, descent_dt_scale=16,
+                  ascent_q_threshold=8000.0),
+        2048,
     ),
 }
 

@@ -133,3 +133,57 @@ def test_unknown_group_raises():
     with pytest.raises(ValueError, match="unknown or inert"):
         sobol_indices(scene, InitialConditions.vertical_launch(),
                       SimConfig(max_time=2.0), groups=["bogus"], n=32)
+
+
+def _fake_indices(with_ci=True):
+    """Hand-built decomposition dict (plot tests need no flight run)."""
+    groups = ["mass", "motor_thrust", "wind_turbulence"]
+    shares = {"mass": 0.2, "motor_thrust": 0.7, "wind_turbulence": -0.01}
+
+    def blk():
+        ci = (lambda v, w: [v - w, v + w]) if with_ci else (
+            lambda v, w: [None, None])
+        return {
+            "mean": 1.0, "variance": 4.0,
+            "first_order": {g: {"S": v, "ci95": ci(v, 0.05)}
+                            for g, v in shares.items()},
+            "total_order": {g: {"T": v + 0.02, "ci95": ci(v + 0.02, 0.07)}
+                            for g, v in shares.items()},
+            "sum_first_order": sum(shares.values()),
+        }
+
+    return {"n": 64, "n_valid": 60, "n_sims": 320, "groups": groups,
+            "apogee_altitude": blk(), "range": blk(), "flight_time": blk()}
+
+
+def test_plot_sobol_indices(tmp_path):
+    import os
+
+    from erpl_monte_carlo_sim_tpu.reporting import plot_sobol_indices
+
+    path = plot_sobol_indices(_fake_indices(), str(tmp_path))
+    assert path.endswith("sobol_indices.png")
+    assert os.path.getsize(path) > 10_000
+    # n_boot=0 decompositions ([None, None] CIs) plot without error bars
+    path2 = plot_sobol_indices(_fake_indices(with_ci=False), str(tmp_path))
+    assert os.path.getsize(path2) > 10_000
+    # no groups / no metrics: nothing to draw
+    assert plot_sobol_indices({"groups": [], "n": 0}) is None
+
+
+def test_sensitivity_cli_sobol_mode(capsys):
+    """--sobol routes the sensitivity CLI to the variance decomposition
+    and prints the same dict it returns."""
+    import json
+
+    from erpl_monte_carlo_sim_tpu.cli import sensitivity
+
+    out = sensitivity.main(["3.0", "--sobol", "96"])
+    assert out["n"] == 96
+    assert set(out["groups"]) <= set(
+        active_groups(nominal_scene(liquid_motor()))
+    )
+    assert "apogee_altitude" in out
+    printed = json.loads(capsys.readouterr().out)
+    assert printed["groups"] == out["groups"]
+    assert printed["n_valid"] == out["n_valid"]
