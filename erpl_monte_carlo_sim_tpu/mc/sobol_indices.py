@@ -24,6 +24,15 @@ channel group i's columns, which come from B. Cost: (k_active + 2)
 batched simulations of ``n`` lanes each — embarrassingly TPU-friendly
 (each matrix is one ``simulate_summary_batch`` dispatch).
 
+``pairs=[(g1, g2), ...]`` additionally swaps BOTH groups of each listed
+pair at once (matrix AB_{ij}), one extra simulation per pair. The same
+first-order estimator applied to the pair swap yields the CLOSED
+second-order index S^c_{ij} = (V_i + V_j + V_ij)/V, from which the pure
+interaction share S_ij = S^c_{ij} - S_i - S_j follows (Saltelli et al.
+2010 §3.3). The measured full-flight decomposition (NOTES.md) has
+sum(S) of only 0.27-0.44 — 56-73% of the variance is interactions —
+so naming WHICH pairs carry it is the payoff of this option.
+
 Channel groups mirror ``mc.dispersions`` exactly (the pick-freeze draws
 feed the same ``_build_scene`` assembly the production sampler uses, so
 the physics and quirks are identical by construction):
@@ -211,20 +220,25 @@ def sobol_indices(
     wind_grid_top: float = 25000.0,
     bounds: OutlierBounds = OutlierBounds(),
     n_boot: int = 500,
+    pairs: list | None = None,
 ) -> dict:
     """Sobol' variance decomposition of the dispersed flight metrics.
 
-    Runs (k_active + 2) batched simulations of ``n`` lanes (matrices A, B
-    and one AB_i per group) and returns, per metric::
+    Runs (k_active + 2 + n_pairs) batched simulations of ``n`` lanes
+    (matrices A, B, one AB_i per group, one AB_ij per requested pair)
+    and returns, per metric::
 
         {"mean", "variance",
          "first_order": {group: {"S", "ci95"}},
          "total_order": {group: {"T", "ci95"}},
+         "second_order": {"g1*g2": {"closed", "interaction", "ci95"}},
          "sum_first_order"}
 
-    plus ``groups`` (the active groups analyzed), ``n``, ``n_valid``
-    (lanes jointly valid across ALL matrices — the estimator population),
-    and ``n_sims`` (total simulated lanes, for budgeting).
+    plus ``groups`` (the active groups analyzed), ``pairs``, ``n``,
+    ``n_valid`` (lanes jointly valid across ALL matrices — the estimator
+    population), and ``n_sims`` (total simulated lanes, for budgeting).
+    ``second_order`` CIs are on the pure-interaction share
+    (closed - S_i - S_j), the quantity one asks the pair option for.
 
     ``groups=None`` analyzes every active group (``active_groups``).
     Deterministic in ``(seed, n, config)`` like every other sampler path.
@@ -243,6 +257,13 @@ def sobol_indices(
             )
     if not groups:
         raise ValueError("no active dispersion channels to analyze")
+    pairs = [tuple(p) for p in (pairs or [])]
+    for p in pairs:
+        if len(p) != 2 or p[0] == p[1] or not set(p) <= set(groups):
+            raise ValueError(
+                f"pair {p} must name two DISTINCT analyzed groups "
+                f"(analyzed: {sorted(groups)})"
+            )
     dtype = jnp.asarray(scene.rocket.dry_mass).dtype
     if base_wind is not None:
         base_wind = (jnp.asarray(base_wind[0], dtype),
@@ -274,6 +295,12 @@ def sobol_indices(
     for g in groups:
         f_ab[g], v = run({**draws_a, g: draws_b[g]})
         valid &= v
+    f_ab2 = {}
+    for g1, g2 in pairs:
+        f_ab2[(g1, g2)], v = run(
+            {**draws_a, g1: draws_b[g1], g2: draws_b[g2]}
+        )
+        valid &= v
     n_valid = int(valid.sum())
     if n_valid < 16:
         raise ValueError(
@@ -287,38 +314,58 @@ def sobol_indices(
     out = {
         "n": int(n),
         "n_valid": n_valid,
-        "n_sims": int(n * (2 + len(groups))),
+        "n_sims": int(n * (2 + len(groups) + len(pairs))),
         "groups": list(groups),
+        "pairs": [f"{g1}*{g2}" for g1, g2 in pairs],
     }
+    def _interaction(e, g1, g2):
+        # closed pair index minus the two first-order shares
+        return (e["groups"][(g1, g2)]["S"] - e["groups"][g1]["S"]
+                - e["groups"][g2]["S"])
+
     for m in metrics:
         fa, fb = f_a[m][valid], f_b[m][valid]
         fabs = {g: f_ab[g][m][valid] for g in groups}
+        fabs.update({p: f_ab2[p][m][valid] for p in pairs})
         est = jansen_estimates(fa, fb, fabs)
         block = {
             "mean": est["mean"],
             "variance": est["variance"],
             "first_order": {}, "total_order": {},
         }
-        ci = {g: {"S": [None, None], "T": [None, None]} for g in groups}
+        keys = list(groups) + pairs
+        ci = {k: {"S": [None, None], "T": [None, None]} for k in keys}
         if n_boot > 0:
-            reps = {g: {"S": np.empty(n_boot), "T": np.empty(n_boot)}
-                    for g in groups}
+            reps = {k: {"S": np.empty(n_boot), "T": np.empty(n_boot)}
+                    for k in keys}
             for r in range(n_boot):
                 i = boot_idx[r]
                 e = jansen_estimates(fa[i], fb[i],
-                                     {g: fabs[g][i] for g in groups})
+                                     {k: fabs[k][i] for k in keys})
                 for g in groups:
                     reps[g]["S"][r] = e["groups"][g]["S"]
                     reps[g]["T"][r] = e["groups"][g]["T"]
-            for g in groups:
-                for which in ("S", "T"):
-                    lo, hi = np.percentile(reps[g][which], [2.5, 97.5])
-                    ci[g][which] = [float(lo), float(hi)]
+                for p in pairs:
+                    # CI on the INTERACTION share, not the closed index
+                    reps[p]["S"][r] = _interaction(e, *p)
+            for k in keys:
+                for which in (("S", "T") if k in groups else ("S",)):
+                    lo, hi = np.percentile(reps[k][which], [2.5, 97.5])
+                    ci[k][which] = [float(lo), float(hi)]
         for g in groups:
             block["first_order"][g] = {"S": est["groups"][g]["S"],
                                        "ci95": ci[g]["S"]}
             block["total_order"][g] = {"T": est["groups"][g]["T"],
                                        "ci95": ci[g]["T"]}
+        if pairs:
+            block["second_order"] = {
+                f"{g1}*{g2}": {
+                    "closed": est["groups"][(g1, g2)]["S"],
+                    "interaction": _interaction(est, g1, g2),
+                    "ci95": ci[(g1, g2)]["S"],
+                }
+                for g1, g2 in pairs
+            }
         block["sum_first_order"] = float(
             sum(est["groups"][g]["S"] for g in groups)
         )

@@ -32,10 +32,29 @@ REGIMES = {
 }
 
 
+# full-flight first-order run measured sum(S) 0.27-0.44 (NOTES.md):
+# 56-73% of the variance is interactions. These pairs cover every
+# 2-subset of the four high-T channels the first-order run flagged
+# (wind_direction/wind_speed/angular_velocity/wind_turbulence T in
+# 0.30-0.72 with S near 0).
+PAIRS = {
+    "window": None,
+    "full_flight": [
+        ("wind_speed", "wind_direction"),
+        ("wind_direction", "angular_velocity"),
+        ("wind_speed", "angular_velocity"),
+        ("wind_direction", "wind_turbulence"),
+        ("wind_speed", "wind_turbulence"),
+        ("angular_velocity", "wind_turbulence"),
+    ],
+}
+
+
 def main():
     for name, (cfg, n) in REGIMES.items():
         t0 = time.time()
-        out = sobol_indices(SCENE, IC, cfg, n=n, seed=42, n_boot=200)
+        out = sobol_indices(SCENE, IC, cfg, n=n, seed=42, n_boot=200,
+                            pairs=PAIRS[name])
         wall = time.time() - t0
         print(f"# {name}: n={n}, n_valid={out['n_valid']}, "
               f"{out['n_sims']} lane-sims, {wall:.0f} s", flush=True)
@@ -49,6 +68,11 @@ def main():
                       for g in out["groups"]},
                 "sum_S": round(out[m]["sum_first_order"], 3),
             }
+            if "second_order" in out[m]:
+                row["S2"] = {
+                    p: round(b["interaction"], 3)
+                    for p, b in out[m]["second_order"].items()
+                }
             print(json.dumps(row), flush=True)
 
 

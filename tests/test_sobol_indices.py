@@ -82,6 +82,42 @@ def test_jansen_recovers_ishigami():
     assert est["groups"][2]["T"] == pytest.approx(v13 / v, abs=0.015)
 
 
+def test_closed_pair_recovers_ishigami_interaction():
+    """The first-order estimator applied to a PAIR swap (AB_{13}) yields
+    the closed second-order index (V1+V3+V13)/V; subtracting S1 and S3
+    recovers the pure x1-x3 interaction share — the arithmetic
+    ``sobol_indices(pairs=...)`` performs on flight metrics."""
+    a, b = 7.0, 0.1
+    n = 400_000
+    xa = RNG.uniform(-np.pi, np.pi, size=(n, 3))
+    xb = RNG.uniform(-np.pi, np.pi, size=(n, 3))
+
+    def f(x):
+        return (np.sin(x[:, 0]) + a * np.sin(x[:, 1]) ** 2
+                + b * x[:, 2] ** 4 * np.sin(x[:, 0]))
+
+    v1 = 0.5 * (1 + b * np.pi**4 / 5) ** 2
+    v2 = a**2 / 8
+    v13 = b**2 * np.pi**8 * (1 / 18 - 1 / 50)
+    v = v1 + v2 + v13
+    x13 = xa.copy()
+    x13[:, [0, 2]] = xb[:, [0, 2]]
+    x12 = xa.copy()
+    x12[:, [0, 1]] = xb[:, [0, 1]]
+    fa, fb, fabs = _pick_freeze(f, xa, xb, [0, 1, 2])
+    fabs[(0, 2)] = f(x13)
+    fabs[(0, 1)] = f(x12)
+    est = jansen_estimates(fa, fb, fabs)
+    closed13 = est["groups"][(0, 2)]["S"]
+    assert closed13 == pytest.approx((v1 + v13) / v, abs=0.015)
+    inter13 = (closed13 - est["groups"][0]["S"] - est["groups"][2]["S"])
+    assert inter13 == pytest.approx(v13 / v, abs=0.02)
+    # additive pair: closed = S1 + S2, interaction ~ 0
+    inter12 = (est["groups"][(0, 1)]["S"] - est["groups"][0]["S"]
+               - est["groups"][1]["S"])
+    assert inter12 == pytest.approx(0.0, abs=0.02)
+
+
 def test_constant_output_attributes_nothing():
     est = jansen_estimates(np.ones(64), np.ones(64),
                            {"g": np.ones(64)})
@@ -133,6 +169,33 @@ def test_unknown_group_raises():
     with pytest.raises(ValueError, match="unknown or inert"):
         sobol_indices(scene, InitialConditions.vertical_launch(),
                       SimConfig(max_time=2.0), groups=["bogus"], n=32)
+
+
+def test_flight_pairs_structure_and_validation():
+    """pairs= adds one AB_ij matrix per pair: budget accounting, the
+    closed/interaction identity, interaction CIs, determinism; bad pairs
+    are rejected loudly."""
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    cfg = SimConfig(max_time=4.0)
+    kw = dict(n=160, seed=5, n_boot=40,
+              pairs=[("mass", "motor_thrust")])
+    out = sobol_indices(scene, ic, cfg, **kw)
+    assert out["pairs"] == ["mass*motor_thrust"]
+    assert out["n_sims"] == 160 * (2 + len(out["groups"]) + 1)
+    blk = out["apogee_altitude"]["second_order"]["mass*motor_thrust"]
+    # near-additive window regime: interaction ~ 0, closed ~ S_m + S_t
+    apo = out["apogee_altitude"]
+    assert blk["interaction"] == pytest.approx(
+        blk["closed"] - apo["first_order"]["mass"]["S"]
+        - apo["first_order"]["motor_thrust"]["S"], abs=1e-12)
+    assert abs(blk["interaction"]) < 0.2
+    assert blk["ci95"][0] <= blk["ci95"][1]
+    assert sobol_indices(scene, ic, cfg, **kw) == out
+    for bad in ([("mass", "mass")], [("mass",)],
+                [("mass", "nope")]):
+        with pytest.raises(ValueError, match="pair"):
+            sobol_indices(scene, ic, cfg, n=32, pairs=bad)
 
 
 def _fake_indices(with_ci=True):
