@@ -424,7 +424,10 @@ def plot_sobol_indices(indices: dict, output_dir: str | None = None,
     channel whose effect is mostly interaction (e.g. wind turbulence on
     apogee) — exactly where linear tools (gradients, control variates)
     stop working. Estimates are plotted as returned, including small
-    negative estimator-noise excursions.
+    negative estimator-noise excursions. Decompositions that carried
+    ``pairs=`` get one extra row per pair below the groups: the pure
+    second-order interaction share (closed index minus the two
+    first-order shares).
     """
     groups = list(indices["groups"])
     if metrics is None:
@@ -432,15 +435,21 @@ def plot_sobol_indices(indices: dict, output_dir: str | None = None,
                    if m in indices]
     if not groups or not metrics:
         return None
+    pairs = [p for p in indices.get("pairs", ())
+             if all("second_order" in indices[m] for m in metrics)]
     # one group order for every panel (barh plots bottom-up, so ascending
-    # max-T puts the dominant channels on top)
+    # max-T puts the dominant channels on top, pair rows below them)
     order = sorted(groups, key=lambda g: max(
         indices[m]["total_order"][g]["T"] for m in metrics))
-    y = np.arange(len(order), dtype=float)
+    pair_order = sorted(pairs, key=lambda p: max(
+        indices[m]["second_order"][p]["interaction"] for m in metrics))
+    y = np.arange(len(order), dtype=float) + len(pair_order)
+    yp = np.arange(len(pair_order), dtype=float)
     h = 0.38
     _, axes = plt.subplots(
         1, len(metrics),
-        figsize=(4.5 * len(metrics), 0.55 * len(order) + 2.2),
+        figsize=(4.5 * len(metrics),
+                 0.55 * (len(order) + len(pair_order)) + 2.2),
         sharey=True,
     )
     axes = np.atleast_1d(axes)
@@ -463,13 +472,30 @@ def plot_sobol_indices(indices: dict, output_dir: str | None = None,
                 xerr=_xerr("total_order", t), label="total-order T")
         ax.barh(y - h / 2, s, height=h, color="tab:blue", alpha=0.7,
                 xerr=_xerr("first_order", s), label="first-order S")
+        if pair_order:
+            i2 = np.asarray([blk["second_order"][p]["interaction"]
+                             for p in pair_order])
+            ci2 = [blk["second_order"][p]["ci95"] for p in pair_order]
+            xerr2 = None
+            if not any(c[0] is None for c in ci2):
+                lo = i2 - np.asarray([c[0] for c in ci2], np.float64)
+                hi = np.asarray([c[1] for c in ci2], np.float64) - i2
+                xerr2 = np.vstack([np.maximum(lo, 0.0),
+                                   np.maximum(hi, 0.0)])
+            ax.barh(yp, i2, height=2 * h, color="tab:green", alpha=0.7,
+                    xerr=xerr2, label="pair interaction S_ij")
+            ax.axhline(len(pair_order) - 0.5, color="gray",
+                       linewidth=0.8, linestyle=":")
         ax.axvline(0.0, color="black", linewidth=0.8)
         ax.set_xlabel("variance share")
         ax.set_title(f"{m.replace('_', ' ')}\n"
                      f"(sigma = {blk['variance'] ** 0.5:.4g})")
         ax.grid(True, alpha=0.3, axis="x")
-    axes[0].set_yticks(y)
-    axes[0].set_yticklabels([g.replace("_", " ") for g in order])
+    axes[0].set_yticks(np.concatenate([yp, y]))
+    axes[0].set_yticklabels(
+        [p.replace("*", " x ").replace("_", " ") for p in pair_order]
+        + [g.replace("_", " ") for g in order]
+    )
     axes[0].legend(loc="lower right")
     plt.tight_layout()
     if output_dir is not None:

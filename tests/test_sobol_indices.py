@@ -198,15 +198,17 @@ def test_flight_pairs_structure_and_validation():
             sobol_indices(scene, ic, cfg, n=32, pairs=bad)
 
 
-def _fake_indices(with_ci=True):
+def _fake_indices(with_ci=True, with_pairs=False):
     """Hand-built decomposition dict (plot tests need no flight run)."""
     groups = ["mass", "motor_thrust", "wind_turbulence"]
     shares = {"mass": 0.2, "motor_thrust": 0.7, "wind_turbulence": -0.01}
+    pair_shares = {"mass*wind_turbulence": 0.11,
+                   "motor_thrust*wind_turbulence": -0.02}
 
     def blk():
         ci = (lambda v, w: [v - w, v + w]) if with_ci else (
             lambda v, w: [None, None])
-        return {
+        out = {
             "mean": 1.0, "variance": 4.0,
             "first_order": {g: {"S": v, "ci95": ci(v, 0.05)}
                             for g, v in shares.items()},
@@ -214,8 +216,16 @@ def _fake_indices(with_ci=True):
                             for g, v in shares.items()},
             "sum_first_order": sum(shares.values()),
         }
+        if with_pairs:
+            out["second_order"] = {
+                p: {"closed": v + 0.3, "interaction": v,
+                    "ci95": ci(v, 0.06)}
+                for p, v in pair_shares.items()
+            }
+        return out
 
     return {"n": 64, "n_valid": 60, "n_sims": 320, "groups": groups,
+            "pairs": list(pair_shares) if with_pairs else [],
             "apogee_altitude": blk(), "range": blk(), "flight_time": blk()}
 
 
@@ -230,6 +240,13 @@ def test_plot_sobol_indices(tmp_path):
     # n_boot=0 decompositions ([None, None] CIs) plot without error bars
     path2 = plot_sobol_indices(_fake_indices(with_ci=False), str(tmp_path))
     assert os.path.getsize(path2) > 10_000
+    # pairs= decompositions add interaction rows (with and without CIs)
+    path3 = plot_sobol_indices(_fake_indices(with_pairs=True),
+                               str(tmp_path))
+    assert os.path.getsize(path3) > 10_000
+    path4 = plot_sobol_indices(
+        _fake_indices(with_ci=False, with_pairs=True), str(tmp_path))
+    assert os.path.getsize(path4) > 10_000
     # no groups / no metrics: nothing to draw
     assert plot_sobol_indices({"groups": [], "n": 0}) is None
 
