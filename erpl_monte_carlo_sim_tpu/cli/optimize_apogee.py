@@ -10,6 +10,15 @@ each iteration one forward+reverse pass through the full 6DOF flight.
 Usage:
   python -m erpl_monte_carlo_sim_tpu.cli.optimize_apogee \
       [param] [steps] [lr]          # default: rocket.fin_span, 10 steps
+  python -m erpl_monte_carlo_sim_tpu.cli.optimize_apogee \
+      [param] [steps] [lr] --robust [n_lanes] [--lam X] [--max-time T]
+
+``--robust`` optimizes the DISPERSED objective instead of the nominal
+flight: mean apogee over n_lanes Monte Carlo lanes (default 256), minus
+``--lam`` times its std for risk-averse designs — ``mc.optimize_robust``
+(one reverse pass through the whole dispersed batch per step; the
+nominal optimum and the under-dispersion optimum genuinely differ, see
+NOTES.md).
 """
 
 from __future__ import annotations
@@ -23,7 +32,7 @@ from ..engine import InitialConditions, SimConfig
 from ..engine.diff import apogee_and_grad
 from ..models import liquid_motor, nominal_scene
 
-__all__ = ["optimize"]
+__all__ = ["optimize", "main"]
 
 
 def optimize(param: str = "rocket.fin_span", steps: int = 10, lr: float = None,
@@ -71,8 +80,40 @@ def optimize(param: str = "rocket.fin_span", steps: int = 10, lr: float = None,
     return history
 
 
+def main(argv=None) -> list:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    robust_lanes = 0
+    lam = 0.0
+    if "--robust" in argv:
+        i = argv.index("--robust")
+        argv.pop(i)
+        robust_lanes = 256
+        if i < len(argv) and not argv[i].startswith("-"):
+            robust_lanes = int(argv.pop(i))
+    if "--lam" in argv:
+        i = argv.index("--lam")
+        argv.pop(i)
+        lam = float(argv.pop(i))
+    max_time = 120.0
+    if "--max-time" in argv:
+        i = argv.index("--max-time")
+        argv.pop(i)
+        max_time = float(argv.pop(i))
+    param = argv[0] if len(argv) > 0 else "rocket.fin_span"
+    steps = int(argv[1]) if len(argv) > 1 else 10
+    lr = float(argv[2]) if len(argv) > 2 else None
+    if robust_lanes:
+        from ..mc.robust import optimize_robust
+
+        return optimize_robust(
+            nominal_scene(liquid_motor()),
+            InitialConditions.vertical_launch(),
+            SimConfig(max_time=max_time),
+            wrt=param, n_lanes=robust_lanes, risk_lambda=lam,
+            steps=steps, lr=lr, verbose=True,
+        )
+    return optimize(param, steps, lr, cfg=SimConfig(max_time=max_time))
+
+
 if __name__ == "__main__":
-    param = sys.argv[1] if len(sys.argv) > 1 else "rocket.fin_span"
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    lr = float(sys.argv[3]) if len(sys.argv) > 3 else None
-    optimize(param, steps, lr)
+    main()

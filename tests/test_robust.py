@@ -1,0 +1,96 @@
+"""Design optimization under dispersion (mc/robust.py).
+
+No reference counterpart (`find_max_apogee.py` only scans saved samples
+post-hoc). Pins: the SAA objective is deterministic and finite; the
+risk-lambda arithmetic; loud rejection of dispersed design leaves; the
+dispersed gradient against finite differences of the SAME objective
+(slow); and the CLI routing.
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+from erpl_monte_carlo_sim_tpu.mc import (
+    dispersed_objective_and_grad,
+    optimize_robust,
+)
+from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+SCENE = nominal_scene(liquid_motor())
+IC = InitialConditions.vertical_launch()
+CFG = SimConfig(max_time=2.0)
+KW = dict(wrt="rocket.fin_span", n_lanes=8, seed=3)
+
+
+def test_objective_deterministic_and_risk_identity():
+    obj, grad, diag = dispersed_objective_and_grad(SCENE, IC, CFG, **KW)
+    assert jnp.isfinite(obj) and jnp.isfinite(grad)
+    assert diag["mean"] == pytest.approx(float(obj))
+    assert diag["std"] == 0.0  # not computed on the lam=0 path
+    obj2, grad2, diag2 = dispersed_objective_and_grad(SCENE, IC, CFG, **KW)
+    assert float(obj2) == float(obj) and float(grad2) == float(grad)
+    # objective = mean - lam * std, same lanes (SAA: same seed)
+    lam = 0.7
+    obj_l, _, diag_l = dispersed_objective_and_grad(
+        SCENE, IC, CFG, risk_lambda=lam, **KW
+    )
+    assert diag_l["mean"] == pytest.approx(diag["mean"], rel=1e-6)
+    assert diag_l["std"] > 0.0
+    assert float(obj_l) == pytest.approx(
+        diag_l["mean"] - lam * diag_l["std"], rel=1e-6
+    )
+
+
+def test_dispersed_leaf_and_bad_metric_rejected():
+    with pytest.raises(ValueError, match="DISPERSED"):
+        dispersed_objective_and_grad(
+            SCENE, IC, CFG, wrt="motor.thrust_scale", n_lanes=4
+        )
+    with pytest.raises(ValueError, match="metric"):
+        dispersed_objective_and_grad(
+            SCENE, IC, CFG, wrt="rocket.fin_span", metric="bogus",
+            n_lanes=4,
+        )
+
+
+@pytest.mark.slow
+def test_dispersed_gradient_matches_fd():
+    """The reverse-pass gradient of the dispersed mean agrees with the
+    central finite difference of the same fixed-lane objective."""
+    v0 = float(jnp.asarray(SCENE.rocket.fin_span))
+    obj, grad, _ = dispersed_objective_and_grad(SCENE, IC, CFG, value=v0,
+                                                **KW)
+    h = 2e-3 * v0
+    op, _, _ = dispersed_objective_and_grad(SCENE, IC, CFG, value=v0 + h,
+                                            **KW)
+    om, _, _ = dispersed_objective_and_grad(SCENE, IC, CFG, value=v0 - h,
+                                            **KW)
+    fd = (float(op) - float(om)) / (2 * h)
+    assert float(grad) == pytest.approx(fd, rel=5e-2, abs=1e-4)
+
+
+@pytest.mark.slow
+def test_optimize_robust_ascends_and_cli_routes(capsys):
+    """A few fixed-magnitude steps on a risk-neutral fin-span ascent move
+    the objective in the gradient direction; the CLI --robust flag routes
+    here with --lam parsed."""
+    hist = optimize_robust(SCENE, IC, CFG, steps=3, **KW)
+    assert len(hist) == 3
+    v0, o0, g0, m0, s0 = hist[0]
+    v1, o1, _, _, _ = hist[1]
+    assert v1 == pytest.approx(v0 + 0.02 * v0 * (1 if g0 > 0 else -1))
+    # SAA objective is deterministic, so the step direction must pay off
+    assert (o1 - o0) * (1 if g0 > 0 else -1) >= 0 or abs(o1 - o0) < 1e-3
+    assert m0 == pytest.approx(o0)
+
+    from erpl_monte_carlo_sim_tpu.cli import optimize_apogee
+
+    out = optimize_apogee.main(
+        ["rocket.fin_span", "1", "--robust", "8", "--lam", "0.5",
+         "--max-time", "2.0"]
+    )
+    assert len(out) == 1
+    _, obj, _, mean, std = out[0]
+    assert obj == pytest.approx(mean - 0.5 * std, rel=1e-6)
+    assert "objective=" in capsys.readouterr().out
