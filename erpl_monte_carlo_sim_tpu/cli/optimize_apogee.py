@@ -59,6 +59,8 @@ def optimize(param: str = "rocket.fin_span", steps: int = 10, lr: float = None,
             child = objs[-1].replace(**{parts[-1]: val})
             for obj, p in zip(reversed(objs[:-1]), reversed(parts[:-1])):
                 child = obj.replace(**{p: child})
+            # no refresh here: apogee_and_grad's own accessor write
+            # re-writes the value and refreshes derived geometry in-trace
             return child
 
         apogee, grad = apogee_and_grad(

@@ -157,13 +157,20 @@ def _scene_accessors(wrt: str):
         return jnp.asarray(v, jnp.result_type(float))
 
     def write(s, v):
+        from ..models.rocket import refresh_derived
+
         objs = [s]
         for p in parts[:-1]:
             objs.append(getattr(objs[-1], p))
         child = objs[-1].replace(**{parts[-1]: v})
         for obj, p in zip(reversed(objs[:-1]), reversed(parts[:-1])):
             child = obj.replace(**{p: child})
-        return child
+        # refresh the derived geometry (reference area/diameter, Barrowman
+        # CP) IN-TRACE so geometry gradients carry the CP-travel /
+        # stability-margin channel — create() computes these once in
+        # Python, which would freeze them across design writes. No-op for
+        # non-geometry wrt (recomputed from untouched primaries).
+        return child.replace(rocket=refresh_derived(child.rocket))
 
     return read, write
 

@@ -92,6 +92,9 @@ def dispersed_objective_and_grad(
                      jnp.result_type(float))
 
     def objective(v):
+        # write() refreshes the derived geometry (reference area,
+        # Barrowman CP) in-trace, so geometry gradients carry the
+        # stability-margin channel, not just the sim-time lift/drag terms
         m = simulate_metrics_diff(write(scene_b, v), ic_b, cfg,
                                   n_steps=n_steps)[metric]
         mean = jnp.mean(m)

@@ -36,6 +36,8 @@ __all__ = [
     "MassProperties",
     "AeroCoefficients",
     "barrowman_cp",
+    "barrowman_cp_traced",
+    "refresh_derived",
     "mass_properties",
     "dynamic_cp",
     "aero_coefficients",
@@ -150,6 +152,55 @@ def barrowman_cp(p: RocketParams) -> float:
     if cn_total > 0:
         return (cn_nose * x_nose + cn_fins * x_fins) / cn_total
     return length / 2.0
+
+
+def barrowman_cp_traced(p: RocketParams) -> jnp.ndarray:
+    """``barrowman_cp`` as a traced jnp computation — same formula, no
+    float() casts, so design gradients (``mc.robust``, the optimizer
+    CLIs) can flow through the CP location. Agrees with the config-time
+    Python value to dtype precision (pinned by test); branch guards
+    become ``where`` so zero-chord/degenerate geometry stays finite.
+    """
+    cn_nose = 2.0
+    x_nose = 0.666 * jnp.asarray(p.nose_length)
+
+    cr = jnp.asarray(p.fin_root_chord)
+    ct = jnp.asarray(p.fin_tip_chord)
+    s = jnp.asarray(p.fin_span)
+    sweep = jnp.asarray(p.fin_sweep_angle)
+    n = jnp.asarray(p.fin_count)
+    diameter = jnp.asarray(p.diameter)
+    ref_area = jnp.asarray(p.reference_area)
+    length = jnp.asarray(p.length)
+
+    fin_area = 0.5 * (cr + ct) * s
+    lam = jnp.where(cr != 0, ct / jnp.where(cr != 0, cr, 1.0), 0.0)
+    cn_fins = 2.0 * n * (1.0 + diameter / (2.0 * s)) * (fin_area / ref_area)
+    mac = (2.0 / 3.0) * cr * (1.0 + lam + lam**2) / (1.0 + lam)
+    y_bar = s * (1.0 + 2.0 * lam) / (3.0 * (1.0 + lam))
+    x_fins = (length - cr) + y_bar * jnp.tan(sweep) + 0.25 * mac
+
+    cn_total = cn_nose + cn_fins
+    return jnp.where(
+        cn_total > 0,
+        (cn_nose * x_nose + cn_fins * x_fins)
+        / jnp.where(cn_total > 0, cn_total, 1.0),
+        length / 2.0,
+    )
+
+
+def refresh_derived(p: RocketParams) -> RocketParams:
+    """Recompute the derived geometry fields (reference area/diameter,
+    Barrowman CP) from the primary ones, traced. ``create()`` does this
+    once in Python at config time; design-optimization writes
+    (``mc.robust``, ``cli.optimize_apogee``) call this after changing a
+    geometry leaf so the gradient carries the full effect — including CP
+    travel and the stability-margin change, not just the sim-time lift
+    terms."""
+    d = jnp.asarray(p.diameter)
+    p = p.replace(reference_area=jnp.pi * (d / 2.0) ** 2,
+                  reference_diameter=d)
+    return p.replace(cp_location=barrowman_cp_traced(p))
 
 
 class MassProperties(NamedTuple):

@@ -54,6 +54,40 @@ def test_dispersed_leaf_and_bad_metric_rejected():
         )
 
 
+def test_design_writes_refresh_derived_geometry():
+    """Design writes recompute reference area + Barrowman CP in-trace
+    (create() freezes them in Python), so geometry gradients carry the
+    CP-travel / stability channel."""
+    import jax
+
+    from erpl_monte_carlo_sim_tpu.engine.diff import _scene_accessors
+    from erpl_monte_carlo_sim_tpu.models.rocket import (
+        barrowman_cp,
+        barrowman_cp_traced,
+        refresh_derived,
+    )
+
+    r = SCENE.rocket
+    # traced twin agrees with the config-time Python value
+    assert float(barrowman_cp_traced(r)) == pytest.approx(
+        barrowman_cp(r), rel=1e-6)
+    assert float(jnp.asarray(refresh_derived(r).cp_location)
+                 ) == pytest.approx(float(jnp.asarray(r.cp_location)),
+                                    rel=1e-6)
+    # CP genuinely moves with fin span (aft with bigger fins)
+    dcp = jax.grad(lambda v: barrowman_cp_traced(r.replace(fin_span=v)))(
+        jnp.asarray(0.2))
+    assert float(dcp) > 0.0
+    # the accessor write carries the refresh: written scene's CP differs
+    # from the frozen one when the span changes
+    _, write = _scene_accessors("rocket.fin_span")
+    s2 = write(SCENE, jnp.asarray(0.3))
+    assert float(jnp.asarray(s2.rocket.cp_location)) > float(
+        jnp.asarray(SCENE.rocket.cp_location))
+    assert float(jnp.asarray(s2.rocket.reference_area)) == pytest.approx(
+        float(jnp.asarray(SCENE.rocket.reference_area)))
+
+
 @pytest.mark.slow
 def test_dispersed_gradient_matches_fd():
     """The reverse-pass gradient of the dispersed mean agrees with the
