@@ -11,7 +11,8 @@ Usage:
   python -m erpl_monte_carlo_sim_tpu.cli.optimize_apogee \
       [param] [steps] [lr]          # default: rocket.fin_span, 10 steps
   python -m erpl_monte_carlo_sim_tpu.cli.optimize_apogee \
-      [param] [steps] [lr] --robust [n_lanes] [--lam X] [--max-time T]
+      [param] [steps] [lr] --robust [n_lanes] [--lam X] [--max-time T] \
+      [--metric m]
 
 ``--robust`` optimizes the DISPERSED objective instead of the nominal
 flight: mean apogee over n_lanes Monte Carlo lanes (default 256), minus
@@ -101,6 +102,11 @@ def main(argv=None) -> list:
         i = argv.index("--max-time")
         argv.pop(i)
         max_time = float(argv.pop(i))
+    metric = "apogee_altitude"
+    if "--metric" in argv:
+        i = argv.index("--metric")
+        argv.pop(i)
+        metric = argv.pop(i)
     param = argv[0] if len(argv) > 0 else "rocket.fin_span"
     steps = int(argv[1]) if len(argv) > 1 else 10
     lr = float(argv[2]) if len(argv) > 2 else None
@@ -111,8 +117,8 @@ def main(argv=None) -> list:
             nominal_scene(liquid_motor()),
             InitialConditions.vertical_launch(),
             SimConfig(max_time=max_time),
-            wrt=param, n_lanes=robust_lanes, risk_lambda=lam,
-            steps=steps, lr=lr, verbose=True,
+            wrt=param, metric=metric, n_lanes=robust_lanes,
+            risk_lambda=lam, steps=steps, lr=lr, verbose=True,
         )
     return optimize(param, steps, lr, cfg=SimConfig(max_time=max_time))
 

@@ -19,11 +19,17 @@ from .stats import (
     masked_stats,
 )
 from .robust import dispersed_objective_and_grad, optimize_robust
-from .sobol_indices import active_groups, jansen_estimates, sobol_indices
+from .sobol_indices import (
+    active_groups,
+    jansen_estimates,
+    select_interaction_pairs,
+    sobol_indices,
+)
 from .tail import TailReservoir, fit_gpd_pwm, gpd_tail, tail_from_analysis
 
 __all__ = [
     "sobol_indices", "jansen_estimates", "active_groups",
+    "select_interaction_pairs",
     "dispersed_objective_and_grad", "optimize_robust",
     "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
     "sample_dispersions", "scene_in_axes", "select_lane", "OutlierBounds",

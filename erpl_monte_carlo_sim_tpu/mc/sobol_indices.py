@@ -74,7 +74,8 @@ from ..engine.batch import simulate_summary_batch
 from .dispersions import UncertaintyParams, _build_scene
 from .filter import OutlierBounds, outlier_mask
 
-__all__ = ["sobol_indices", "jansen_estimates", "active_groups"]
+__all__ = ["sobol_indices", "jansen_estimates", "active_groups",
+           "select_interaction_pairs"]
 
 _SCALAR_GROUPS = (
     # (group, ch key, kind, dims): kind "normal" draws z ~ N(0,1)*sigma,
@@ -179,6 +180,19 @@ def _assemble(scene, ic, params, draws, grid, base_wind, dtype):
     return scene_b, ic_b
 
 
+def select_interaction_pairs(gaps: dict, threshold: float = 0.1,
+                             max_groups: int = 4) -> list:
+    """Pure pair-selection rule for ``pairs="auto"``: groups whose
+    total-minus-first-order gap (their interaction budget) reaches
+    ``threshold`` are candidates; the top ``max_groups`` by gap form all
+    2-subsets, in the stable order of ``gaps``'s keys. Deterministic."""
+    order = list(gaps)
+    cand = [g for g in order if gaps[g] >= threshold]
+    cand = sorted(cand, key=lambda g: -gaps[g])[:max_groups]
+    cand.sort(key=order.index)
+    return [(g1, g2) for i, g1 in enumerate(cand) for g2 in cand[i + 1:]]
+
+
 def jansen_estimates(f_a, f_b, f_abs: dict) -> dict:
     """Pure estimator math on already-masked metric vectors: Jansen
     first-order/total indices per group plus the variance they share.
@@ -220,7 +234,7 @@ def sobol_indices(
     wind_grid_top: float = 25000.0,
     bounds: OutlierBounds = OutlierBounds(),
     n_boot: int = 500,
-    pairs: list | None = None,
+    pairs: list | str | None = None,
 ) -> dict:
     """Sobol' variance decomposition of the dispersed flight metrics.
 
@@ -241,6 +255,10 @@ def sobol_indices(
     (closed - S_i - S_j), the quantity one asks the pair option for.
 
     ``groups=None`` analyzes every active group (``active_groups``).
+    ``pairs="auto"`` selects the pairs itself from the first-order run:
+    all 2-subsets of the (at most 4) groups whose total-minus-first-order
+    gap reaches 0.1 (``select_interaction_pairs``) — near-additive
+    regimes get no pair sims at all.
     Deterministic in ``(seed, n, config)`` like every other sampler path.
     Bootstrap CIs resample lanes jointly (the A/B/AB rows of one lane
     stay paired), so they carry the pick-freeze correlation structure.
@@ -257,13 +275,15 @@ def sobol_indices(
             )
     if not groups:
         raise ValueError("no active dispersion channels to analyze")
-    pairs = [tuple(p) for p in (pairs or [])]
-    for p in pairs:
-        if len(p) != 2 or p[0] == p[1] or not set(p) <= set(groups):
-            raise ValueError(
-                f"pair {p} must name two DISTINCT analyzed groups "
-                f"(analyzed: {sorted(groups)})"
-            )
+    auto_pairs = pairs == "auto"
+    if not auto_pairs:
+        pairs = [tuple(p) for p in (pairs or [])]
+        for p in pairs:
+            if len(p) != 2 or p[0] == p[1] or not set(p) <= set(groups):
+                raise ValueError(
+                    f"pair {p} must name two DISTINCT analyzed groups "
+                    f"(analyzed: {sorted(groups)})"
+                )
     dtype = jnp.asarray(scene.rocket.dry_mass).dtype
     if base_wind is not None:
         base_wind = (jnp.asarray(base_wind[0], dtype),
@@ -295,6 +315,26 @@ def sobol_indices(
     for g in groups:
         f_ab[g], v = run({**draws_a, g: draws_b[g]})
         valid &= v
+    if auto_pairs:
+        # interaction budget per group from the matrices already run,
+        # on the jointly-valid-so-far lanes; the final estimates below
+        # still use the full joint mask including the pair matrices
+        if int(valid.sum()) < 16:
+            raise ValueError(
+                f"only {int(valid.sum())} of {n} lanes are jointly valid "
+                "before pair selection; raise n or loosen the bounds"
+            )
+        gaps = {}
+        for g in groups:
+            gap = 0.0
+            for m in metrics:
+                e = jansen_estimates(
+                    f_a[m][valid], f_b[m][valid],
+                    {g: f_ab[g][m][valid]},
+                )["groups"][g]
+                gap = max(gap, e["T"] - e["S"])
+            gaps[g] = gap
+        pairs = select_interaction_pairs(gaps)
     f_ab2 = {}
     for g1, g2 in pairs:
         f_ab2[(g1, g2)], v = run(

@@ -171,6 +171,44 @@ def test_unknown_group_raises():
                       SimConfig(max_time=2.0), groups=["bogus"], n=32)
 
 
+def test_select_interaction_pairs_rule():
+    """pairs="auto" selection: threshold, top-k cap, stable ordering."""
+    from erpl_monte_carlo_sim_tpu.mc import select_interaction_pairs
+
+    gaps = {"a": 0.05, "b": 0.3, "c": 0.12, "d": 0.01}
+    assert select_interaction_pairs(gaps) == [("b", "c")]
+    # below threshold everywhere: no pairs, no extra sims
+    assert select_interaction_pairs({"a": 0.09, "b": 0.0}) == []
+    # cap: only the top max_groups by gap, pairs in stable key order
+    gaps = {"a": 0.2, "b": 0.5, "c": 0.3, "d": 0.4}
+    assert select_interaction_pairs(gaps, max_groups=3) == [
+        ("b", "c"), ("b", "d"), ("c", "d")
+    ]
+    assert select_interaction_pairs(gaps, threshold=0.45) == []
+    # determinism in dict order, not value ties
+    assert select_interaction_pairs(gaps) == select_interaction_pairs(gaps)
+
+
+def test_flight_auto_pairs_structure():
+    """pairs="auto" runs end-to-end: whatever pairs the gap rule picks
+    get second_order blocks; an empty pick omits the block. Deterministic
+    like the explicit-pair path."""
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    cfg = SimConfig(max_time=4.0)
+    kw = dict(n=160, seed=9, n_boot=0, pairs="auto")
+    out = sobol_indices(scene, ic, cfg, **kw)
+    assert isinstance(out["pairs"], list)
+    assert out["n_sims"] == 160 * (2 + len(out["groups"])
+                                   + len(out["pairs"]))
+    for m in ("apogee_altitude", "range", "flight_time"):
+        if out["pairs"]:
+            assert set(out[m]["second_order"]) == set(out["pairs"])
+        else:
+            assert "second_order" not in out[m]
+    assert sobol_indices(scene, ic, cfg, **kw) == out
+
+
 def test_flight_pairs_structure_and_validation():
     """pairs= adds one AB_ij matrix per pair: budget accounting, the
     closed/interaction identity, interaction CIs, determinism; bad pairs
