@@ -22,6 +22,7 @@ from .robust import dispersed_objective_and_grad, optimize_robust
 from .sobol_indices import (
     active_groups,
     jansen_estimates,
+    pure_interactions,
     select_interaction_pairs,
     sobol_indices,
 )
@@ -29,7 +30,7 @@ from .tail import TailReservoir, fit_gpd_pwm, gpd_tail, tail_from_analysis
 
 __all__ = [
     "sobol_indices", "jansen_estimates", "active_groups",
-    "select_interaction_pairs",
+    "select_interaction_pairs", "pure_interactions",
     "dispersed_objective_and_grad", "optimize_robust",
     "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
     "sample_dispersions", "scene_in_axes", "select_lane", "OutlierBounds",

@@ -29,9 +29,12 @@ pair at once (matrix AB_{ij}), one extra simulation per pair. The same
 first-order estimator applied to the pair swap yields the CLOSED
 second-order index S^c_{ij} = (V_i + V_j + V_ij)/V, from which the pure
 interaction share S_ij = S^c_{ij} - S_i - S_j follows (Saltelli et al.
-2010 §3.3). The measured full-flight decomposition (NOTES.md) has
-sum(S) of only 0.27-0.44 — 56-73% of the variance is interactions —
-so naming WHICH pairs carry it is the payoff of this option.
+2010 §3.3). Subsets of ANY size are accepted the same way — a triple
+(g1, g2, g3) yields the pure three-way share by inclusion-exclusion,
+provided its pairs are requested too. The measured full-flight
+decomposition (NOTES.md) has sum(S) of only 0.27-0.44 — 56-73% of the
+variance is interactions — so naming WHICH subsets carry it is the
+payoff of this option.
 
 Channel groups mirror ``mc.dispersions`` exactly (the pick-freeze draws
 feed the same ``_build_scene`` assembly the production sampler uses, so
@@ -65,6 +68,7 @@ rate's job to keep small).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +79,7 @@ from .dispersions import UncertaintyParams, _build_scene
 from .filter import OutlierBounds, outlier_mask
 
 __all__ = ["sobol_indices", "jansen_estimates", "active_groups",
-           "select_interaction_pairs"]
+           "select_interaction_pairs", "pure_interactions"]
 
 _SCALAR_GROUPS = (
     # (group, ch key, kind, dims): kind "normal" draws z ~ N(0,1)*sigma,
@@ -193,6 +197,25 @@ def select_interaction_pairs(gaps: dict, threshold: float = 0.1,
     return [(g1, g2) for i, g1 in enumerate(cand) for g2 in cand[i + 1:]]
 
 
+def pure_interactions(est: dict, subsets: list) -> dict:
+    """Pure interaction share per requested subset from a
+    ``jansen_estimates`` output whose ``f_abs`` included the subset
+    swaps: the closed subset index minus every strictly smaller effect
+    inside it — singles from first order, smaller subsets from the pure
+    values already computed (inclusion-exclusion, size order; the caller
+    must have requested every sub-subset of any |U| > 2 entry)."""
+    pure = {}
+    for p in sorted(subsets, key=len):
+        val = est["groups"][p]["S"] - sum(
+            est["groups"][g]["S"] for g in p
+        )
+        for q, qv in pure.items():
+            if set(q) < set(p):
+                val -= qv
+        pure[p] = val
+    return pure
+
+
 def jansen_estimates(f_a, f_b, f_abs: dict) -> dict:
     """Pure estimator math on already-masked metric vectors: Jansen
     first-order/total indices per group plus the variance they share.
@@ -279,11 +302,28 @@ def sobol_indices(
     if not auto_pairs:
         pairs = [tuple(p) for p in (pairs or [])]
         for p in pairs:
-            if len(p) != 2 or p[0] == p[1] or not set(p) <= set(groups):
+            if (len(p) < 2 or len(set(p)) != len(p)
+                    or not set(p) <= set(groups)):
                 raise ValueError(
-                    f"pair {p} must name two DISTINCT analyzed groups "
+                    f"pair {p} must name >= 2 DISTINCT analyzed groups "
                     f"(analyzed: {sorted(groups)})"
                 )
+        sets = [frozenset(p) for p in pairs]
+        if len(set(sets)) != len(sets):
+            raise ValueError("duplicate pair/subset requested")
+        for p, fs in zip(pairs, sets):
+            if len(p) > 2:
+                # inclusion-exclusion needs every smaller interaction
+                missing = [
+                    q for k in range(2, len(p))
+                    for q in itertools.combinations(p, k)
+                    if frozenset(q) not in sets
+                ]
+                if missing:
+                    raise ValueError(
+                        f"subset {p} needs its sub-subsets {missing} "
+                        "requested too (inclusion-exclusion)"
+                    )
     dtype = jnp.asarray(scene.rocket.dry_mass).dtype
     if base_wind is not None:
         base_wind = (jnp.asarray(base_wind[0], dtype),
@@ -336,10 +376,8 @@ def sobol_indices(
             gaps[g] = gap
         pairs = select_interaction_pairs(gaps)
     f_ab2 = {}
-    for g1, g2 in pairs:
-        f_ab2[(g1, g2)], v = run(
-            {**draws_a, g1: draws_b[g1], g2: draws_b[g2]}
-        )
+    for p in pairs:
+        f_ab2[p], v = run({**draws_a, **{g: draws_b[g] for g in p}})
         valid &= v
     n_valid = int(valid.sum())
     if n_valid < 16:
@@ -356,12 +394,11 @@ def sobol_indices(
         "n_valid": n_valid,
         "n_sims": int(n * (2 + len(groups) + len(pairs))),
         "groups": list(groups),
-        "pairs": [f"{g1}*{g2}" for g1, g2 in pairs],
+        "pairs": ["*".join(p) for p in pairs],
     }
-    def _interaction(e, g1, g2):
-        # closed pair index minus the two first-order shares
-        return (e["groups"][(g1, g2)]["S"] - e["groups"][g1]["S"]
-                - e["groups"][g2]["S"])
+
+    def _pure_interactions(e):
+        return pure_interactions(e, pairs)
 
     for m in metrics:
         fa, fb = f_a[m][valid], f_b[m][valid]
@@ -385,9 +422,10 @@ def sobol_indices(
                 for g in groups:
                     reps[g]["S"][r] = e["groups"][g]["S"]
                     reps[g]["T"][r] = e["groups"][g]["T"]
+                pr = _pure_interactions(e)
                 for p in pairs:
                     # CI on the INTERACTION share, not the closed index
-                    reps[p]["S"][r] = _interaction(e, *p)
+                    reps[p]["S"][r] = pr[p]
             for k in keys:
                 for which in (("S", "T") if k in groups else ("S",)):
                     lo, hi = np.percentile(reps[k][which], [2.5, 97.5])
@@ -398,13 +436,14 @@ def sobol_indices(
             block["total_order"][g] = {"T": est["groups"][g]["T"],
                                        "ci95": ci[g]["T"]}
         if pairs:
+            pure = _pure_interactions(est)
             block["second_order"] = {
-                f"{g1}*{g2}": {
-                    "closed": est["groups"][(g1, g2)]["S"],
-                    "interaction": _interaction(est, g1, g2),
-                    "ci95": ci[(g1, g2)]["S"],
+                "*".join(p): {
+                    "closed": est["groups"][p]["S"],
+                    "interaction": pure[p],
+                    "ci95": ci[p]["S"],
                 }
-                for g1, g2 in pairs
+                for p in pairs
             }
         block["sum_first_order"] = float(
             sum(est["groups"][g]["S"] for g in groups)

@@ -46,6 +46,12 @@ PAIRS = {
         ("wind_direction", "wind_turbulence"),
         ("wind_speed", "wind_turbulence"),
         ("angular_velocity", "wind_turbulence"),
+        # pure three-way probes (their pairs are above, as
+        # inclusion-exclusion requires): the first-order run left ~0.3
+        # of apogee variance beyond singles+pairs, and the pair pattern
+        # suggested direction x rate x turbulence
+        ("wind_direction", "angular_velocity", "wind_turbulence"),
+        ("wind_speed", "wind_direction", "angular_velocity"),
     ],
 }
 

@@ -171,6 +171,36 @@ def test_unknown_group_raises():
                       SimConfig(max_time=2.0), groups=["bogus"], n=32)
 
 
+def test_pure_three_way_interaction_recovered():
+    """Inclusion-exclusion through the subset machinery: f = x1 + x2*x3
+    + x1*x2*x3 on standard normals has S1 = ..., pure (2,3) and pure
+    (1,2,3) shares known exactly: V1 = 1, V23 = 1, V123 = 1, V = 3."""
+    from erpl_monte_carlo_sim_tpu.mc import pure_interactions
+
+    n = 400_000
+    za = RNG.normal(size=(n, 3))
+    zb = RNG.normal(size=(n, 3))
+
+    def f(z):
+        return (z[:, 0] + z[:, 1] * z[:, 2]
+                + z[:, 0] * z[:, 1] * z[:, 2])
+
+    fa, fb, fabs = _pick_freeze(f, za, zb, [0, 1, 2])
+    for sub in [(0, 1), (0, 2), (1, 2), (0, 1, 2)]:
+        z = za.copy()
+        z[:, list(sub)] = zb[:, list(sub)]
+        fabs[sub] = f(z)
+    est = jansen_estimates(fa, fb, fabs)
+    subsets = [(0, 1), (0, 2), (1, 2), (0, 1, 2)]
+    pure = pure_interactions(est, subsets)
+    # V(f) = 1 (x1) + 1 (x2x3) + 1 (x1x2x3); no other terms
+    assert est["groups"][0]["S"] == pytest.approx(1 / 3, abs=0.02)
+    assert pure[(1, 2)] == pytest.approx(1 / 3, abs=0.03)
+    assert pure[(0, 1, 2)] == pytest.approx(1 / 3, abs=0.04)
+    assert pure[(0, 1)] == pytest.approx(0.0, abs=0.03)
+    assert pure[(0, 2)] == pytest.approx(0.0, abs=0.03)
+
+
 def test_select_interaction_pairs_rule():
     """pairs="auto" selection: threshold, top-k cap, stable ordering."""
     from erpl_monte_carlo_sim_tpu.mc import select_interaction_pairs
@@ -234,6 +264,10 @@ def test_flight_pairs_structure_and_validation():
                 [("mass", "nope")]):
         with pytest.raises(ValueError, match="pair"):
             sobol_indices(scene, ic, cfg, n=32, pairs=bad)
+    # a triple needs its pairs requested too (inclusion-exclusion)
+    with pytest.raises(ValueError, match="sub-subsets"):
+        sobol_indices(scene, ic, cfg, n=32,
+                      pairs=[("mass", "motor_thrust", "density")])
 
 
 def _fake_indices(with_ci=True, with_pairs=False):
