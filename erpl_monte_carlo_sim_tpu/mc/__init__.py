@@ -9,6 +9,7 @@ from .dispersions import (
     scene_in_axes,
     select_lane,
 )
+from .envelope import EnvelopeAccumulator, EnvelopeConfig, trajectory_channel
 from .filter import OutlierBounds, decode_reasons, outlier_mask
 from .importance import log_weights, weighted_mean, weighted_tail
 from .two_level import parity_twin, two_level_block
@@ -41,4 +42,5 @@ __all__ = [
     "log_weights", "weighted_mean", "weighted_tail",
     "parity_twin", "two_level_block",
     "TailReservoir", "fit_gpd_pwm", "gpd_tail", "tail_from_analysis",
+    "EnvelopeAccumulator", "EnvelopeConfig", "trajectory_channel",
 ]

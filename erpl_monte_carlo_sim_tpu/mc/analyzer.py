@@ -1178,6 +1178,63 @@ class MonteCarloAnalyzer:
         self._resim_memo = (memo_key, out)
         return out
 
+    def flight_envelope(
+        self,
+        lane_ids=None,
+        n_lanes: int = 4096,
+        chunk: int = 1024,
+        env_config=None,
+        sim_config: Optional[SimConfig] = None,
+        analysis: Optional[dict] = None,
+    ) -> dict:
+        """Time-binned population bands (mean/std/min/max/quantiles vs
+        time-since-rail-exit) over re-simulated MC lanes — see
+        ``mc.envelope``. The reference persists whole per-lane histories and
+        overlays a handful in its plots (`monte_carlo.py:510-517`); it has
+        no population-envelope product at all.
+
+        Lanes re-create by key in ``chunk``-sized batches and reduce ON
+        DEVICE to per-bin aggregates, so host traffic is O(n_bins) per
+        chunk. ``lane_ids=None`` takes the first ``n_lanes`` lanes of the
+        run — or, when ``analysis`` (the ``run_monte_carlo`` return) is
+        passed, the first ``n_lanes`` lanes its outlier filter accepted.
+        The re-simulation runs the analyzer's own SimConfig (tiered-dt
+        flags included) with ``record_derived`` forced on and the
+        envelope's ``record_stride`` applied.
+        """
+        from .envelope import EnvelopeAccumulator, EnvelopeConfig
+
+        if self._last_batch is None:
+            raise RuntimeError("run_monte_carlo first")
+        env = env_config if env_config is not None else EnvelopeConfig()
+        if lane_ids is None:
+            if analysis is not None and analysis.get("valid_mask") is not None:
+                lane_ids = np.nonzero(np.asarray(analysis["valid_mask"]))[0]
+                lane_ids = lane_ids[:n_lanes]
+            else:
+                if isinstance(self._last_batch, dict):
+                    n_run = int(self._last_batch["n_samples"])
+                else:
+                    n_run = int(self._last_batch[1].position.shape[0])
+                lane_ids = np.arange(min(n_lanes, n_run))
+        lane_ids = np.asarray(lane_ids, np.int64)
+        if lane_ids.size == 0:
+            raise ValueError("flight_envelope needs at least one lane")
+
+        import dataclasses
+
+        cfg = sim_config or self.sim_config
+        cfg = dataclasses.replace(cfg, record_derived=True)
+        if env.record_stride is not None:
+            cfg = dataclasses.replace(cfg, record_stride=env.record_stride)
+        acc = EnvelopeAccumulator(cfg, env)
+        for start in range(0, lane_ids.size, chunk):
+            ids = lane_ids[start:start + chunk]
+            _, traj = self.resimulate_trajectories(ids, cfg)
+            acc.add(traj)
+        self._resim_memo = None  # drop the last chunk's trajectories
+        return acc.result()
+
     def _resimulate_slabbed(self, lane_ids, sim_config: Optional[SimConfig] = None):
         """Re-create selected lanes of a slabbed run by key (determinism: a
         slab's dispersions depend only on ``fold_in(key, slab_idx)``), then

@@ -1,0 +1,301 @@
+"""Flight-envelope statistics: time-binned population bands over the MC.
+
+The deliverable: for each flight quantity (altitude, speed, Mach, angle of
+attack, stability margin, ...), the population's mean/std/min/max and
+quantile band as a function of time-since-rail-exit, across every surviving
+lane of a Monte Carlo run. The reference can only draw per-lane trajectory
+lines from its persisted histories (`/root/reference/plot_results.py` /
+`monte_carlo.py:510-517` keep whole trajectories per sim and the plots
+overlay a handful); it never computes population envelopes, and its
+keep-every-history strategy cannot scale to them. Here the trajectories are
+re-created by key in lane chunks (the analyzer's determinism-by-key
+re-simulation), and each chunk is reduced ON DEVICE to per-time-bin
+aggregates — O(n_bins) host traffic per chunk regardless of lane count, so
+an envelope over a 10M-lane run is just more chunks.
+
+Accuracy contract:
+- count/mean/std/min/max per bin are EXACT over the lanes fed in (device
+  f32 centered sums, host f64 Chan merge across chunks — same discipline
+  as ``mc.stats.FootprintAccumulator``).
+- quantile bands come from a fixed-edge per-bin histogram (``n_buckets``
+  buckets spanning the first chunk's per-bin [min, max], widened by a
+  margin); the value error is bounded by one bucket width, and mass
+  landing outside the calibrated span clamps into the edge buckets and is
+  reported as ``clipped_frac`` (first-chunk calibration sees every bin's
+  range to within sampling noise when chunks are a few hundred lanes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stats import PERCENTILES
+
+__all__ = ["EnvelopeConfig", "EnvelopeAccumulator", "trajectory_channel"]
+
+# Channels servable from a recorded Trajectory: state-derived ones always
+# exist; the rest require SimConfig.record_derived (the default).
+_STATE_CHANNELS = ("altitude", "speed")
+DEFAULT_CHANNELS = (
+    "altitude", "speed", "mach", "angle_of_attack", "stability_margin",
+    "drag",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvelopeConfig:
+    """What to bin and how finely.
+
+    ``bin_dt`` buckets time-since-rail-exit; with the default
+    ``SimConfig`` (dt=5 ms) and ``record_stride`` below, every 0.25 s bin
+    sees multiple recorded samples per surviving lane. ``record_stride``
+    overrides the SimConfig's recording stride for the envelope
+    re-simulation (None = keep the config's); trajectory memory per chunk
+    scales as lanes x steps / stride, so the default keeps a 1024-lane x
+    60k-step chunk under ~1 GB of device memory.
+    """
+
+    channels: tuple = DEFAULT_CHANNELS
+    bin_dt: float = 0.25
+    n_bins: Optional[int] = None  # default: ceil(max_time / bin_dt)
+    n_buckets: int = 128
+    percentiles: tuple = PERCENTILES
+    record_stride: Optional[int] = 8
+    edge_margin: float = 0.05  # widen calibrated [min,max] by this fraction
+
+
+def trajectory_channel(traj, name: str) -> jnp.ndarray:
+    """The [B, T] value array for a named envelope channel."""
+    if name == "altitude":
+        return traj.position[..., 2]
+    if name == "speed" and "speed" not in traj.derived:
+        v = traj.velocity
+        return jnp.sqrt(jnp.sum(v * v, axis=-1))
+    if name in traj.derived:
+        return traj.derived[name]
+    raise KeyError(
+        f"channel {name!r} is not recorded; state channels are "
+        f"{_STATE_CHANNELS}, derived channels need record_derived=True"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins",))
+def _bin_moments(t, valid, value, bin_dt, n_bins):
+    """Per-time-bin (count, mean, centered M2, min, max) on device.
+
+    Everything reduces with segment ops over the flattened [B*T] samples;
+    bin ``n_bins`` is the spill bucket for masked samples (dropped). The
+    M2 sum is CENTERED (mean gathered back per sample) — raw sum-of-squares
+    cancels catastrophically in f32 when std << mean (altitude: 25 km +- 50
+    m loses every digit).
+    """
+    ids = jnp.clip(jnp.floor(t / bin_dt).astype(jnp.int32), 0, n_bins - 1)
+    m = valid & jnp.isfinite(value)
+    ids = jnp.where(m, ids, n_bins).ravel()
+    v = value.ravel()
+    mr = m.ravel()
+    nseg = n_bins + 1
+    ones = mr.astype(v.dtype)
+    n = jax.ops.segment_sum(ones, ids, num_segments=nseg)[:n_bins]
+    s = jax.ops.segment_sum(jnp.where(mr, v, 0.0), ids,
+                            num_segments=nseg)[:n_bins]
+    mean = s / jnp.maximum(n, 1.0)
+    c = v - jnp.concatenate([mean, jnp.zeros((1,), mean.dtype)])[ids]
+    m2 = jax.ops.segment_sum(jnp.where(mr, c * c, 0.0), ids,
+                             num_segments=nseg)[:n_bins]
+    big = jnp.asarray(jnp.inf, v.dtype)
+    vmin = jax.ops.segment_min(jnp.where(mr, v, big), ids,
+                               num_segments=nseg)[:n_bins]
+    vmax = jax.ops.segment_max(jnp.where(mr, v, -big), ids,
+                               num_segments=nseg)[:n_bins]
+    return n, mean, m2, vmin, vmax
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "n_buckets"))
+def _bin_histogram(t, valid, value, bin_dt, lo, width, n_bins, n_buckets):
+    """Fixed-edge per-bin histogram [n_bins, n_buckets] + clipped count.
+
+    ``lo``/``width`` are the calibrated per-bin bucket grids; samples
+    outside clamp into the edge buckets (counted in ``clipped``).
+    """
+    ids = jnp.clip(jnp.floor(t / bin_dt).astype(jnp.int32), 0, n_bins - 1)
+    m = valid & jnp.isfinite(value)
+    ids = jnp.where(m, ids, n_bins).ravel()
+    v = value.ravel()
+    mr = m.ravel()
+    pad = jnp.zeros((1,), lo.dtype)
+    lo_s = jnp.concatenate([lo, pad])[ids]
+    w_s = jnp.concatenate([width, pad])[ids]
+    frac = (v - lo_s) / jnp.maximum(w_s, 1e-30)
+    bucket = jnp.clip(frac.astype(jnp.int32), 0, n_buckets - 1)
+    clipped = jnp.where(mr & ((frac < 0.0) | (frac >= n_buckets)), 1.0, 0.0)
+    flat = jnp.where(mr, ids * n_buckets + bucket, n_bins * n_buckets)
+    ones = mr.astype(v.dtype)
+    h = jax.ops.segment_sum(ones, flat,
+                            num_segments=n_bins * n_buckets + 1)
+    clip_ct = jax.ops.segment_sum(clipped, ids, num_segments=n_bins + 1)
+    return h[:-1].reshape(n_bins, n_buckets), clip_ct[:n_bins]
+
+
+class EnvelopeAccumulator:
+    """Chunk-mergeable time-binned statistics over one or more channels.
+
+    Feed batched trajectories with :meth:`add`; chunks merge exactly for
+    moments/min/max (host f64 Chan update, vectorized over bins) and
+    additively for the histograms (bucket edges freeze after the first
+    chunk — the calibration chunk should be a representative sample, which
+    lane-chunked MC re-simulation gives for free).
+    """
+
+    def __init__(self, cfg, env: EnvelopeConfig = EnvelopeConfig()):
+        self.env = env
+        n_bins = env.n_bins
+        if n_bins is None:
+            n_bins = int(np.ceil(cfg.max_time / env.bin_dt))
+        self.n_bins = int(n_bins)
+        self.n_lanes = 0
+        z = lambda: np.zeros(self.n_bins, np.float64)
+        self._n = {c: z() for c in env.channels}
+        self._mean = {c: z() for c in env.channels}
+        self._m2 = {c: z() for c in env.channels}
+        self._min = {c: np.full(self.n_bins, np.inf) for c in env.channels}
+        self._max = {c: np.full(self.n_bins, -np.inf) for c in env.channels}
+        self._edges = None  # {channel: (lo, width)} device arrays, frozen
+        self._hist = {
+            c: np.zeros((self.n_bins, env.n_buckets), np.float64)
+            for c in env.channels
+        }
+        self._clipped = {c: 0.0 for c in env.channels}
+
+    def add(self, traj) -> None:
+        """Fold in one batched Trajectory ([B, T, ...] leaves)."""
+        env = self.env
+        t = traj.time
+        valid = traj.valid
+        chunk_minmax = {}
+        for ch in env.channels:
+            value = trajectory_channel(traj, ch)
+            n, mean, m2, vmin, vmax = jax.device_get(_bin_moments(
+                t, valid, value, env.bin_dt, self.n_bins
+            ))
+            self._merge_moments(ch, n.astype(np.float64),
+                                mean.astype(np.float64),
+                                m2.astype(np.float64))
+            self._min[ch] = np.minimum(self._min[ch], vmin)
+            self._max[ch] = np.maximum(self._max[ch], vmax)
+            chunk_minmax[ch] = (vmin, vmax)
+        if self._edges is None:
+            self._calibrate(chunk_minmax)
+        for ch in env.channels:
+            value = trajectory_channel(traj, ch)
+            lo, width = self._edges[ch]
+            h, clip_ct = jax.device_get(_bin_histogram(
+                t, valid, value, env.bin_dt, lo, width,
+                self.n_bins, env.n_buckets,
+            ))
+            self._hist[ch] += h.astype(np.float64)
+            self._clipped[ch] += float(clip_ct.sum())
+        self.n_lanes += int(traj.valid.shape[0])
+
+    def _calibrate(self, chunk_minmax) -> None:
+        """Freeze per-bin bucket edges from the first chunk's min/max,
+        widened by ``edge_margin`` (empty bins get a degenerate unit span;
+        their histograms stay empty)."""
+        env = self.env
+        self._edges = {}
+        for ch, (vmin, vmax) in chunk_minmax.items():
+            vmin = np.where(np.isfinite(vmin), vmin, 0.0)
+            vmax = np.where(np.isfinite(vmax), vmax, 1.0)
+            span = np.maximum(vmax - vmin, 1e-12)
+            lo = vmin - env.edge_margin * span
+            hi = vmax + env.edge_margin * span
+            width = (hi - lo) / env.n_buckets
+            self._edges[ch] = (
+                jnp.asarray(lo, jnp.float32), jnp.asarray(width, jnp.float32)
+            )
+
+    def _merge_moments(self, ch, n_b, mean_b, m2_b) -> None:
+        n_a = self._n[ch]
+        tot = n_a + n_b
+        safe = np.maximum(tot, 1.0)
+        delta = mean_b - self._mean[ch]
+        self._m2[ch] += m2_b + delta * delta * n_a * n_b / safe
+        self._mean[ch] += delta * n_b / safe
+        self._n[ch] = tot
+
+    def result(self) -> dict:
+        """The envelope block: JSON-ready per-channel band arrays.
+
+        Per channel: ``n``/``mean``/``std``/``min``/``max`` are exact per
+        bin (NaN where the bin saw no samples — every lane already landed,
+        or the bin is past max_time); ``percentiles`` maps "5.0" etc. to a
+        per-bin band interpolated from the histogram (mass-midpoint rule,
+        one-bucket-width value error); ``clipped_frac`` is the mass that
+        fell outside the calibrated span.
+        """
+        env = self.env
+        centers = (np.arange(self.n_bins) + 0.5) * env.bin_dt
+        out = {
+            "bin_dt": env.bin_dt,
+            "time": [float(x) for x in centers],
+            "n_lanes": self.n_lanes,
+            "percentile_qs": [float(q) for q in env.percentiles],
+            "channels": {},
+        }
+        for ch in env.channels:
+            n = self._n[ch]
+            empty = n == 0
+            mean = np.where(empty, np.nan, self._mean[ch])
+            std = np.where(empty, np.nan,
+                           np.sqrt(self._m2[ch] / np.maximum(n, 1.0)))
+            vmin = np.where(empty, np.nan, self._min[ch])
+            vmax = np.where(empty, np.nan, self._max[ch])
+            pct = self._quantiles(ch)
+            total = float(n.sum())
+            out["channels"][ch] = {
+                "n": [int(x) for x in n],
+                "mean": [float(x) for x in mean],
+                "std": [float(x) for x in std],
+                "min": [float(x) for x in vmin],
+                "max": [float(x) for x in vmax],
+                "percentiles": {
+                    f"{q:g}": [float(x) for x in pct[i]]
+                    for i, q in enumerate(env.percentiles)
+                },
+                "clipped_frac": (
+                    self._clipped[ch] / total if total else 0.0
+                ),
+            }
+        return out
+
+    def _quantiles(self, ch) -> np.ndarray:
+        """[Q, n_bins] histogram quantiles (bucket-center mass midpoints,
+        linear interpolation — the convention of ``StreamingStats``)."""
+        env = self.env
+        qs = np.asarray(env.percentiles, np.float64)
+        lo = np.asarray(self._edges[ch][0], np.float64) if self._edges \
+            else np.zeros(self.n_bins)
+        width = np.asarray(self._edges[ch][1], np.float64) if self._edges \
+            else np.ones(self.n_bins)
+        out = np.full((qs.size, self.n_bins), np.nan)
+        for b in range(self.n_bins):
+            h = self._hist[ch][b]
+            tot = h.sum()
+            if tot <= 0:
+                continue
+            centers = lo[b] + (np.arange(env.n_buckets) + 0.5) * width[b]
+            mid = np.cumsum(h) - 0.5 * h
+            targets = qs / 100.0 * (tot - 1.0) + 0.5
+            out[:, b] = np.interp(targets, mid, centers)
+        # clamp bands inside the exact envelope (bucket-width overshoot at
+        # the extremes would otherwise poke outside min/max)
+        n = self._n[ch]
+        vmin = np.where(n > 0, self._min[ch], np.nan)
+        vmax = np.where(n > 0, self._max[ch], np.nan)
+        return np.clip(out, vmin[None, :], vmax[None, :])

@@ -38,6 +38,8 @@ __all__ = [
     "plot_landing_footprint",
     "plot_exceedance",
     "plot_sobol_indices",
+    "plot_flight_envelope",
+    "plot_launch_window",
 ]
 
 
@@ -500,6 +502,159 @@ def plot_sobol_indices(indices: dict, output_dir: str | None = None,
     plt.tight_layout()
     if output_dir is not None:
         path = os.path.join(output_dir, "sobol_indices.png")
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+        return path
+    plt.close()
+    return None
+
+
+_ENVELOPE_LABELS = {
+    "altitude": "Altitude (m)",
+    "speed": "Speed (m/s)",
+    "mach": "Mach",
+    "angle_of_attack": "Angle of attack (rad)",
+    "sideslip_angle": "Sideslip (rad)",
+    "stability_margin": "Stability margin (cal)",
+    "drag": "Drag (N)",
+    "thrust": "Thrust (N)",
+}
+
+
+def plot_flight_envelope(envelope: dict, output_dir: str | None = None,
+                         channels=None) -> str | None:
+    """Population flight-envelope bands vs time-since-rail-exit (beyond
+    reference — the figure form of ``MonteCarloAnalyzer.flight_envelope``).
+
+    One panel per channel: median line, interquartile band, 5-95% band,
+    and the exact min/max extremes as dotted envelope lines. The x-axis
+    ends at the last bin any lane was still flying. The reference's
+    trajectory-cloud overlays (`monte_carlo.py:562-707`) show a handful of
+    individual lanes; this shows the population.
+    """
+    if channels is None:
+        channels = list(envelope["channels"])
+    channels = [c for c in channels if c in envelope["channels"]]
+    if not channels:
+        return None
+    t = np.asarray(envelope["time"], np.float64)
+    ncol = 2 if len(channels) > 1 else 1
+    nrow = (len(channels) + ncol - 1) // ncol
+    fig, axes = plt.subplots(nrow, ncol, figsize=(6.5 * ncol, 2.9 * nrow),
+                             sharex=True, squeeze=False)
+    last = 0
+    for ax, ch in zip(axes.ravel(), channels):
+        blk = envelope["channels"][ch]
+        n = np.asarray(blk["n"])
+        live = n > 0
+        if live.any():
+            last = max(last, int(np.nonzero(live)[0][-1]))
+        p = {q: np.asarray(blk["percentiles"].get(q, [np.nan] * t.size))
+             for q in ("5", "25", "50", "75", "95")}
+        ax.fill_between(t, p["5"], p["95"], color="tab:blue", alpha=0.18,
+                        label="5-95%")
+        ax.fill_between(t, p["25"], p["75"], color="tab:blue", alpha=0.35,
+                        label="25-75%")
+        ax.plot(t, p["50"], color="tab:blue", linewidth=1.4, label="median")
+        ax.plot(t, blk["min"], color="gray", linewidth=0.8, linestyle=":",
+                label="min/max")
+        ax.plot(t, blk["max"], color="gray", linewidth=0.8, linestyle=":")
+        ax.set_ylabel(_ENVELOPE_LABELS.get(ch, ch.replace("_", " ")))
+        ax.grid(True, alpha=0.3)
+    for ax in axes.ravel()[len(channels):]:
+        ax.set_visible(False)
+    for ax in axes[-1, :]:
+        ax.set_xlabel("Time since rail exit (s)")
+    if last:
+        for ax in axes.ravel()[:len(channels)]:
+            ax.set_xlim(0.0, t[min(last + 1, t.size - 1)])
+    axes[0, 0].legend(loc="best", fontsize=8)
+    fig.suptitle(
+        f"Flight envelope — {envelope['n_lanes']} lanes, "
+        f"{envelope['bin_dt']:g} s bins"
+    )
+    plt.tight_layout()
+    if output_dir is not None:
+        path = os.path.join(output_dir, "flight_envelope.png")
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+        return path
+    plt.close()
+    return None
+
+
+def plot_launch_window(sweep: dict, output_dir: str | None = None) -> str | None:
+    """Go/no-go launch-window map (beyond reference — the figure form of
+    ``cli.launch_window``): one heatmap per configured limit, wind
+    direction x ground wind speed, cell color = exceedance probability,
+    with GO cells (Wilson-95 upper bound within p_limit) marked. Purely
+    descriptive sweeps (no limits) fall back to a range-p95 heatmap.
+    """
+    speeds = list(sweep["speeds"])
+    dirs = list(sweep["directions_deg"])
+    rows = sweep["candidates"]
+    if not rows:
+        return None
+    panels = [k for k in ("p_range_exceed", "p_apogee_exceed")
+              if k in rows[0]]
+    titles = {"range_p95": "range p95 (m)"}
+    if "p_range_exceed" in panels:
+        titles["p_range_exceed"] = \
+            f"P(range > {sweep['limits']['range_limit']:g} m)"
+    if "p_apogee_exceed" in panels:
+        titles["p_apogee_exceed"] = \
+            f"P(apogee > {sweep['limits']['apogee_ceiling']:g} m)"
+    fallback = not panels
+    if fallback:
+        panels = ["range_p95"]
+
+    def grid(getter):
+        g = np.full((len(speeds), len(dirs)), np.nan)
+        for r in rows:
+            i = speeds.index(r["wind_speed"])
+            j = dirs.index(r["wind_direction_deg"])
+            g[i, j] = getter(r)
+        return g
+
+    fig, axes = plt.subplots(1, len(panels),
+                             figsize=(1.1 * len(dirs) + 3.5, 
+                                      0.8 * len(speeds) + 2.0),
+                             squeeze=False)
+    p_limit = sweep["limits"]["p_limit"]
+    for ax, key in zip(axes[0], panels):
+        if fallback:
+            g = grid(lambda r: r["range_p95"])
+            im = ax.imshow(g, aspect="auto", origin="lower",
+                           cmap="viridis")
+        else:
+            g = grid(lambda r: r[key]["probability"])
+            im = ax.imshow(g, aspect="auto", origin="lower",
+                           cmap="YlOrRd", vmin=0.0,
+                           vmax=max(3 * p_limit, np.nanmax(g), 1e-9))
+        fig.colorbar(im, ax=ax, shrink=0.85)
+        for r in rows:
+            i = speeds.index(r["wind_speed"])
+            j = dirs.index(r["wind_direction_deg"])
+            if r.get("go") is True:
+                ax.plot(j, i, marker="o", markersize=10, fillstyle="none",
+                        color="tab:green", markeredgewidth=2)
+            elif r.get("go") is False:
+                ax.plot(j, i, marker="x", markersize=9, color="black")
+        ax.set_xticks(range(len(dirs)))
+        ax.set_xticklabels([f"{d:g}" for d in dirs])
+        ax.set_yticks(range(len(speeds)))
+        ax.set_yticklabels([f"{s:g}" for s in speeds])
+        ax.set_xlabel("Wind direction (deg from +x)")
+        ax.set_ylabel("Ground wind speed (m/s)")
+        ax.set_title(titles[key])
+    if not fallback:
+        fig.suptitle(
+            f"Launch window — GO (circle) iff Wilson-95 upper bound "
+            f"<= {p_limit:g}; {sweep['n_per_candidate']} lanes/candidate"
+        )
+    plt.tight_layout()
+    if output_dir is not None:
+        path = os.path.join(output_dir, "launch_window.png")
         plt.savefig(path, dpi=150, bbox_inches="tight")
         plt.close()
         return path

@@ -64,6 +64,11 @@ def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
         # beyond-reference: measured fast-flag integration bias + corrected
         # means from the coupled parity batch (mc/two_level.py)
         report["two_level"] = analysis["two_level"]
+    if analysis.get("flight_envelope"):
+        # beyond-reference: time-binned population bands from
+        # MonteCarloAnalyzer.flight_envelope (mc/envelope.py) — callers
+        # attach the block to the analysis dict before saving
+        report["flight_envelope"] = analysis["flight_envelope"]
     if analysis.get("importance"):
         # weighted nominal-distribution estimates; per-lane log_weights
         # stay in the analysis dict (arrays don't belong in the report)
@@ -157,6 +162,18 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                         f"{blk['bias_stderr']:.3f} {unit}; corrected mean "
                         f"{blk['corrected_mean']:.2f} {se_txt}\n"
                     )
+            f.write("\n")
+        if "flight_envelope" in report:
+            env = report["flight_envelope"]
+            f.write(f"Flight Envelope ({env['n_lanes']} lanes, "
+                    f"{env['bin_dt']:g} s bins):\n")
+            for ch, blk in env["channels"].items():
+                peaks = [x for x in blk["max"] if x == x]  # drop NaN bins
+                p95s = [x for x in blk["percentiles"].get("95", ())
+                        if x == x]
+                if peaks and p95s:
+                    f.write(f"  {ch}: population max {max(peaks):.2f}, "
+                            f"p95 peak {max(p95s):.2f}\n")
             f.write("\n")
         if "importance" in report:
             imp = report["importance"]

@@ -1,0 +1,206 @@
+"""Flight-envelope statistics (mc/envelope.py + analyzer.flight_envelope).
+
+The binning kernels are pinned against direct NumPy reductions; the
+accumulator's chunk merge against a single-chunk run; and the analyzer
+integration against physical sanity (bands ordered, ascent monotone,
+every lane present at rail exit). Beyond-reference feature: the reference
+persists whole histories and overlays a few lines (`monte_carlo.py:510-517`)
+— it has no population-envelope product.
+"""
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+from erpl_monte_carlo_sim_tpu.mc import (
+    EnvelopeAccumulator,
+    EnvelopeConfig,
+    MonteCarloAnalyzer,
+)
+from erpl_monte_carlo_sim_tpu.mc.envelope import _bin_histogram, _bin_moments
+from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+CFG = SimConfig(max_time=3.0)
+
+
+def _ref_bins(t, valid, value, bin_dt, n_bins):
+    ids = np.clip(np.floor(t / bin_dt).astype(int), 0, n_bins - 1)
+    m = valid & np.isfinite(value)
+    out = []
+    for b in range(n_bins):
+        sel = value[m & (ids == b)]
+        out.append(sel)
+    return out
+
+
+def test_bin_moments_match_numpy():
+    rng = np.random.default_rng(7)
+    B, T, n_bins, bin_dt = 13, 50, 6, 0.4
+    t = np.cumsum(rng.uniform(0.01, 0.08, (B, T)), axis=1)
+    valid = rng.uniform(size=(B, T)) < 0.9
+    value = rng.normal(100.0, 5.0, (B, T))
+    value[0, 3] = np.nan  # non-finite samples must drop
+    n, mean, m2, vmin, vmax = map(
+        np.asarray,
+        _bin_moments(jnp.asarray(t), jnp.asarray(valid), jnp.asarray(value),
+                     bin_dt, n_bins),
+    )
+    for b, sel in enumerate(_ref_bins(t, valid, value, bin_dt, n_bins)):
+        assert n[b] == sel.size
+        if sel.size:
+            np.testing.assert_allclose(mean[b], sel.mean(), rtol=1e-12)
+            np.testing.assert_allclose(
+                m2[b], ((sel - sel.mean()) ** 2).sum(), rtol=1e-9, atol=1e-9
+            )
+            assert vmin[b] == sel.min() and vmax[b] == sel.max()
+
+
+def test_bin_histogram_quantiles_within_bucket():
+    rng = np.random.default_rng(3)
+    B, T, n_bins, n_buckets, bin_dt = 64, 40, 4, 64, 0.5
+    t = np.tile(np.linspace(0.0, 1.99, T), (B, 1))
+    valid = np.ones((B, T), bool)
+    value = rng.normal(50.0, 3.0, (B, T))
+    lo = np.full(n_bins, value.min() - 0.5)
+    width = np.full(n_bins, (value.max() - value.min() + 1.0) / n_buckets)
+    h, clip_ct = map(np.asarray, _bin_histogram(
+        jnp.asarray(t), jnp.asarray(valid), jnp.asarray(value), bin_dt,
+        jnp.asarray(lo, jnp.float32), jnp.asarray(width, jnp.float32),
+        n_bins, n_buckets,
+    ))
+    assert clip_ct.sum() == 0
+    assert h.sum() == B * T
+    bins = _ref_bins(t, valid, value, bin_dt, n_bins)
+    for b in range(n_bins):
+        centers = lo[b] + (np.arange(n_buckets) + 0.5) * width[b]
+        mid = np.cumsum(h[b]) - 0.5 * h[b]
+        tot = h[b].sum()
+        targets = np.array([25.0, 50.0, 75.0]) / 100.0 * (tot - 1) + 0.5
+        est = np.interp(targets, mid, centers)
+        ref = np.percentile(bins[b], [25, 50, 75])
+        assert np.all(np.abs(est - ref) <= width[b] + 1e-9)
+
+
+@pytest.fixture(scope="module")
+def envelope_run():
+    mc = MonteCarloAnalyzer(scene=nominal_scene(liquid_motor()),
+                            sim_config=CFG)
+    analysis = mc.run_monte_carlo(
+        InitialConditions.vertical_launch(), n_samples=48, seed=11
+    )
+    env_cfg = EnvelopeConfig(bin_dt=0.25, record_stride=2)
+    env = mc.flight_envelope(n_lanes=48, chunk=48, env_config=env_cfg,
+                             analysis=analysis)
+    return mc, analysis, env_cfg, env
+
+
+def test_envelope_schema_and_sanity(envelope_run):
+    _, analysis, env_cfg, env = envelope_run
+    n_valid = int(np.asarray(analysis["valid_mask"]).sum())
+    assert env["n_lanes"] == min(48, n_valid)
+    assert set(env["channels"]) == set(env_cfg.channels)
+    json.dumps(env)  # report-ready
+
+    alt = env["channels"]["altitude"]
+    n = np.asarray(alt["n"])
+    mean = np.asarray(alt["mean"])
+    # every lane is flying during the first bins after rail exit
+    assert n[0] > 0 and n[1] > 0
+    # boost-phase population altitude rises monotonically
+    live = np.nonzero(n > 0)[0]
+    assert np.all(np.diff(mean[live[:6]]) > 0)
+    # band ordering wherever the bin saw samples
+    p = {q: np.asarray(alt["percentiles"][q]) for q in ("5", "25", "50",
+                                                        "75", "95")}
+    vmin, vmax = np.asarray(alt["min"]), np.asarray(alt["max"])
+    for b in live:
+        assert vmin[b] - 1e-9 <= p["5"][b] <= p["25"][b] <= p["50"][b]
+        assert p["50"][b] <= p["75"][b] <= p["95"][b] <= vmax[b] + 1e-9
+    # empty bins are NaN, not zeros
+    dead = np.nonzero(n == 0)[0]
+    if dead.size:
+        assert np.isnan(mean[dead]).all()
+    # calibrated on the full population in one chunk: nothing clipped
+    assert alt["clipped_frac"] == 0.0
+
+
+def test_envelope_chunk_merge_matches_single_chunk(envelope_run):
+    mc, analysis, env_cfg, env = envelope_run
+    env2 = mc.flight_envelope(n_lanes=48, chunk=17, env_config=env_cfg,
+                              analysis=analysis)
+    for ch in env["channels"]:
+        a, b = env["channels"][ch], env2["channels"][ch]
+        assert a["n"] == b["n"]
+        np.testing.assert_allclose(a["mean"], b["mean"], rtol=1e-6,
+                                   equal_nan=True)
+        np.testing.assert_allclose(a["std"], b["std"], rtol=1e-5,
+                                   atol=1e-8, equal_nan=True)
+        np.testing.assert_allclose(a["min"], b["min"], rtol=1e-12,
+                                   equal_nan=True)
+        np.testing.assert_allclose(a["max"], b["max"], rtol=1e-12,
+                                   equal_nan=True)
+        # quantile bands: chunked calibration sees only the first 17 lanes,
+        # so later-lane mass may clip; bands still agree to a bucket width
+        sig = np.nanmean(np.asarray(a["std"]))
+        np.testing.assert_allclose(
+            a["percentiles"]["50"], b["percentiles"]["50"],
+            atol=max(5 * sig / env_cfg.n_buckets, 1e-6), equal_nan=True,
+        )
+
+
+def test_envelope_honors_tiered_dt(envelope_run):
+    mc, analysis, env_cfg, _ = envelope_run
+    fast = dataclasses.replace(CFG, descent_dt_scale=8,
+                               ascent_q_threshold=8000.0)
+    env = mc.flight_envelope(n_lanes=16, chunk=16, env_config=env_cfg,
+                             analysis=analysis, sim_config=fast)
+    n = np.asarray(env["channels"]["speed"]["n"])
+    assert n[0] > 0
+    m = np.asarray(env["channels"]["speed"]["mean"])
+    assert np.isfinite(m[n > 0]).all()
+
+
+def test_envelope_plot_and_report(envelope_run, tmp_path):
+    from erpl_monte_carlo_sim_tpu.reporting.plots import plot_flight_envelope
+    from erpl_monte_carlo_sim_tpu.reporting.report import save_report
+
+    mc, analysis, _, env = envelope_run
+    path = plot_flight_envelope(env, str(tmp_path))
+    assert path and os.path.getsize(path) > 10_000
+    analysis2 = dict(analysis)
+    analysis2["flight_envelope"] = env
+    report = save_report(analysis2, str(tmp_path), analyzer=mc)
+    assert report["flight_envelope"]["n_lanes"] == env["n_lanes"]
+    with open(tmp_path / "monte_carlo_report.txt") as f:
+        txt = f.read()
+    assert "Flight Envelope" in txt and "altitude: population max" in txt
+    with open(tmp_path / "monte_carlo_report.json") as f:
+        assert "flight_envelope" in json.load(f)
+
+
+def test_envelope_accumulator_rejects_unrecorded_channel():
+    from erpl_monte_carlo_sim_tpu.engine.batch import simulate_flight_batch
+    from erpl_monte_carlo_sim_tpu.mc import sample_dispersions, \
+        UncertaintyParams
+    import jax
+
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(0), nominal_scene(liquid_motor()),
+        InitialConditions.vertical_launch(), UncertaintyParams(), 4
+    )
+    cfg = dataclasses.replace(CFG, record_derived=False)
+    _, traj = simulate_flight_batch(scene_b, ic_b, cfg)
+    acc = EnvelopeAccumulator(cfg, EnvelopeConfig(channels=("mach",)))
+    with pytest.raises(KeyError):
+        acc.add(traj)
+    # state channels survive without derived recording
+    acc2 = EnvelopeAccumulator(
+        cfg, EnvelopeConfig(channels=("altitude", "speed"))
+    )
+    acc2.add(traj)
+    assert acc2.result()["channels"]["speed"]["n"][0] > 0
