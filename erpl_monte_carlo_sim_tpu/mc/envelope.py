@@ -23,6 +23,12 @@ Accuracy contract:
   landing outside the calibrated span clamps into the edge buckets and is
   reported as ``clipped_frac`` (first-chunk calibration sees every bin's
   range to within sampling noise when chunks are a few hundred lanes).
+- bands are CONDITIONAL ON LANES STILL FLYING at each bin (the standard
+  envelope convention): low-apogee lanes land earlier and leave the
+  surviving population biased high, so e.g. the p50 band's peak over
+  time sits above the median per-lane apogee (measured 3,935 vs 3,218 m
+  on a full-flight MC — NOTES.md). Bands answer "where is the population
+  at time t"; use the metric statistics for per-lane-extreme quantiles.
 """
 
 from __future__ import annotations
