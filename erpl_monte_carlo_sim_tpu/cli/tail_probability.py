@@ -15,6 +15,7 @@ Usage:
       --metric apogee_altitude --threshold 26000 \\
       [--n 4096] [--seed 0] [--solid] [--max-time 0] \\
       [--shift motor_thrust=2.0] [--shift mass=1.0] \\
+      [--auto-shift [--shift-frac 0.75]] \\
       [--gpd] [--n-tail 1000]
 
 ``--max-time 0`` (default) runs full flights; pass e.g. ``6`` for the
@@ -35,14 +36,18 @@ __all__ = ["tail_probability", "main"]
 
 def tail_probability(metric: str, threshold: float, n: int = 4096,
                      seed: int = 0, solid: bool = False,
-                     max_time: float = 0.0, shift: dict | None = None,
+                     max_time: float = 0.0, shift: dict | str | None = None,
                      gpd: bool = False, n_tail: int = 1000,
-                     scene=None, sim_config=None) -> dict:
+                     scene=None, sim_config=None,
+                     shift_frac: float = 0.75) -> dict:
     """Estimate P(metric > threshold | valid) and return the result row
-    plus run metadata. ``shift`` non-empty selects importance sampling;
-    ``gpd`` selects peaks-over-threshold extrapolation (``mc.tail``) —
-    the no-tilt route to probabilities beyond counting reach (exclusive
-    with ``shift``: the GPD fit needs the nominal population)."""
+    plus run metadata. ``shift`` non-empty selects importance sampling —
+    pass ``"auto"`` to pick the tilt from the design-point rule
+    (``mc.importance.auto_shift``: one reverse pass through the
+    differentiable flight, scaled by ``shift_frac``); ``gpd`` selects
+    peaks-over-threshold extrapolation (``mc.tail``) — the no-tilt route
+    to probabilities beyond counting reach (exclusive with ``shift``:
+    the GPD fit needs the nominal population)."""
     if gpd and shift:
         raise ValueError("--gpd and --shift are exclusive (the GPD fit "
                          "needs the nominal population)")
@@ -51,6 +56,20 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
     if sim_config is None:
         sim_config = SimConfig(max_time=max_time) if max_time > 0 \
             else SimConfig()
+    auto_info = None
+    if shift == "auto":
+        from ..mc.importance import auto_shift
+
+        shift, auto_info = auto_shift(
+            scene, InitialConditions.vertical_launch(), sim_config,
+            metric, threshold, frac=shift_frac,
+        )
+        if not shift:
+            raise ValueError(
+                "auto tilt found no channel worth shifting (every "
+                f"|theta| < 0.05; diagnostics: {auto_info}) — the "
+                "threshold is too close to nominal for tilting to help"
+            )
     mc = MonteCarloAnalyzer(scene=scene, sim_config=sim_config,
                             importance_shift=shift or None)
     a = mc.run_monte_carlo(InitialConditions.vertical_launch(), n_samples=n,
@@ -69,6 +88,8 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
         "shift": dict(shift or {}),
         **row,
     }
+    if auto_info is not None:
+        out["auto_shift"] = auto_info
     if shift:
         blk = a["importance"].get(metric)
         if isinstance(blk, dict) and "n_eff" in blk:
@@ -88,6 +109,12 @@ def main(argv=None) -> dict:
     p.add_argument("--shift", action="append", default=[],
                    metavar="CHANNEL=SIGMAS",
                    help="importance tilt, repeatable (e.g. motor_thrust=2)")
+    p.add_argument("--auto-shift", action="store_true",
+                   help="pick the tilt automatically (design-point rule "
+                        "from one reverse pass; exclusive with --shift)")
+    p.add_argument("--shift-frac", type=float, default=0.75,
+                   help="fraction of the design point to tilt to "
+                        "(with --auto-shift)")
     p.add_argument("--gpd", action="store_true",
                    help="GPD tail extrapolation instead of counting")
     p.add_argument("--n-tail", type=int, default=1000,
@@ -97,10 +124,15 @@ def main(argv=None) -> dict:
     for s in args.shift:
         name, _, val = s.partition("=")
         shift[name] = float(val)
+    if args.auto_shift:
+        if shift:
+            p.error("--auto-shift and --shift are exclusive")
+        shift = "auto"
     out = tail_probability(args.metric, args.threshold, n=args.n,
                            seed=args.seed, solid=args.solid,
                            max_time=args.max_time, shift=shift,
-                           gpd=args.gpd, n_tail=args.n_tail)
+                           gpd=args.gpd, n_tail=args.n_tail,
+                           shift_frac=args.shift_frac)
     print(json.dumps(out, indent=2))
     return out
 

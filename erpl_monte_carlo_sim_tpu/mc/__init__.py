@@ -11,7 +11,13 @@ from .dispersions import (
 )
 from .envelope import EnvelopeAccumulator, EnvelopeConfig, trajectory_channel
 from .filter import OutlierBounds, decode_reasons, outlier_mask
-from .importance import log_weights, weighted_mean, weighted_tail
+from .importance import (
+    auto_shift,
+    log_weights,
+    shift_from_gradients,
+    weighted_mean,
+    weighted_tail,
+)
 from .two_level import parity_twin, two_level_block
 from .stats import (
     PERCENTILES,
@@ -40,6 +46,7 @@ __all__ = [
     "CVMoments", "control_names", "cv_slab_moments", "finalize_cv",
     "exceedance", "exceedance_from_analysis",
     "log_weights", "weighted_mean", "weighted_tail",
+    "auto_shift", "shift_from_gradients",
     "parity_twin", "two_level_block",
     "TailReservoir", "fit_gpd_pwm", "gpd_tail", "tail_from_analysis",
     "EnvelopeAccumulator", "EnvelopeConfig", "trajectory_channel",

@@ -43,7 +43,8 @@ import numpy as np
 
 from .stats import PERCENTILES
 
-__all__ = ["EnvelopeConfig", "EnvelopeAccumulator", "trajectory_channel"]
+__all__ = ["EnvelopeConfig", "EnvelopeAccumulator", "trajectory_channel",
+           "result_block"]
 
 # Channels servable from a recorded Trajectory: state-derived ones always
 # exist; the rest require SimConfig.record_derived (the default).
@@ -246,62 +247,87 @@ class EnvelopeAccumulator:
         fell outside the calibrated span.
         """
         env = self.env
-        centers = (np.arange(self.n_bins) + 0.5) * env.bin_dt
-        out = {
-            "bin_dt": env.bin_dt,
-            "time": [float(x) for x in centers],
-            "n_lanes": self.n_lanes,
-            "percentile_qs": [float(q) for q in env.percentiles],
-            "channels": {},
-        }
+        per_channel = {}
         for ch in env.channels:
-            n = self._n[ch]
-            empty = n == 0
-            mean = np.where(empty, np.nan, self._mean[ch])
-            std = np.where(empty, np.nan,
-                           np.sqrt(self._m2[ch] / np.maximum(n, 1.0)))
-            vmin = np.where(empty, np.nan, self._min[ch])
-            vmax = np.where(empty, np.nan, self._max[ch])
-            pct = self._quantiles(ch)
-            total = float(n.sum())
-            out["channels"][ch] = {
-                "n": [int(x) for x in n],
-                "mean": [float(x) for x in mean],
-                "std": [float(x) for x in std],
-                "min": [float(x) for x in vmin],
-                "max": [float(x) for x in vmax],
-                "percentiles": {
-                    f"{q:g}": [float(x) for x in pct[i]]
-                    for i, q in enumerate(env.percentiles)
-                },
-                "clipped_frac": (
-                    self._clipped[ch] / total if total else 0.0
-                ),
+            lo = np.asarray(self._edges[ch][0], np.float64) if self._edges \
+                else np.zeros(self.n_bins)
+            width = np.asarray(self._edges[ch][1], np.float64) \
+                if self._edges else np.ones(self.n_bins)
+            per_channel[ch] = {
+                "n": self._n[ch], "mean": self._mean[ch],
+                "m2": self._m2[ch], "min": self._min[ch],
+                "max": self._max[ch], "hist": self._hist[ch],
+                "lo": lo, "width": width, "clipped": self._clipped[ch],
             }
-        return out
+        return result_block(env, self.n_bins, per_channel, self.n_lanes)
 
-    def _quantiles(self, ch) -> np.ndarray:
-        """[Q, n_bins] histogram quantiles (bucket-center mass midpoints,
-        linear interpolation — the convention of ``StreamingStats``)."""
-        env = self.env
-        qs = np.asarray(env.percentiles, np.float64)
-        lo = np.asarray(self._edges[ch][0], np.float64) if self._edges \
-            else np.zeros(self.n_bins)
-        width = np.asarray(self._edges[ch][1], np.float64) if self._edges \
-            else np.ones(self.n_bins)
-        out = np.full((qs.size, self.n_bins), np.nan)
-        for b in range(self.n_bins):
-            h = self._hist[ch][b]
-            tot = h.sum()
-            if tot <= 0:
-                continue
-            centers = lo[b] + (np.arange(env.n_buckets) + 0.5) * width[b]
-            mid = np.cumsum(h) - 0.5 * h
-            targets = qs / 100.0 * (tot - 1.0) + 0.5
-            out[:, b] = np.interp(targets, mid, centers)
-        # clamp bands inside the exact envelope (bucket-width overshoot at
-        # the extremes would otherwise poke outside min/max)
-        n = self._n[ch]
-        vmin = np.where(n > 0, self._min[ch], np.nan)
-        vmax = np.where(n > 0, self._max[ch], np.nan)
-        return np.clip(out, vmin[None, :], vmax[None, :])
+
+def _hist_quantiles(hist, lo, width, n, vmin, vmax, qs) -> np.ndarray:
+    """[Q, n_bins] histogram quantiles (bucket-center mass midpoints,
+    linear interpolation — the convention of ``StreamingStats``), clamped
+    inside the exact min/max envelope (bucket-width overshoot at the
+    extremes would otherwise poke outside)."""
+    qs = np.asarray(qs, np.float64)
+    n_bins, n_buckets = hist.shape
+    out = np.full((qs.size, n_bins), np.nan)
+    for b in range(n_bins):
+        h = hist[b]
+        tot = h.sum()
+        if tot <= 0:
+            continue
+        centers = lo[b] + (np.arange(n_buckets) + 0.5) * width[b]
+        mid = np.cumsum(h) - 0.5 * h
+        targets = qs / 100.0 * (tot - 1.0) + 0.5
+        out[:, b] = np.interp(targets, mid, centers)
+    vmin = np.where(n > 0, vmin, np.nan)
+    vmax = np.where(n > 0, vmax, np.nan)
+    return np.clip(out, vmin[None, :], vmax[None, :])
+
+
+def result_block(env: EnvelopeConfig, n_bins: int, per_channel: dict,
+                 n_lanes: int) -> dict:
+    """Build the JSON-ready envelope block from raw per-bin aggregates —
+    shared by :class:`EnvelopeAccumulator` and the pod-scale collective
+    path (``parallel.collective_envelope``) so the two schemas cannot
+    drift. ``per_channel[ch]`` carries f64 arrays ``n/mean/m2/min/max``
+    [n_bins], ``hist`` [n_bins, n_buckets], bucket edges ``lo``/``width``
+    [n_bins], and the scalar ``clipped`` count."""
+    centers = (np.arange(n_bins) + 0.5) * env.bin_dt
+    out = {
+        "bin_dt": env.bin_dt,
+        "time": [float(x) for x in centers],
+        "n_lanes": n_lanes,
+        "percentile_qs": [float(q) for q in env.percentiles],
+        "channels": {},
+    }
+    for ch, blk in per_channel.items():
+        n = np.asarray(blk["n"], np.float64)
+        empty = n == 0
+        mean = np.where(empty, np.nan, blk["mean"])
+        std = np.where(empty, np.nan,
+                       np.sqrt(np.asarray(blk["m2"]) / np.maximum(n, 1.0)))
+        vmin = np.where(empty, np.nan, blk["min"])
+        vmax = np.where(empty, np.nan, blk["max"])
+        pct = _hist_quantiles(
+            np.asarray(blk["hist"], np.float64),
+            np.asarray(blk["lo"], np.float64),
+            np.asarray(blk["width"], np.float64),
+            n, np.asarray(blk["min"], np.float64),
+            np.asarray(blk["max"], np.float64), env.percentiles,
+        )
+        total = float(n.sum())
+        out["channels"][ch] = {
+            "n": [int(x) for x in n],
+            "mean": [float(x) for x in mean],
+            "std": [float(x) for x in std],
+            "min": [float(x) for x in vmin],
+            "max": [float(x) for x in vmax],
+            "percentiles": {
+                f"{q:g}": [float(x) for x in pct[i]]
+                for i, q in enumerate(env.percentiles)
+            },
+            "clipped_frac": (
+                float(blk["clipped"]) / total if total else 0.0
+            ),
+        }
+    return out

@@ -138,3 +138,93 @@ def weighted_tail(values, mask, log_w, thresholds) -> list:
         out.append({"threshold": float(t), "probability": p, "stderr": se,
                     "n_eff_tail": n_eff, "method": "importance"})
     return out
+
+
+# ------------------------------------------------------- automatic tilting
+__all__ += ["shift_from_gradients", "auto_shift"]
+
+# importance channel -> the sensitivity CLI's gradient channel
+# (cli/sensitivity.py CHANNELS); only the Gaussian multiplier channels are
+# tiltable — pitch/wind offsets have non-Gaussian dispersion laws.
+_AUTO_GRAD = {
+    "mass": "mass_multiplier",
+    "motor_thrust": "thrust_multiplier",
+    "motor_flow": "flow_multiplier",
+    "density": "density_multiplier",
+}
+
+
+def shift_from_gradients(value, grads, sigmas, threshold,
+                         frac: float = 0.75, min_theta: float = 0.05):
+    """First-order design-point tilt for P(metric > threshold).
+
+    Linearize metric ~ value + sum_c r_c z_c with r_c = gradient_c *
+    sigma_c over the standardized tiltable channels. The most likely point
+    on the failure boundary (the design point) is z* = (threshold - value)
+    / ||r|| along r/||r||; the classic Gaussian mean-shift proposal puts
+    the proposal mean there, scaled by ``frac`` (the module guidance:
+    over-tilting blows up the self-normalizing denominator's weight
+    variance, so 0.5-0.75 of the boundary is the practical optimum).
+    Channels with |theta| < ``min_theta`` are dropped — a near-zero tilt
+    buys no tail mass but still adds weight noise.
+
+    Returns ``(shift, info)``: the ``importance_shift`` dict (possibly
+    empty when the metric barely responds to any tiltable channel) and a
+    JSON-ready diagnostic block. First-order only: for strongly curved
+    responses the true design point moves off the linearized one — check
+    ``n_eff_tail`` on the run as always.
+    """
+    resp = {}
+    for name in _AUTO_GRAD:
+        g = grads.get(name)
+        sigma = sigmas.get(name, 0.0)
+        if g is None or sigma <= 0.0:
+            continue  # untiltable (zero-sigma, e.g. motor_flow on solids)
+        resp[name] = float(g) * float(sigma)
+    lin = float(np.sqrt(sum(r * r for r in resp.values())))
+    info = {
+        "metric_nominal": float(value),
+        "threshold": float(threshold),
+        "sigma_linear": lin,
+        "response": resp,
+        "frac": float(frac),
+    }
+    if lin <= 0.0:
+        raise ValueError(
+            "metric has zero linear response to every tiltable channel "
+            f"({tuple(_AUTO_GRAD)}); auto tilting cannot help — tilt by "
+            "hand or use GPD extrapolation"
+        )
+    z_star = (float(threshold) - float(value)) / lin
+    info["z_star"] = z_star
+    shift = {}
+    for name, r in resp.items():
+        theta = frac * z_star * r / lin
+        if abs(theta) >= min_theta:
+            shift[name] = theta
+    info["shift"] = dict(shift)
+    return shift, info
+
+
+def auto_shift(scene, ic, cfg, metric, threshold, params=None,
+               frac: float = 0.75, min_theta: float = 0.05):
+    """Pick ``importance_shift`` for P(metric > threshold) automatically:
+    one reverse pass through the differentiable flight gives every
+    channel's gradient (``cli.sensitivity.metric_sensitivities``), the
+    dispersion laws give the sigmas, and the design-point rule above does
+    the rest. The reference has no counterpart at either step (no
+    gradients, no importance sampling). Returns ``(shift, info)``.
+    """
+    # lazy import: the gradient helpers live with the CLI they serve and
+    # themselves import from mc — importing at module scope would cycle
+    from ..cli.sensitivity import _channel_sigmas, metric_sensitivities
+    from .dispersions import UncertaintyParams
+
+    if params is None:
+        params = UncertaintyParams()
+    value, grads = metric_sensitivities(scene, ic, cfg, metric=metric)
+    csig = _channel_sigmas(scene, params)
+    g = {name: float(grads[field]) for name, field in _AUTO_GRAD.items()}
+    s = {name: float(csig[field]) for name, field in _AUTO_GRAD.items()}
+    return shift_from_gradients(value, g, s, threshold,
+                                frac=frac, min_theta=min_theta)

@@ -480,3 +480,115 @@ def collective_tail_reservoir(values: jnp.ndarray,
     r.lo = fl[:min(k, fl.size)]
     r.n = int(cnt)
     return r
+
+
+__all__ += ["collective_envelope"]
+
+
+def collective_envelope(traj, mesh: Mesh, env=None,
+                        n_bins: int | None = None, max_time: float = 300.0):
+    """Pod-scale flight envelope: per-time-bin population bands over a
+    LANE-SHARDED batched trajectory, with O(n_bins) communication.
+
+    The collective twin of ``mc.EnvelopeAccumulator``: per-shard segment
+    reductions combine with ``psum`` (count/sum -> global mean, then
+    locally centered M2 about the GLOBAL mean — the same two-pass variance
+    discipline as ``collective_stats``), min/max with ``pmin``/``pmax``,
+    and the quantile histograms bucket with the EXACT collective per-bin
+    min/max (so nothing clips, unlike the chunked path's first-chunk
+    calibration). Returns the same JSON-ready block as
+    ``EnvelopeAccumulator.result()`` (built by ``mc.envelope.result_block``
+    so the schemas cannot drift).
+
+    ``traj`` is a batched ``Trajectory`` ([B, T, ...] leaves); its arrays
+    are placed lane-sharded on ``mesh`` if they are not already (a no-op
+    for global arrays in a ``jax.distributed`` run).
+    """
+    from ..mc.envelope import (
+        EnvelopeConfig,
+        _bin_histogram,
+        result_block,
+        trajectory_channel,
+    )
+
+    if env is None:
+        env = EnvelopeConfig()
+    if n_bins is None:
+        n_bins = env.n_bins
+    if n_bins is None:
+        import math
+
+        n_bins = int(math.ceil(max_time / env.bin_dt))
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(BATCH_AXIS)))
+
+    t = put(traj.time)
+    valid = put(traj.valid)
+    channels = {ch: put(trajectory_channel(traj, ch))
+                for ch in env.channels}
+    n_lanes = int(traj.valid.shape[0])
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS),
+                  {ch: P(BATCH_AXIS) for ch in env.channels}),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _envelope(t_s, valid_s, ch_s):
+        out = {}
+        for ch, value in ch_s.items():
+            ids = jnp.clip(jnp.floor(t_s / env.bin_dt).astype(jnp.int32),
+                           0, n_bins - 1)
+            m = valid_s & jnp.isfinite(value)
+            ids = jnp.where(m, ids, n_bins).ravel()
+            v = value.ravel()
+            mr = m.ravel()
+            nseg = n_bins + 1
+            n_loc = jax.ops.segment_sum(mr.astype(v.dtype), ids,
+                                        num_segments=nseg)[:n_bins]
+            s_loc = jax.ops.segment_sum(jnp.where(mr, v, 0.0), ids,
+                                        num_segments=nseg)[:n_bins]
+            n = jax.lax.psum(n_loc, BATCH_AXIS)
+            s = jax.lax.psum(s_loc, BATCH_AXIS)
+            mean = s / jnp.maximum(n, 1.0)
+            c = v - jnp.concatenate([mean, jnp.zeros((1,), mean.dtype)])[ids]
+            m2 = jax.lax.psum(
+                jax.ops.segment_sum(jnp.where(mr, c * c, 0.0), ids,
+                                    num_segments=nseg)[:n_bins],
+                BATCH_AXIS,
+            )
+            big = jnp.asarray(jnp.inf, v.dtype)
+            vmin = jax.lax.pmin(
+                jax.ops.segment_min(jnp.where(mr, v, big), ids,
+                                    num_segments=nseg)[:n_bins],
+                BATCH_AXIS,
+            )
+            vmax = jax.lax.pmax(
+                jax.ops.segment_max(jnp.where(mr, v, -big), ids,
+                                    num_segments=nseg)[:n_bins],
+                BATCH_AXIS,
+            )
+            # exact collective edges, in the SAME f32 precision as the
+            # chunked accumulator's calibration (schema + value parity)
+            fin_lo = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
+            fin_hi = jnp.where(jnp.isfinite(vmax), vmax, 1.0)
+            span = jnp.maximum(fin_hi - fin_lo, 1e-12)
+            lo64 = fin_lo - env.edge_margin * span
+            hi64 = fin_hi + env.edge_margin * span
+            lo = lo64.astype(jnp.float32)
+            width = ((hi64 - lo64) / env.n_buckets).astype(jnp.float32)
+            h_loc, clip_loc = _bin_histogram(
+                t_s, valid_s, value, env.bin_dt, lo, width,
+                n_bins=n_bins, n_buckets=env.n_buckets,
+            )
+            hist = jax.lax.psum(h_loc, BATCH_AXIS)
+            clipped = jax.lax.psum(jnp.sum(clip_loc), BATCH_AXIS)
+            out[ch] = {"n": n, "mean": mean, "m2": m2, "min": vmin,
+                       "max": vmax, "hist": hist, "lo": lo,
+                       "width": width, "clipped": clipped}
+        return out
+
+    agg = jax.device_get(_envelope(t, valid, channels))
+    return result_block(env, n_bins, agg, n_lanes)

@@ -183,6 +183,56 @@ def test_envelope_plot_and_report(envelope_run, tmp_path):
         assert "flight_envelope" in json.load(f)
 
 
+def test_collective_envelope_matches_accumulator():
+    """Pod-scale twin: the shard_map envelope over the 8-device mesh must
+    reproduce the single-device accumulator on the same trajectories —
+    moments to f64-merge noise, histograms bucket-for-bucket (both
+    calibrate edges on the full population in the same f32 precision)."""
+    import jax
+
+    from erpl_monte_carlo_sim_tpu.engine.batch import simulate_flight_batch
+    from erpl_monte_carlo_sim_tpu.mc import (
+        UncertaintyParams,
+        sample_dispersions,
+    )
+    from erpl_monte_carlo_sim_tpu.parallel import (
+        collective_envelope,
+        make_mesh,
+    )
+
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(5), nominal_scene(liquid_motor()),
+        InitialConditions.vertical_launch(), UncertaintyParams(), 64
+    )
+    cfg = dataclasses.replace(CFG, record_stride=2)
+    _, traj = simulate_flight_batch(scene_b, ic_b, cfg)
+    env_cfg = EnvelopeConfig(bin_dt=0.25, channels=("altitude", "speed",
+                                                    "mach"))
+    acc = EnvelopeAccumulator(cfg, env_cfg)
+    acc.add(traj)
+    ref = acc.result()
+    col = collective_envelope(traj, make_mesh(), env=env_cfg,
+                              max_time=cfg.max_time)
+    assert col["n_lanes"] == ref["n_lanes"]
+    for ch in env_cfg.channels:
+        a, b = ref["channels"][ch], col["channels"][ch]
+        assert a["n"] == b["n"]
+        np.testing.assert_allclose(b["mean"], a["mean"], rtol=1e-12,
+                                   equal_nan=True)
+        np.testing.assert_allclose(b["std"], a["std"], rtol=1e-9,
+                                   atol=1e-12, equal_nan=True)
+        np.testing.assert_allclose(b["min"], a["min"], rtol=0,
+                                   equal_nan=True)
+        np.testing.assert_allclose(b["max"], a["max"], rtol=0,
+                                   equal_nan=True)
+        for q in a["percentiles"]:
+            np.testing.assert_allclose(
+                b["percentiles"][q], a["percentiles"][q], rtol=1e-9,
+                atol=1e-12, equal_nan=True,
+            )
+        assert b["clipped_frac"] == 0.0
+
+
 def test_envelope_accumulator_rejects_unrecorded_channel():
     from erpl_monte_carlo_sim_tpu.engine.batch import simulate_flight_batch
     from erpl_monte_carlo_sim_tpu.mc import sample_dispersions, \
