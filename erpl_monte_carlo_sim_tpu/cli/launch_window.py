@@ -32,6 +32,8 @@ import numpy as np
 
 from ..engine import InitialConditions, SimConfig
 from ..mc import MonteCarloAnalyzer, exceedance_from_analysis
+from ..mc.dispersions import UncertaintyParams
+from ..mc.stats import PERCENTILES
 from ..models import liquid_motor, nominal_scene, solid_motor
 from ..models.wind import power_law_profile
 
@@ -65,6 +67,7 @@ def launch_window_sweep(
     p_limit: float = 0.01,
     scene=None,
     sim_config=None,
+    uncertainty_params=None,
     wind_grid_points: int = 100,
     wind_grid_top: float = 25000.0,
 ) -> dict:
@@ -75,9 +78,21 @@ def launch_window_sweep(
     (the conservative side of the CI, so "go" is robust to the sampling
     noise of ``n`` lanes). With no limits configured, ``go`` is None and
     the sweep is purely descriptive.
+
+    The candidate's mean wind is HELD: the default dispersions here zero
+    the uniform (speed, direction) mean-wind offset that
+    ``UncertaintyParams`` otherwise adds on top of a forecast profile
+    (`monte_carlo.py:265-288`) — each candidate must answer "what if the
+    forecast IS this profile", with only AR(1) turbulence and the
+    vehicle/IC channels dispersing around it. Pass ``uncertainty_params``
+    explicitly to model forecast uncertainty instead.
     """
     if scene is None:
         scene = nominal_scene(solid_motor() if solid else liquid_motor())
+    if uncertainty_params is None:
+        uncertainty_params = UncertaintyParams(
+            wind_speed_range=(0.0, 0.0), wind_direction_range=(0.0, 0.0)
+        )
     if sim_config is None:
         sim_config = SimConfig(max_time=max_time) if max_time > 0 \
             else SimConfig()
@@ -87,6 +102,7 @@ def launch_window_sweep(
         for direction in directions_deg:
             mc = MonteCarloAnalyzer(
                 scene=scene, sim_config=sim_config,
+                uncertainty_params=uncertainty_params,
                 wind_grid_points=wind_grid_points,
                 wind_grid_top=wind_grid_top,
             )
@@ -105,7 +121,9 @@ def launch_window_sweep(
                 "apogee_altitude": {k: a["apogee_altitude"][k]
                                     for k in ("mean", "std")},
                 "range": {k: a["range"][k] for k in ("mean", "std")},
-                "range_p95": a["range"]["percentiles"][4],
+                "range_p95": a["range"]["percentiles"][
+                    PERCENTILES.index(95.0)
+                ],
                 "landing_footprint": {
                     "mean_m": a["landing_footprint"]["mean_m"],
                     "cep_m": a["landing_footprint"]["cep_m"],

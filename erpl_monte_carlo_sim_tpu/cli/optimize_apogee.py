@@ -24,103 +24,79 @@ NOTES.md).
 
 from __future__ import annotations
 
-import sys
+import argparse
 
-import jax
 import jax.numpy as jnp
 
 from ..engine import InitialConditions, SimConfig
-from ..engine.diff import apogee_and_grad
+from ..engine.diff import _scene_accessors, metric_and_grad, sign_ascent
 from ..models import liquid_motor, nominal_scene
 
 __all__ = ["optimize", "main"]
 
 
 def optimize(param: str = "rocket.fin_span", steps: int = 10, lr: float = None,
-             cfg: SimConfig = None, verbose: bool = True):
-    """Gradient-ascend apogee w.r.t. ``param``. Returns (value, apogee) history."""
+             cfg: SimConfig = None, verbose: bool = True,
+             metric: str = "apogee_altitude"):
+    """Gradient-ascend ``metric`` w.r.t. ``param`` on the nominal flight.
+
+    Rides ``engine.diff.sign_ascent`` (the stepper shared with
+    ``mc.optimize_robust``). Returns the (value, metric, grad) history.
+    """
     cfg = cfg or SimConfig(max_time=120.0)
     scene = nominal_scene(liquid_motor())
     ic = InitialConditions.vertical_launch()
+    read, write = _scene_accessors(param)
+    k = 0
 
-    # Normalized step: lr is a relative change per step when not given.
-    parts = param.split(".")
-    v = scene
-    for p in parts:
-        v = getattr(v, p)
-    v0 = float(jnp.asarray(v))
-
-    history = []
-    value = v0
-    for k in range(steps):
-        def write(s, val):
-            objs = [s]
-            for p in parts[:-1]:
-                objs.append(getattr(objs[-1], p))
-            child = objs[-1].replace(**{parts[-1]: val})
-            for obj, p in zip(reversed(objs[:-1]), reversed(parts[:-1])):
-                child = obj.replace(**{p: child})
-            # no refresh here: apogee_and_grad's own accessor write
-            # re-writes the value and refreshes derived geometry in-trace
-            return child
-
-        apogee, grad = apogee_and_grad(
-            write(scene, jnp.asarray(value)), ic, cfg, wrt=param
+    def evaluate(value):
+        nonlocal k
+        m, grad = metric_and_grad(
+            write(scene, jnp.asarray(value)), ic, cfg,
+            metric=metric, wrt=param,
         )
-        apogee, grad = float(apogee), float(grad)
-        history.append((value, apogee, grad))
+        m, grad = float(m), float(grad)
         if verbose:
-            print(f"step {k}: {param}={value:.6g}  apogee={apogee:.1f} m  "
-                  f"d(apogee)/d({param})={grad:.3g}")
-        # Sign-of-gradient ascent with a FIXED step magnitude (lr, or 2%
-        # of the starting value). The old form divided by |grad| and then
-        # multiplied by sign(grad), so the step exploded as the optimum was
-        # approached (grad -> 0) and stalled for steep objectives.
-        step = lr if lr is not None else 0.02 * abs(v0)
-        if grad == 0.0:
-            break
-        value = value + step * (1.0 if grad > 0 else -1.0)
-    return history
+            print(f"step {k}: {param}={value:.6g}  {metric}={m:.1f}  "
+                  f"d({metric})/d({param})={grad:.3g}")
+        k += 1
+        return (value, m, grad), grad
+
+    return sign_ascent(evaluate, float(read(scene)), steps, lr)
 
 
 def main(argv=None) -> list:
-    argv = list(sys.argv[1:] if argv is None else argv)
-    robust_lanes = 0
-    lam = 0.0
-    if "--robust" in argv:
-        i = argv.index("--robust")
-        argv.pop(i)
-        robust_lanes = 256
-        if i < len(argv) and not argv[i].startswith("-"):
-            robust_lanes = int(argv.pop(i))
-    if "--lam" in argv:
-        i = argv.index("--lam")
-        argv.pop(i)
-        lam = float(argv.pop(i))
-    max_time = 120.0
-    if "--max-time" in argv:
-        i = argv.index("--max-time")
-        argv.pop(i)
-        max_time = float(argv.pop(i))
-    metric = "apogee_altitude"
-    if "--metric" in argv:
-        i = argv.index("--metric")
-        argv.pop(i)
-        metric = argv.pop(i)
-    param = argv[0] if len(argv) > 0 else "rocket.fin_span"
-    steps = int(argv[1]) if len(argv) > 1 else 10
-    lr = float(argv[2]) if len(argv) > 2 else None
-    if robust_lanes:
+    ap = argparse.ArgumentParser(
+        description="Gradient ascent on a flight metric over a dotted "
+        "scene parameter (nominal flight, or --robust for the dispersed "
+        "mean - lam*std objective)"
+    )
+    ap.add_argument("param", nargs="?", default="rocket.fin_span")
+    ap.add_argument("steps", nargs="?", type=int, default=10)
+    ap.add_argument("lr", nargs="?", type=float, default=None,
+                    help="fixed step magnitude (default 2%% of start value)")
+    ap.add_argument("--robust", nargs="?", type=int, const=256, default=0,
+                    metavar="N_LANES",
+                    help="optimize the dispersed objective over N lanes")
+    ap.add_argument("--lam", type=float, default=0.0,
+                    help="risk aversion: objective = mean - lam*std")
+    ap.add_argument("--max-time", type=float, default=120.0)
+    ap.add_argument("--metric", default="apogee_altitude")
+    args = ap.parse_args(argv)
+    if args.robust:
         from ..mc.robust import optimize_robust
 
         return optimize_robust(
             nominal_scene(liquid_motor()),
             InitialConditions.vertical_launch(),
-            SimConfig(max_time=max_time),
-            wrt=param, metric=metric, n_lanes=robust_lanes,
-            risk_lambda=lam, steps=steps, lr=lr, verbose=True,
+            SimConfig(max_time=args.max_time),
+            wrt=args.param, metric=args.metric, n_lanes=args.robust,
+            risk_lambda=args.lam, steps=args.steps, lr=args.lr,
+            verbose=True,
         )
-    return optimize(param, steps, lr, cfg=SimConfig(max_time=max_time))
+    return optimize(args.param, args.steps, args.lr,
+                    cfg=SimConfig(max_time=args.max_time),
+                    metric=args.metric)
 
 
 if __name__ == "__main__":

@@ -147,8 +147,21 @@ def simulate_apogee_diff(
     ]
 
 
+# Rocket fields that refresh_derived() itself computes: writing one of
+# these must NOT trigger a refresh, or the write would be overwritten from
+# the primaries and its gradient silently zeroed.
+_DERIVED_ROCKET_FIELDS = frozenset(
+    {"cp_location", "reference_area", "reference_diameter"}
+)
+
+
 def _scene_accessors(wrt: str):
     parts = wrt.split(".")
+    is_derived = (
+        parts[0] == "rocket"
+        and len(parts) == 2
+        and parts[1] in _DERIVED_ROCKET_FIELDS
+    )
 
     def read(s):
         v = s
@@ -165,6 +178,11 @@ def _scene_accessors(wrt: str):
         child = objs[-1].replace(**{parts[-1]: v})
         for obj, p in zip(reversed(objs[:-1]), reversed(parts[:-1])):
             child = obj.replace(**{p: child})
+        if is_derived:
+            # Writing a derived field directly (e.g. a what-if CP shift)
+            # must stick — refreshing would recompute it from the
+            # primaries, turning the write into a no-op with grad == 0.
+            return child
         # refresh the derived geometry (reference area/diameter, Barrowman
         # CP) IN-TRACE so geometry gradients carry the CP-travel /
         # stability-margin channel — create() computes these once in
@@ -202,3 +220,27 @@ def apogee_and_grad(scene: Scene, ic: InitialConditions,
     """Apogee and d(apogee)/d(scene.<wrt>) in one reverse pass."""
     return metric_and_grad(scene, ic, cfg, metric="apogee_altitude", wrt=wrt,
                            **kw)
+
+
+def sign_ascent(evaluate, v0: float, steps: int, lr: float | None = None):
+    """Shared fixed-magnitude sign-of-gradient ascent loop.
+
+    ``evaluate(value) -> (history_entry, grad)``; the loop appends each
+    entry, stops on ``grad == 0``, and moves ``value`` by a FIXED step of
+    ``lr`` (default 2% of ``|v0|``) in the gradient's direction. A
+    normalized step lr/|g| would explode as the optimum is approached
+    (grad -> 0) and stall for steep objectives — this rule was fixed once
+    already; both optimizers (``cli.optimize_apogee`` nominal path,
+    ``mc.optimize_robust``) ride THIS loop so it cannot regress in one
+    and not the other. Returns the history list.
+    """
+    step = lr if lr is not None else 0.02 * max(abs(float(v0)), 1e-12)
+    value = float(v0)
+    history = []
+    for _ in range(int(steps)):
+        entry, grad = evaluate(value)
+        history.append(entry)
+        if grad == 0.0:
+            break
+        value = value + step * (1.0 if grad > 0 else -1.0)
+    return history

@@ -141,9 +141,11 @@ def _bin_histogram(t, valid, value, bin_dt, lo, width, n_bins, n_buckets):
     w_s = jnp.concatenate([width, pad])[ids]
     frac = (v - lo_s) / jnp.maximum(w_s, 1e-30)
     bucket = jnp.clip(frac.astype(jnp.int32), 0, n_buckets - 1)
-    clipped = jnp.where(mr & ((frac < 0.0) | (frac >= n_buckets)), 1.0, 0.0)
+    # integer counting: an f32 count saturates at 2^24 samples per bucket
+    # — routinely exceeded at pod scale (the collective path psums these)
+    clipped = jnp.where(mr & ((frac < 0.0) | (frac >= n_buckets)), 1, 0)
     flat = jnp.where(mr, ids * n_buckets + bucket, n_bins * n_buckets)
-    ones = mr.astype(v.dtype)
+    ones = mr.astype(jnp.int32)
     h = jax.ops.segment_sum(ones, flat,
                             num_segments=n_bins * n_buckets + 1)
     clip_ct = jax.ops.segment_sum(clipped, ids, num_segments=n_bins + 1)
@@ -186,8 +188,9 @@ class EnvelopeAccumulator:
         t = traj.time
         valid = traj.valid
         chunk_minmax = {}
+        values = {}  # computed once per channel; the histogram pass reuses
         for ch in env.channels:
-            value = trajectory_channel(traj, ch)
+            value = values[ch] = trajectory_channel(traj, ch)
             n, mean, m2, vmin, vmax = jax.device_get(_bin_moments(
                 t, valid, value, env.bin_dt, self.n_bins
             ))
@@ -200,7 +203,7 @@ class EnvelopeAccumulator:
         if self._edges is None:
             self._calibrate(chunk_minmax)
         for ch in env.channels:
-            value = trajectory_channel(traj, ch)
+            value = values[ch]
             lo, width = self._edges[ch]
             h, clip_ct = jax.device_get(_bin_histogram(
                 t, valid, value, env.bin_dt, lo, width,

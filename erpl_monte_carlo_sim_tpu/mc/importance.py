@@ -174,13 +174,31 @@ def shift_from_gradients(value, grads, sigmas, threshold,
     responses the true design point moves off the linearized one — check
     ``n_eff_tail`` on the run as always.
     """
+    if not np.isfinite(value):
+        raise ValueError(
+            f"nominal metric value is non-finite ({value}); the flight "
+            "itself diverges — fix the configuration before tilting"
+        )
     resp = {}
     for name in _AUTO_GRAD:
         g = grads.get(name)
         sigma = sigmas.get(name, 0.0)
         if g is None or sigma <= 0.0:
             continue  # untiltable (zero-sigma, e.g. motor_flow on solids)
-        resp[name] = float(g) * float(sigma)
+        r = float(g) * float(sigma)
+        if not np.isfinite(r):
+            # A NaN gradient would sail through every comparison below
+            # (NaN compares False) and surface as a misleading "threshold
+            # too close to nominal" — name the real problem instead. The
+            # documented NaN-prone regime is a reverse pass through a
+            # full flight with a diverging parity-aero lane (mc/robust.py).
+            raise ValueError(
+                f"non-finite gradient for tiltable channel {name!r} "
+                f"(gradient*sigma = {r}); the reverse pass through the "
+                "flight is NaN — use a windowed SimConfig (max_time) or "
+                "energy_consistent_aero, then retry auto tilting"
+            )
+        resp[name] = r
     lin = float(np.sqrt(sum(r * r for r in resp.values())))
     info = {
         "metric_nominal": float(value),

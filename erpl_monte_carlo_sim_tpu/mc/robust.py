@@ -37,7 +37,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..engine.diff import DIFF_METRICS, _scene_accessors, simulate_metrics_diff
+from ..engine.diff import (
+    DIFF_METRICS,
+    _scene_accessors,
+    sign_ascent,
+    simulate_metrics_diff,
+)
 from .dispersions import UncertaintyParams, sample_dispersions
 
 __all__ = ["dispersed_objective_and_grad", "optimize_robust"]
@@ -135,31 +140,27 @@ def optimize_robust(
 ) -> list:
     """Gradient-ascend the dispersed objective w.r.t. ``scene.<wrt>``.
 
-    Same step rule as ``cli.optimize_apogee``: sign-of-gradient ascent
-    with a FIXED magnitude (``lr``, or 2% of the starting value) — a
-    normalized step lr/|g| would explode as the optimum is approached.
+    Same step rule as ``cli.optimize_apogee`` — both ride
+    ``engine.diff.sign_ascent`` (fixed-magnitude sign-of-gradient steps).
     Returns the history ``[(value, objective, grad, mean, std), ...]``
     (one entry per step; ascending objective not guaranteed — the caller
     sees every step). SAA: the ``seed`` lanes are fixed for the whole
     trajectory.
     """
     read, _ = _scene_accessors(wrt)
-    value = float(jnp.asarray(read(scene)))
-    step = lr if lr is not None else 0.02 * max(abs(value), 1e-12)
-    history = []
-    for _ in range(steps):
+
+    def evaluate(value):
         obj, grad, diag = dispersed_objective_and_grad(
             scene, ic, cfg, wrt=wrt, metric=metric, n_lanes=n_lanes,
             seed=seed, params=params, risk_lambda=risk_lambda,
             base_wind=base_wind, value=value,
         )
         obj, grad = float(obj), float(grad)
-        history.append((value, obj, grad, diag["mean"], diag["std"]))
         if verbose:
             print(f"  {wrt}={value:.6g}  objective={obj:.4f}  "
                   f"mean={diag['mean']:.4f}  std={diag['std']:.4f}  "
                   f"grad={grad:.4g}", flush=True)
-        if grad == 0.0:
-            break
-        value = value + step * (1.0 if grad > 0 else -1.0)
-    return history
+        return (value, obj, grad, diag["mean"], diag["std"]), grad
+
+    return sign_ascent(evaluate, float(jnp.asarray(read(scene))),
+                       steps, lr)

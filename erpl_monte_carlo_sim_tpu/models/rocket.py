@@ -175,18 +175,34 @@ def barrowman_cp_traced(p: RocketParams) -> jnp.ndarray:
 
     fin_area = 0.5 * (cr + ct) * s
     lam = jnp.where(cr != 0, ct / jnp.where(cr != 0, cr, 1.0), 0.0)
-    cn_fins = 2.0 * n * (1.0 + diameter / (2.0 * s)) * (fin_area / ref_area)
+    # double-where guard on the span division (cf. ops.math.safe_sqrt):
+    # at s == 0 the primal already resolves to length/2 via the cn_total
+    # guard below, but the unguarded d/(2*s) would leak NaN into REVERSE
+    # mode (0-cotangent * inf intermediate) — a finless scene would NaN
+    # every design gradient.
+    s_ok = s > 0
+    cn_fins = jnp.where(
+        s_ok,
+        2.0 * n * (1.0 + diameter / (2.0 * jnp.where(s_ok, s, 1.0)))
+        * (fin_area / ref_area),
+        0.0,
+    )
     mac = (2.0 / 3.0) * cr * (1.0 + lam + lam**2) / (1.0 + lam)
     y_bar = s * (1.0 + 2.0 * lam) / (3.0 * (1.0 + lam))
     x_fins = (length - cr) + y_bar * jnp.tan(sweep) + 0.25 * mac
 
     cn_total = cn_nose + cn_fins
-    return jnp.where(
+    cp = jnp.where(
         cn_total > 0,
         (cn_nose * x_nose + cn_fins * x_fins)
         / jnp.where(cn_total > 0, cn_total, 1.0),
         length / 2.0,
     )
+    # s == 0: the config-time barrowman_cp raises ZeroDivisionError here
+    # (Python floats); the traced twin defines the degenerate value as the
+    # same length/2 fallback its cn_total guard uses, with a finite
+    # gradient (pinned by test_finless_design_gradient_finite).
+    return jnp.where(s_ok, cp, length / 2.0)
 
 
 def refresh_derived(p: RocketParams) -> RocketParams:

@@ -546,11 +546,18 @@ def collective_envelope(traj, mesh: Mesh, env=None,
             v = value.ravel()
             mr = m.ravel()
             nseg = n_bins + 1
-            n_loc = jax.ops.segment_sum(mr.astype(v.dtype), ids,
-                                        num_segments=nseg)[:n_bins]
+            # count in int32 (exact to 2^31 per bin) and psum as int —
+            # an f32 count loses integer exactness past 2^24 samples per
+            # bin, the regime this pod-scale path exists for (same
+            # discipline as collective_stats' integer lane count)
+            n_int = jax.lax.psum(
+                jax.ops.segment_sum(mr.astype(jnp.int32), ids,
+                                    num_segments=nseg)[:n_bins],
+                BATCH_AXIS,
+            )
             s_loc = jax.ops.segment_sum(jnp.where(mr, v, 0.0), ids,
                                         num_segments=nseg)[:n_bins]
-            n = jax.lax.psum(n_loc, BATCH_AXIS)
+            n = n_int.astype(v.dtype)
             s = jax.lax.psum(s_loc, BATCH_AXIS)
             mean = s / jnp.maximum(n, 1.0)
             c = v - jnp.concatenate([mean, jnp.zeros((1,), mean.dtype)])[ids]

@@ -101,3 +101,14 @@ def test_auto_shift_end_to_end():
     assert out["auto_shift"]["shift"] == out["shift"]
     assert 0.0 <= out["probability"] <= 1.0
     assert out["n_eff_tail"] > 0
+
+
+def test_non_finite_gradient_and_value_rejected():
+    """NaN gradients must raise loudly — regression: NaN sailed through
+    every comparison (NaN compares False), every channel was dropped, and
+    the caller saw a misleading 'threshold too close to nominal' error."""
+    bad = dict(GRADS, mass=float("nan"))
+    with pytest.raises(ValueError, match="non-finite gradient"):
+        shift_from_gradients(1000.0, bad, SIGMAS, 1200.0)
+    with pytest.raises(ValueError, match="non-finite"):
+        shift_from_gradients(float("nan"), GRADS, SIGMAS, 1200.0)

@@ -254,3 +254,20 @@ def test_envelope_accumulator_rejects_unrecorded_channel():
     )
     acc2.add(traj)
     assert acc2.result()["channels"]["speed"]["n"][0] > 0
+
+
+def test_bin_histogram_counts_are_integer():
+    """Histogram/count segment sums accumulate in int32 — an f32 count
+    saturates at 2^24 samples per bucket, routinely exceeded at pod scale
+    (the collective path psums these)."""
+    t = jnp.linspace(0.0, 1.0, 32)[None, :].repeat(3, 0)
+    valid = jnp.ones((3, 32), bool)
+    v = jnp.linspace(0.0, 2.0, 32)[None, :].repeat(3, 0)
+    lo = jnp.zeros(4, jnp.float32)
+    width = jnp.full(4, 0.5, jnp.float32)
+    h, clip_ct = _bin_histogram(t, valid, v, 0.3, lo, width,
+                                n_bins=4, n_buckets=4)
+    assert jnp.issubdtype(h.dtype, jnp.integer)
+    assert jnp.issubdtype(clip_ct.dtype, jnp.integer)
+    assert int(h.sum()) + int(clip_ct.sum()) >= int(h.sum())
+    assert int(h.sum()) == 3 * 32

@@ -87,3 +87,31 @@ def test_cli_main_with_plot(tmp_path, capsys):
     assert printed["go_count"] == out["go_count"]
     path = out["plot"]
     assert path and os.path.getsize(path) > 10_000
+
+
+def test_sweep_holds_candidate_forecast():
+    """The sweep's default dispersions ZERO the uniform mean-wind offset —
+    regression: the default UncertaintyParams added a U(0,5) m/s shift in
+    a random direction ON TOP of the candidate profile, so each
+    candidate's absolute exceedance answered a different question than
+    the documented 'forecast IS this profile' premise."""
+    from erpl_monte_carlo_sim_tpu.mc.dispersions import UncertaintyParams
+
+    kw = dict(n=16, seed=3, max_time=2.0)
+    a = launch_window_sweep([4.0], [90.0], **kw)
+    b = launch_window_sweep(
+        [4.0], [90.0],
+        uncertainty_params=UncertaintyParams(
+            wind_speed_range=(0.0, 0.0), wind_direction_range=(0.0, 0.0)
+        ),
+        **kw,
+    )
+    assert (a["candidates"][0]["range"]["mean"]
+            == b["candidates"][0]["range"]["mean"])
+    c = launch_window_sweep(
+        [4.0], [90.0],
+        uncertainty_params=UncertaintyParams(wind_speed_range=(5.0, 5.0)),
+        **kw,
+    )
+    assert (c["candidates"][0]["range"]["mean"]
+            != a["candidates"][0]["range"]["mean"])

@@ -128,3 +128,81 @@ def test_optimize_robust_ascends_and_cli_routes(capsys):
     _, obj, _, mean, std = out[0]
     assert obj == pytest.approx(mean - 0.5 * std, rel=1e-6)
     assert "objective=" in capsys.readouterr().out
+
+
+def test_derived_field_write_sticks_and_grads():
+    """Writing a DERIVED rocket field (cp_location, reference_area,
+    reference_diameter) must stick — regression: the unconditional
+    refresh_derived() in the accessor write recomputed these from the
+    primaries, silently zeroing their gradients."""
+    from erpl_monte_carlo_sim_tpu.engine.diff import _scene_accessors
+
+    for field in ("cp_location", "reference_area", "reference_diameter"):
+        read, write = _scene_accessors(f"rocket.{field}")
+        v0 = float(read(SCENE))
+        s2 = write(SCENE, jnp.asarray(v0 + 0.125))
+        assert float(read(s2)) == pytest.approx(v0 + 0.125), field
+
+
+def test_finless_design_gradient_finite():
+    """fin_span == 0 keeps the Barrowman CP gradient finite (double-where
+    guard on the d/(2s) division) and the primal pinned to the Python
+    version's length/2 limit."""
+    import jax
+    import numpy as np
+
+    from erpl_monte_carlo_sim_tpu.models.rocket import barrowman_cp_traced
+
+    r = SCENE.rocket
+    cp0, dcp0 = jax.value_and_grad(
+        lambda v: barrowman_cp_traced(r.replace(fin_span=v))
+    )(jnp.asarray(0.0))
+    # the Python barrowman_cp raises ZeroDivisionError here; the traced
+    # twin defines the degenerate value as the length/2 fallback
+    assert float(cp0) == pytest.approx(float(jnp.asarray(r.length)) / 2.0)
+    assert np.isfinite(float(dcp0))
+
+
+def test_sign_ascent_shared_stepper():
+    """Both optimizers ride engine.diff.sign_ascent: fixed-magnitude
+    steps, direction from the gradient sign, stop on grad == 0."""
+    from erpl_monte_carlo_sim_tpu.engine.diff import sign_ascent
+
+    # maximize -(v-1)^2 from v=4: grad = -2(v-1) < 0 -> steps go DOWN
+    evals = []
+
+    def evaluate(v):
+        g = -2.0 * (v - 1.0)
+        evals.append(v)
+        return (v, g), g
+
+    hist = sign_ascent(evaluate, 4.0, steps=5, lr=1.0)
+    assert [h[0] for h in hist] == [4.0, 3.0, 2.0, 1.0]  # grad==0 at v=1
+    assert len(hist) == 4  # early stop, not 5
+    # default step is 2% of |v0|
+    evals.clear()
+    sign_ascent(evaluate, 4.0, steps=2)
+    assert evals[1] == pytest.approx(4.0 - 0.08)
+    # steps=0 evaluates nothing (cheap CLI arg-parsing tests rely on this)
+    assert sign_ascent(evaluate, 4.0, steps=0) == []
+
+
+def test_optimize_apogee_cli_argparse():
+    """Flags parse cleanly in any order and bad values fail with a clean
+    argparse error — regression: hand-rolled parsing crashed with
+    ValueError/IndexError on flag-before-positional or trailing flags."""
+    from erpl_monte_carlo_sim_tpu.cli import optimize_apogee
+
+    # steps=0: parses + routes without compiling anything
+    assert optimize_apogee.main(["rocket.fin_span", "0"]) == []
+    assert optimize_apogee.main(
+        ["--lam", "1.0", "rocket.fin_span", "0"]) == []
+    assert optimize_apogee.main(
+        ["rocket.fin_span", "0", "--metric", "range", "--max-time", "2"]
+    ) == []
+    assert optimize_apogee.main(
+        ["rocket.fin_span", "0", "0.01", "--robust", "8"]) == []
+    with pytest.raises(SystemExit):
+        optimize_apogee.main(["rocket.fin_span", "not-an-int"])
+    with pytest.raises(SystemExit):
+        optimize_apogee.main(["rocket.fin_span", "0", "--lam"])
