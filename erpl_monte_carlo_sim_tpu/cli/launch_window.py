@@ -70,6 +70,7 @@ def launch_window_sweep(
     uncertainty_params=None,
     wind_grid_points: int = 100,
     wind_grid_top: float = 25000.0,
+    adaptive_max_n: int | None = None,
 ) -> dict:
     """One MC per (speed, direction) candidate; returns the sweep table.
 
@@ -86,6 +87,14 @@ def launch_window_sweep(
     forecast IS this profile", with only AR(1) turbulence and the
     vehicle/IC channels dispersing around it. Pass ``uncertainty_params``
     explicitly to model forecast uncertainty instead.
+
+    ``adaptive_max_n``: sequential sweep — each candidate runs ``n``-lane
+    slabs until its go/no-go is DECIDED (the Wilson 95% interval for every
+    configured exceedance lies entirely on one side of ``p_limit``;
+    ``mc.sequential.ExceedanceDecision``) or ``adaptive_max_n`` lanes are
+    spent. Candidates far from the boundary decide after one slab; only
+    boundary cases use the budget. Requires at least one limit. Rows gain
+    ``n_used`` and ``decided``.
     """
     if scene is None:
         scene = nominal_scene(solid_motor() if solid else liquid_motor())
@@ -93,6 +102,14 @@ def launch_window_sweep(
         uncertainty_params = UncertaintyParams(
             wind_speed_range=(0.0, 0.0), wind_direction_range=(0.0, 0.0)
         )
+    if adaptive_max_n is not None:
+        if range_limit is None and apogee_ceiling is None:
+            raise ValueError(
+                "adaptive_max_n needs at least one limit (range_limit / "
+                "apogee_ceiling) to decide against"
+            )
+        if adaptive_max_n < n:
+            raise ValueError("adaptive_max_n must be >= n (the slab size)")
     if sim_config is None:
         sim_config = SimConfig(max_time=max_time) if max_time > 0 \
             else SimConfig()
@@ -112,7 +129,21 @@ def launch_window_sweep(
             )
             mc.base_altitude_profile = alts
             mc.base_wind_profile = prof
-            a = mc.run_monte_carlo(ic, n_samples=n, seed=seed)
+            if adaptive_max_n is not None:
+                crit = []
+                if range_limit is not None:
+                    crit.append({"metric": "range", "exceed": range_limit,
+                                 "p_limit": p_limit})
+                if apogee_ceiling is not None:
+                    crit.append({"metric": "apogee_altitude",
+                                 "exceed": apogee_ceiling,
+                                 "p_limit": p_limit})
+                a = mc.run_to_precision(
+                    ic, criteria=crit, max_samples=adaptive_max_n,
+                    min_samples=n, lane_slab=n, seed=seed,
+                )
+            else:
+                a = mc.run_monte_carlo(ic, n_samples=n, seed=seed)
             row = {
                 "wind_speed": float(speed),
                 "wind_direction_deg": float(direction),
@@ -141,9 +172,14 @@ def launch_window_sweep(
                 row["p_apogee_exceed"] = ex
                 checks.append(ex["ci95"][1] <= p_limit)
             row["go"] = bool(all(checks)) if checks else None
+            if adaptive_max_n is not None:
+                seq = a["sequential"]
+                row["n_used"] = seq["n_used"]
+                row["decided"] = seq["satisfied"]
             candidates.append(row)
     return {
         "n_per_candidate": n,
+        "adaptive_max_n": adaptive_max_n,
         "seed": seed,
         "common_random_numbers": True,
         "limits": {
@@ -175,6 +211,11 @@ def main(argv=None) -> dict:
     ap.add_argument("--range-limit", type=float, default=None)
     ap.add_argument("--apogee-ceiling", type=float, default=None)
     ap.add_argument("--p-limit", type=float, default=0.01)
+    ap.add_argument("--adaptive-max-n", type=int, default=None,
+                    metavar="N_MAX",
+                    help="sequential mode: run --n-lane slabs per "
+                    "candidate until its go/no-go is decided or N_MAX "
+                    "lanes are spent")
     ap.add_argument("--plot", default=None, metavar="DIR",
                     help="also write launch_window.png into DIR")
     args = ap.parse_args(argv)
@@ -183,7 +224,7 @@ def main(argv=None) -> dict:
         [float(x) for x in args.directions.split(",")],
         n=args.n, seed=args.seed, solid=args.solid, max_time=args.max_time,
         range_limit=args.range_limit, apogee_ceiling=args.apogee_ceiling,
-        p_limit=args.p_limit,
+        p_limit=args.p_limit, adaptive_max_n=args.adaptive_max_n,
     )
     if args.plot:
         from ..reporting.plots import plot_launch_window

@@ -26,6 +26,12 @@ from .stats import (
     masked_stats,
 )
 from .robust import dispersed_objective_and_grad, optimize_robust
+from .sequential import (
+    ExceedanceDecision,
+    ExceedanceHalfwidth,
+    MeanStderr,
+    parse_criterion,
+)
 from .sobol_indices import (
     active_groups,
     jansen_estimates,
@@ -48,6 +54,8 @@ __all__ = [
     "log_weights", "weighted_mean", "weighted_tail",
     "auto_shift", "shift_from_gradients",
     "parity_twin", "two_level_block",
+    "MeanStderr", "ExceedanceDecision", "ExceedanceHalfwidth",
+    "parse_criterion",
     "TailReservoir", "fit_gpd_pwm", "gpd_tail", "tail_from_analysis",
     "EnvelopeAccumulator", "EnvelopeConfig", "trajectory_channel",
 ]

@@ -533,6 +533,88 @@ class MonteCarloAnalyzer:
         )
         return analysis
 
+    def run_to_precision(
+        self,
+        initial_conditions,
+        *,
+        criteria,
+        max_samples: int,
+        min_samples: int = 0,
+        seed: int = 0,
+        lane_slab: Optional[int] = None,
+        materialize_results: Optional[int] = None,
+        chunk_steps: Optional[int] = None,
+    ) -> dict:
+        """Sequential Monte Carlo: run slabs until every criterion is met.
+
+        The reference can only run a FIXED ``n_samples``
+        (`monte_carlo.py:52`) — choosing it is the user's problem. This
+        states the precision the decision needs instead: ``criteria`` is
+        a list of ``mc.sequential`` criteria (or their spec dicts —
+        ``{"metric": m, "mean_stderr": x}``,
+        ``{"metric": m, "exceed": t, "p_limit": p}``,
+        ``{"metric": m, "exceed": t, "ci_halfwidth": h}``), checked after
+        every ``lane_slab``-sized slab; the run stops at the first slab
+        boundary where ALL hold (but never before ``min_samples`` lanes),
+        or at ``max_samples``.
+
+        Stopping early is EXACT, not approximate: slab k's dispersions
+        depend only on ``(key, k, slab)``, so the analysis returned is
+        bit-identical to ``run_monte_carlo(n_samples=n_used,
+        lane_slab=<same slab>)`` (pinned by test; slab size is part of the
+        determinism key). The analysis carries a ``"sequential"`` block:
+        per-criterion
+        report (realized stderr/CI/decision), ``n_used``, ``max_samples``,
+        ``stopped_early``, ``satisfied``. Criterion counts treat valid
+        lanes as i.i.d. — under ``sampler="sobol"``/``antithetic`` the
+        stop is conservative (see ``mc.sequential`` for this and the
+        optional-stopping caveat).
+        """
+        from .sequential import parse_criterion
+
+        if not criteria:
+            raise ValueError("criteria must be a non-empty list")
+        crits = [parse_criterion(c) for c in criteria]
+        if self.importance_shift:
+            raise ValueError(
+                "run_to_precision counts unweighted lanes; "
+                "importance-sampled runs need weighted estimators (and IS "
+                "exists to make n small) — use run_monte_carlo"
+            )
+        if max_samples < 1:
+            raise ValueError("max_samples must be >= 1")
+        if min_samples > max_samples:
+            raise ValueError("min_samples must be <= max_samples")
+        ic = _as_ic(initial_conditions)
+        base_wind = None
+        if (self.base_wind_profile is not None
+                and self.base_altitude_profile is not None):
+            base_wind = (self.base_altitude_profile,
+                         self.base_wind_profile)
+        slab = lane_slab if lane_slab is not None \
+            else self.max_lanes_per_call
+
+        def stop_rule(slab_metrics, valid_np, n_done):
+            for c in crits:
+                c.update(slab_metrics[c.metric][valid_np])
+            return all(c.satisfied() for c in crits)
+
+        analysis = self._run_slabbed(
+            ic, max_samples, slab, seed, materialize_results, chunk_steps,
+            base_wind, stop_rule=stop_rule, min_samples=min_samples,
+        )
+        n_used = int(analysis["n_total"])
+        analysis["sequential"] = {
+            "max_samples": int(max_samples),
+            "min_samples": int(min_samples),
+            "lane_slab": int(slab),
+            "n_used": n_used,
+            "stopped_early": n_used < max_samples,
+            "satisfied": all(c.satisfied() for c in crits),
+            "criteria": [c.block() for c in crits],
+        }
+        return analysis
+
     def _cv_wind_ctrl(self, scene_b, sample, base_wind):
         """The wind_ctrl pytree for mc.cv wind-table controls (None when
         both cv_wind_modes and cv_wind_speed are off). The [N,K] projector
@@ -691,7 +773,8 @@ class MonteCarloAnalyzer:
     # ---------------------------------------------------------- slab loop
     def _run_slabbed(self, ic, n_samples, slab, seed, materialize_results,
                      chunk_steps, base_wind, checkpoint_path=None,
-                     checkpoint_every=16) -> dict:
+                     checkpoint_every=16, stop_rule=None,
+                     min_samples=0) -> dict:
         """Lane-slabbed Monte Carlo: bounded per-call device memory/time.
 
         Each slab's dispersions come from ``fold_in(key, slab_idx)``; host
@@ -944,6 +1027,20 @@ class MonteCarloAnalyzer:
             slab_idx += 1
             log.info("slab %d/%d: %d/%d lanes", slab_idx, n_slabs, n_done,
                      n_samples)
+            if stop_rule is not None:
+                # Criteria fold in EVERY slab (their report blocks must see
+                # all the data); truncation fires only mid-run. Stopping
+                # after slab k is exactly the run that asked for k*slab
+                # lanes — slab draws depend on (key, slab_idx, slab) only.
+                met = stop_rule(slab_metrics, valid_np, n_done)
+                if met and min_samples <= n_done < n_samples:
+                    log.info(
+                        "sequential stop: criteria met after slab %d "
+                        "(%d of %d budgeted lanes)",
+                        slab_idx, n_done, n_samples,
+                    )
+                    n_samples = n_done
+                    n_slabs = slab_idx
             if (ckpt_fp is not None and n_done < n_samples
                     and slab_idx % checkpoint_every == 0):
                 save_slab_state(checkpoint_path, {
