@@ -299,7 +299,10 @@ class MonteCarloAnalyzer:
         # processed in per-call slabs with host-side moment accumulation.
         self.max_lanes_per_call = max_lanes_per_call
 
-        # Forecast-driven runs (`monte_carlo.py:31-32`, set by `example.py:58-59`).
+        # Forecast-driven runs (`monte_carlo.py:31-32`, set by
+        # `example.py:58-59`). base_wind_profile may be one forecast [N,3]
+        # or a member ENSEMBLE [K,N,3] (models.load_wind_ensemble_from_csvs)
+        # — each lane then perturbs a uniformly drawn member.
         self.base_altitude_profile = None
         self.base_wind_profile = None
 

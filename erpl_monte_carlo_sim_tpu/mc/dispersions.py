@@ -118,6 +118,11 @@ def _sample_impl(
     perturbs it with AR(1) turbulence plus a uniform (speed, direction) offset
     (`monte_carlo.py:268-280`). Without it, each lane synthesizes a stochastic
     profile on a 100-point 0-25 km grid (`monte_carlo.py:282-288`).
+    An ENSEMBLE of forecasts — ``wind[K,N,3]`` — makes each lane perturb a
+    uniformly drawn member instead (mixture-of-forecasts dispersion; no
+    reference counterpart — it can hold one forecast,
+    `monte_carlo.py:31-32`). Member choice is keyed, so re-simulation by
+    lane id reproduces it.
 
     ``antithetic``: variance reduction the reference cannot offer — each
     Gaussian/uniform draw for the second half of the batch is the mirror of
@@ -400,7 +405,31 @@ def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
 
     if base_wind is not None:
         base_profile = jnp.asarray(base_wind[1], dtype)
-        if qmc_noise is None:
+        if base_profile.ndim == 3:
+            # Forecast ENSEMBLE [K,N,3]: each lane perturbs a uniformly
+            # drawn member — the mixture-of-forecasts dispersion real
+            # launch ops run (e.g. GEFS members). One [n,N,3] gather at
+            # sampling time; the hot loop still sees one per-lane table.
+            # Keyed off its own fold so K=1 reproduces the single-forecast
+            # draw bit for bit (pinned by test).
+            member = jax.random.randint(
+                jax.random.fold_in(turb_key, 2), (n,), 0,
+                base_profile.shape[0],
+            )
+            lane_base = base_profile[member]
+            if qmc_noise is None:
+                profiles = jax.vmap(
+                    lambda k, bp: perturb_wind_profile(
+                        scene.wind_model, k, grid, bp
+                    )
+                )(lane_keys, lane_base)
+            else:
+                profiles = jax.vmap(
+                    lambda k, bp, nz: perturb_wind_profile(
+                        scene.wind_model, k, grid, bp, noise=nz
+                    )
+                )(lane_keys, lane_base, qmc_noise)
+        elif qmc_noise is None:
             profiles = jax.vmap(
                 lambda k: perturb_wind_profile(scene.wind_model, k, grid, base_profile)
             )(lane_keys)
@@ -496,6 +525,20 @@ def _validate_sampling(a: dict) -> None:
     n = a["n"]
     if a["antithetic"] and n % 2 != 0:
         raise ValueError("antithetic sampling needs an even n")
+    if a["base_wind"] is not None:
+        import numpy as _np
+
+        alts = _np.asarray(a["base_wind"][0])
+        prof = _np.asarray(a["base_wind"][1])
+        if prof.ndim not in (2, 3) or prof.shape[-1] != 3 \
+                or prof.shape[-2] != alts.shape[0]:
+            raise ValueError(
+                "base_wind must be (altitudes[N], wind[N,3]) or an "
+                f"ensemble (altitudes[N], wind[K,N,3]); got altitudes"
+                f"{alts.shape}, wind{prof.shape}"
+            )
+        if prof.ndim == 3 and prof.shape[0] < 1:
+            raise ValueError("base_wind ensemble needs at least one member")
     if a["sampler"] not in ("prng", "sobol"):
         raise ValueError(f"unknown sampler {a['sampler']!r}")
     if a["sampler"] == "sobol" and a["antithetic"]:

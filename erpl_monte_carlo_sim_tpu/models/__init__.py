@@ -29,6 +29,7 @@ from .wind import (
     WindField,
     WindModelParams,
     generate_stochastic_profile,
+    load_wind_ensemble_from_csvs,
     load_wind_profile_from_csv,
     perturb_wind_profile,
     power_law_profile,
@@ -43,6 +44,7 @@ __all__ = [
     "barrowman_cp", "dynamic_cp", "mass_properties", "stability_margin",
     "Scene", "nominal_scene",
     "WindField", "WindModelParams", "generate_stochastic_profile",
-    "load_wind_profile_from_csv", "perturb_wind_profile", "power_law_profile",
+    "load_wind_profile_from_csv", "load_wind_ensemble_from_csvs",
+    "perturb_wind_profile", "power_law_profile",
     "wind_at_altitude",
 ]

@@ -38,6 +38,7 @@ __all__ = [
     "perturb_wind_profile",
     "ar1_transfer_matrix",
     "load_wind_profile_from_csv",
+    "load_wind_ensemble_from_csvs",
 ]
 
 
@@ -211,3 +212,28 @@ def load_wind_profile_from_csv(file_path: str):
     else:
         wind = np.vstack([data["u"], data["v"], np.zeros_like(altitudes)]).T
     return altitudes, wind
+
+
+def load_wind_ensemble_from_csvs(file_paths):
+    """Load a forecast ENSEMBLE from per-member CSVs (same format as
+    ``load_wind_profile_from_csv``) onto the FIRST member's altitude grid.
+
+    Members on different grids are linearly interpolated per component
+    with endpoint clamping (the reference's universal interp convention,
+    `utils.py:147-149`). Returns ``(altitudes[N], wind[K,N,3])`` — feed
+    the pair straight to ``MonteCarloAnalyzer.base_altitude_profile`` /
+    ``base_wind_profile``; each Monte Carlo lane then perturbs a uniformly
+    drawn member. No reference counterpart (it holds exactly one forecast,
+    `monte_carlo.py:31-32`).
+    """
+    paths = list(file_paths)
+    if not paths:
+        raise ValueError("need at least one ensemble member CSV")
+    grid, first = load_wind_profile_from_csv(paths[0])
+    members = [first]
+    for p in paths[1:]:
+        alts, wind = load_wind_profile_from_csv(p)
+        members.append(np.stack(
+            [np.interp(grid, alts, wind[:, c]) for c in range(3)], axis=1
+        ))
+    return grid, np.stack(members, axis=0)

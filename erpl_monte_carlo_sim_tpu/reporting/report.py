@@ -75,6 +75,11 @@ def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
         imp = {k: v for k, v in analysis["importance"].items()
                if k != "log_weights"}
         report["importance"] = imp
+    if analysis.get("sequential"):
+        # beyond-reference: run-to-precision stopping record
+        # (MonteCarloAnalyzer.run_to_precision) — which criteria were met
+        # and at what lane cost
+        report["sequential"] = analysis["sequential"]
     if analyzer is not None:
         report["uncertainty_parameters"] = analyzer.uncertainty_params.as_dict()
         report["rocket_parameters"] = object_to_serializable_dict(analyzer.scene.rocket)
@@ -186,6 +191,29 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                     f.write(f"  {name}: {blk['mean']:.2f} +- "
                             f"{blk['stderr']:.3f} {unit} "
                             f"(n_eff {blk['n_eff']:.0f})\n")
+            f.write("\n")
+        if "sequential" in report:
+            seq = report["sequential"]
+            f.write("Sequential Stopping (run-to-precision):\n")
+            f.write(f"  Lanes used: {seq['n_used']} of "
+                    f"{seq['max_samples']} budgeted "
+                    f"({'stopped early' if seq['stopped_early'] else 'budget exhausted'})\n")
+            for c in seq["criteria"]:
+                if c["kind"] == "mean_stderr":
+                    f.write(f"  {c['metric']} mean stderr: "
+                            f"{c['stderr']:.4g} (target {c['target']:.4g})"
+                            f" -> {'met' if c['satisfied'] else 'NOT met'}\n")
+                else:
+                    lo, hi = c["ci95"]
+                    f.write(f"  P({c['metric']} > {c['threshold']:g}): "
+                            f"{c['probability']:.4g} "
+                            f"CI95 [{lo:.4g}, {hi:.4g}]"
+                            + (f" vs limit {c['p_limit']:g} -> "
+                               f"{c['decision'] or 'undecided'}"
+                               if c["kind"] == "exceedance_decision"
+                               else f" (half-width target "
+                                    f"{c['target']:.4g})")
+                            + "\n")
             f.write("\n")
         if "performance" in report:
             perf = report["performance"]

@@ -212,3 +212,29 @@ def test_adaptive_launch_window():
     with pytest.raises(ValueError, match=">= n"):
         launch_window_sweep([2.0], [0.0], n=32, adaptive_max_n=16,
                             max_time=2.0, range_limit=100.0)
+
+
+def test_sequential_block_in_report(tmp_path):
+    """run_to_precision analyses carry their stopping record into the
+    JSON + TXT reports like every other beyond-reference block."""
+    import json
+    import os
+
+    from erpl_monte_carlo_sim_tpu.reporting import save_report
+
+    mc = _analyzer()
+    a = mc.run_to_precision(
+        IC, criteria=[{"metric": "apogee_altitude", "exceed": 1e7,
+                       "p_limit": 0.05},
+                      {"metric": "range", "mean_stderr": 1e9}],
+        max_samples=256, lane_slab=64, seed=7,
+    )
+    out = str(tmp_path)
+    report = save_report(a, out, analyzer=mc)
+    assert report["sequential"]["n_used"] == a["sequential"]["n_used"]
+    with open(os.path.join(out, "monte_carlo_report.json")) as f:
+        j = json.load(f)
+    assert j["sequential"]["criteria"][0]["kind"] == "exceedance_decision"
+    txt = open(os.path.join(out, "monte_carlo_report.txt")).read()
+    assert "Sequential Stopping" in txt
+    assert "mean stderr" in txt and "undecided" not in txt

@@ -99,3 +99,114 @@ def test_perturb_preserves_forecast_mean():
     np.testing.assert_allclose(pert.mean(axis=0), wind, atol=0.3)
     # Turbulence amplitude decays with altitude
     assert pert[:, 0, 0].std() > pert[:, -1, 0].std() * 5
+
+
+def _write_csv(path, alts, uvw):
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["altitude", "u", "v", "w"])
+        for a, row in zip(alts, uvw):
+            w.writerow([a, *row])
+
+
+def test_ensemble_loader_interpolates_onto_first_grid(tmp_path):
+    from erpl_monte_carlo_sim_tpu.models import load_wind_ensemble_from_csvs
+
+    g1 = np.array([0.0, 1000.0, 2000.0])
+    m1 = np.array([[1.0, 0.0, 0.0], [2.0, 1.0, 0.0], [3.0, 2.0, 0.0]])
+    # member 2 on a DIFFERENT (finer, wider) grid: linear in altitude, so
+    # interpolation onto g1 is exact
+    g2 = np.linspace(-500.0, 3000.0, 15)
+    m2 = np.stack([g2 / 1000.0, -g2 / 2000.0, np.zeros_like(g2)], axis=1)
+    p1, p2 = tmp_path / "a.csv", tmp_path / "b.csv"
+    _write_csv(p1, g1, m1)
+    _write_csv(p2, g2, m2)
+    alts, ens = load_wind_ensemble_from_csvs([str(p1), str(p2)])
+    assert ens.shape == (2, 3, 3)
+    np.testing.assert_array_equal(alts, g1)
+    np.testing.assert_allclose(ens[0], m1)
+    np.testing.assert_allclose(ens[1, :, 0], g1 / 1000.0, atol=1e-12)
+    np.testing.assert_allclose(ens[1, :, 1], -g1 / 2000.0, atol=1e-12)
+    with pytest.raises(ValueError, match="at least one"):
+        load_wind_ensemble_from_csvs([])
+
+
+def test_ensemble_sampling_mixture_and_k1_identity():
+    """K=1 ensembles reproduce the single-forecast draw bit for bit; a
+    K=2 ensemble with far-apart members produces a lane mixture of both,
+    deterministic by key."""
+    from erpl_monte_carlo_sim_tpu.engine import InitialConditions
+    from erpl_monte_carlo_sim_tpu.mc import (
+        UncertaintyParams,
+        sample_dispersions,
+    )
+    from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    # zero the mean-wind offset so profiles differ only via base + AR(1)
+    params = UncertaintyParams(wind_speed_range=(0.0, 0.0),
+                               wind_direction_range=(0.0, 0.0))
+    grid = np.linspace(0.0, 25000.0, 100)
+    base = np.stack([np.full(100, 5.0), np.zeros(100), np.zeros(100)],
+                    axis=1)
+    key = jax.random.PRNGKey(11)
+    n = 64
+    s1, _, _ = sample_dispersions(key, scene, ic, params, n,
+                                  base_wind=(grid, base))
+    sk1, _, _ = sample_dispersions(key, scene, ic, params, n,
+                                   base_wind=(grid, base[None]))
+    np.testing.assert_array_equal(np.asarray(s1.wind.wind),
+                                  np.asarray(sk1.wind.wind))
+
+    far = base.copy()
+    far[:, 0] = -40.0  # unmistakably different member
+    ens = np.stack([base, far], axis=0)
+    s2, _, _ = sample_dispersions(key, scene, ic, params, n,
+                                  base_wind=(grid, ens))
+    u_mean = np.asarray(s2.wind.wind)[:, :, 0].mean(axis=1)
+    near_base = u_mean > -10.0
+    assert near_base.any() and (~near_base).any()  # both members drawn
+    # turbulence sigma ~2 m/s: every lane sits near ONE member's mean
+    assert ((np.abs(u_mean - 5.0) < 4.0) | (np.abs(u_mean + 40.0) < 4.0)).all()
+    # deterministic by key
+    s3, _, _ = sample_dispersions(key, scene, ic, params, n,
+                                  base_wind=(grid, ens))
+    np.testing.assert_array_equal(np.asarray(s2.wind.wind),
+                                  np.asarray(s3.wind.wind))
+    # malformed ensembles rejected loudly
+    with pytest.raises(ValueError, match="ensemble|base_wind"):
+        sample_dispersions(key, scene, ic, params, n,
+                           base_wind=(grid, np.zeros((0, 100, 3))))
+    with pytest.raises(ValueError, match="base_wind"):
+        sample_dispersions(key, scene, ic, params, n,
+                           base_wind=(grid, np.zeros((100, 2))))
+
+
+def test_ensemble_through_analyzer():
+    """End-to-end: an ensemble base_wind_profile runs the analyzer and
+    re-simulation reproduces the recorded metrics (member choice is
+    keyed)."""
+    from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
+    from erpl_monte_carlo_sim_tpu.mc import MonteCarloAnalyzer
+    from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+    an = MonteCarloAnalyzer(scene=nominal_scene(liquid_motor()),
+                            sim_config=SimConfig(max_time=2.0),
+                            persistent_cache=False)
+    grid = np.linspace(0.0, 25000.0, 100)
+    base = np.stack([np.full(100, 3.0), np.zeros(100), np.zeros(100)],
+                    axis=1)
+    an.base_altitude_profile = grid
+    an.base_wind_profile = np.stack([base, -2.0 * base], axis=0)
+    a = an.run_monte_carlo(InitialConditions.vertical_launch(),
+                           n_samples=32, seed=6)
+    assert a["n_samples"] > 0
+    assert np.isfinite(a["apogee_altitude"]["mean"])
+    lane = a["results"][0]["simulation_id"]
+    summary, _traj = an.resimulate_trajectories([lane])
+    apo = float(np.asarray(summary.apogee_altitude)[0])
+    assert apo == pytest.approx(a["results"][0]["apogee_altitude"],
+                                abs=0.5)
