@@ -24,12 +24,15 @@ from .stats import (
     exceedance,
     exceedance_from_analysis,
     masked_stats,
+    order_stat_ranks,
+    percentile_ci,
 )
 from .robust import dispersed_objective_and_grad, optimize_robust
 from .sequential import (
     ExceedanceDecision,
     ExceedanceHalfwidth,
     MeanStderr,
+    QuantileHalfwidth,
     parse_criterion,
 )
 from .sobol_indices import (
@@ -49,13 +52,14 @@ __all__ = [
     "sample_dispersions", "scene_in_axes", "select_lane", "OutlierBounds",
     "decode_reasons",
     "outlier_mask", "PERCENTILES", "masked_stats",
+    "percentile_ci", "order_stat_ranks",
     "CVMoments", "control_names", "cv_slab_moments", "finalize_cv",
     "exceedance", "exceedance_from_analysis",
     "log_weights", "weighted_mean", "weighted_tail",
     "auto_shift", "shift_from_gradients",
     "parity_twin", "two_level_block",
     "MeanStderr", "ExceedanceDecision", "ExceedanceHalfwidth",
-    "parse_criterion",
+    "QuantileHalfwidth", "parse_criterion",
     "TailReservoir", "fit_gpd_pwm", "gpd_tail", "tail_from_analysis",
     "EnvelopeAccumulator", "EnvelopeConfig", "trajectory_channel",
 ]

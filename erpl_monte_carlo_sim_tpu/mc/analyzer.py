@@ -38,6 +38,7 @@ from .stats import (
     FootprintAccumulator,
     landing_footprint,
     masked_stats,
+    percentile_ci,
 )
 
 __all__ = ["MonteCarloAnalyzer"]
@@ -47,18 +48,23 @@ log = get_logger("mc")
 
 def _host_stats(values: np.ndarray, mask: np.ndarray) -> dict:
     """NumPy twin of ``masked_stats`` for host-accumulated (slabbed) runs:
-    population std, linear-interpolated percentiles (`monte_carlo.py:444-459`)."""
+    population std, linear-interpolated percentiles (`monte_carlo.py:444-459`),
+    plus the beyond-reference order-statistic percentile CIs
+    (``mc.stats.percentile_ci``)."""
     vals = values[mask & np.isfinite(values)]
     if vals.size == 0:
         nan = float("nan")
         return {"mean": nan, "std": nan, "min": nan, "max": nan,
-                "percentiles": [nan] * len(PERCENTILES)}
+                "percentiles": [nan] * len(PERCENTILES),
+                "percentile_ci": [[nan, nan]] * len(PERCENTILES)}
+    ones = np.ones(vals.shape, bool)
     return {
         "mean": float(vals.mean()),
         "std": float(vals.std()),
         "min": float(vals.min()),
         "max": float(vals.max()),
         "percentiles": [float(v) for v in np.percentile(vals, PERCENTILES)],
+        "percentile_ci": percentile_ci(vals, ones),
     }
 
 
@@ -441,6 +447,13 @@ class MonteCarloAnalyzer:
         valid_np = np.asarray(valid)
         reasons_np = np.asarray(reasons)
         stats_py = {k: _stats_to_py(v) for k, v in stats.items()}
+        for k in stats_py:
+            # beyond-reference: distribution-free CIs on the reported
+            # percentiles (host-side — the per-lane arrays are already
+            # read back; see mc.stats.percentile_ci for the i.i.d. caveat)
+            stats_py[k]["percentile_ci"] = percentile_ci(
+                getattr(summary_np, k), valid_np
+            )
         elapsed = time.time() - t_start
 
         self._last_batch = (scene_b, ic_b)

@@ -41,12 +41,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from .stats import _wilson
+from .stats import StreamingStats, _wilson, order_stat_ranks
 
 __all__ = [
     "MeanStderr",
     "ExceedanceDecision",
     "ExceedanceHalfwidth",
+    "QuantileHalfwidth",
     "parse_criterion",
     "HEADLINE_METRICS",
 ]
@@ -213,6 +214,72 @@ class ExceedanceHalfwidth(_Criterion):
         }
 
 
+class QuantileHalfwidth(_Criterion):
+    """Stop when the distribution-free 95% CI on the ``percentile``-th
+    percentile has half-width <= ``target`` — "know the p99 range to
+    +-x m". Ranks come from the binomial order-statistic interval
+    (``mc.stats.order_stat_ranks``); while either rank falls outside the
+    sample (deep-tail percentile, n still too small to resolve it) the
+    half-width reports ``inf`` and the run keeps going — clamping to the
+    sample extremes there would declare false precision.
+
+    Values accumulate in a :class:`~.stats.StreamingStats` sketch so a
+    long run holds O(max_centroids) state, not O(n); past the exact
+    buffer the sketch's rank-error slack WIDENS the interval, so stopping
+    stays conservative.
+    """
+
+    def __init__(self, metric: str, percentile: float, target: float,
+                 max_centroids: int = 8192, exact_threshold: int = 262_144):
+        if not 0.0 < percentile < 100.0:
+            raise ValueError(
+                f"percentile must be in (0, 100), got {percentile}"
+            )
+        if target <= 0:
+            raise ValueError(
+                f"ci_halfwidth target must be > 0, got {target}"
+            )
+        self.metric = metric
+        self.percentile = float(percentile)
+        self.target = float(target)
+        self.stream = StreamingStats(max_centroids, exact_threshold)
+
+    def update(self, vals_valid: np.ndarray) -> None:
+        self.stream.add(vals_valid)
+
+    def ci(self) -> list:
+        n = self.stream.n
+        if n < 2:
+            return [float("nan"), float("nan")]
+        l, u = order_stat_ranks(n, self.percentile / 100.0)
+        if l < 1 or u > n:
+            return [-float("inf"), float("inf")]
+        return self.stream.percentile_ci([self.percentile])[0]
+
+    def halfwidth(self) -> float:
+        lo, hi = self.ci()
+        return (hi - lo) / 2.0 if np.isfinite(hi - lo) else float("inf")
+
+    def satisfied(self) -> bool:
+        return self.halfwidth() <= self.target
+
+    def block(self) -> dict:
+        n = self.stream.n
+        est = (self.stream.percentiles([self.percentile])[0] if n
+               else float("nan"))
+        return {
+            "kind": "quantile_halfwidth",
+            "metric": self.metric,
+            "percentile": self.percentile,
+            "target": self.target,
+            "n": n,
+            "estimate": est,
+            "ci95": self.ci(),
+            "halfwidth": self.halfwidth(),
+            "satisfied": bool(self.satisfied()),
+        }
+
+
 def parse_criterion(spec) -> _Criterion:
     """Build a criterion from a spec dict (specs pass through unchanged
     if already criterion instances):
@@ -222,6 +289,8 @@ def parse_criterion(spec) -> _Criterion:
       :class:`ExceedanceDecision`
     * ``{"metric": m, "exceed": t, "ci_halfwidth": h}`` ->
       :class:`ExceedanceHalfwidth`
+    * ``{"metric": m, "percentile": q, "ci_halfwidth": h}`` ->
+      :class:`QuantileHalfwidth`
     """
     if isinstance(spec, _Criterion):
         return spec
@@ -244,8 +313,13 @@ def parse_criterion(spec) -> _Criterion:
         return ExceedanceHalfwidth(
             metric, spec["exceed"], spec["ci_halfwidth"]
         )
+    if keys == {"percentile", "ci_halfwidth"}:
+        return QuantileHalfwidth(
+            metric, spec["percentile"], spec["ci_halfwidth"]
+        )
     raise ValueError(
         "criterion spec must be {metric, mean_stderr}, "
-        "{metric, exceed, p_limit}, or {metric, exceed, ci_halfwidth}; "
+        "{metric, exceed, p_limit}, {metric, exceed, ci_halfwidth}, "
+        "or {metric, percentile, ci_halfwidth}; "
         f"got keys {sorted(spec)}"
     )

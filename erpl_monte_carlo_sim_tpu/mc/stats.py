@@ -222,18 +222,46 @@ class StreamingStats:
         p = np.where(xs >= self._max, 1.0, p)
         return p
 
+    def percentile_ci(self, qs=PERCENTILES, conf: float = 0.95) -> list:
+        """Order-statistic percentile CIs (see module-level
+        ``percentile_ci``) from the sketch: exact while the raw buffer is
+        retained; after compression the binomial ranks are WIDENED by the
+        sketch's rank-error bound (~n/(2*max_centroids) mass) before the
+        centroid-curve lookup, so the sketch interval brackets the exact
+        one instead of under-reporting it. Bounds clamp to the exact
+        min/max."""
+        if self.n < 2:
+            return [[float("nan")] * 2 for _ in np.atleast_1d(qs)]
+        if self._exact_parts is not None:
+            vals = np.concatenate(self._exact_parts)
+            return percentile_ci(vals, np.ones(vals.shape, bool), qs, conf)
+        cv, mid = self._centroid_curve()
+        slack = self.n / (2.0 * self.max_centroids)
+        out = []
+        for q in np.atleast_1d(np.asarray(qs, np.float64)):
+            l, u = order_stat_ranks(self.n, q / 100.0, conf)
+            # a 1-indexed order statistic r sits at mass midpoint r - 0.5
+            r_lo = (max(l, 1) - 0.5) - slack
+            r_hi = (min(u, self.n) - 0.5) + slack
+            lo = float(np.interp(r_lo, mid, cv))
+            hi = float(np.interp(r_hi, mid, cv))
+            out.append([max(lo, self._min), min(hi, self._max)])
+        return out
+
     def stats(self) -> dict:
         """The analysis-dict stats block (same schema as ``_host_stats``)."""
         if self.n == 0:
             nan = float("nan")
             return {"mean": nan, "std": nan, "min": nan, "max": nan,
-                    "percentiles": [nan] * len(PERCENTILES)}
+                    "percentiles": [nan] * len(PERCENTILES),
+                    "percentile_ci": [[nan, nan]] * len(PERCENTILES)}
         return {
             "mean": self._mean,
             "std": float(np.sqrt(self._m2 / self.n)),  # population std
             "min": self._min,
             "max": self._max,
             "percentiles": self.percentiles(),
+            "percentile_ci": self.percentile_ci(),
         }
 
 
@@ -358,6 +386,63 @@ class FootprintAccumulator:
         block["cep_m"] = _gaussian_cep(cov)
         block["cep_method"] = "gaussian"
         return block
+
+
+# ------------------------------------------- percentile confidence bounds
+__all__ += ["order_stat_ranks", "percentile_ci"]
+
+
+def order_stat_ranks(n: int, q_frac: float, conf: float = 0.95) -> tuple:
+    """1-indexed order-statistic ranks ``(l, u)`` whose values bracket the
+    population ``q_frac``-quantile with probability >= ``conf``.
+
+    The count of lanes at or below the true quantile is Binomial(n, q), so
+    the binomial alpha/2 and 1-alpha/2 quantiles give distribution-free
+    (any continuous metric) ranks — the classic order-statistic quantile
+    interval. Returns UNCLAMPED ranks: ``l`` can be 0 and ``u`` can be
+    ``n + 1``, which means the sample cannot resolve that side of the
+    interval at this ``n`` (deep-tail quantiles at small n) — callers
+    either clamp to the sample extremes (``percentile_ci``) or keep
+    sampling (``mc.sequential.QuantileHalfwidth``).
+    """
+    from scipy.stats import binom
+
+    alpha = 1.0 - conf
+    l = int(binom.ppf(alpha / 2.0, n, q_frac))
+    u = int(binom.ppf(1.0 - alpha / 2.0, n, q_frac)) + 1
+    return l, u
+
+
+def percentile_ci(values: "np.ndarray", mask: "np.ndarray",
+                  qs=PERCENTILES, conf: float = 0.95) -> list:
+    """Distribution-free confidence intervals on the reported percentiles.
+
+    The reference reports bare percentiles with no sampling-error
+    statement (`monte_carlo.py:444-459`); this returns ``[[lo, hi], ...]``
+    per percentile (``qs`` in PERCENT, matching ``PERCENTILES``) from
+    order statistics — valid for any metric distribution, no normality
+    assumption. Assumes i.i.d. valid lanes (``sampler="prng"``); under
+    ``sampler="sobol"``/``antithetic`` lanes are negatively correlated and
+    realized coverage is approximate (typically conservative — QMC
+    percentile errors are smaller than i.i.d. theory says).
+
+    Ranks falling outside the sample clamp to the observed extremes, where
+    coverage drops below nominal — the same regime where the point
+    percentile itself is data-starved. NaN bounds with fewer than 2 valid
+    lanes.
+    """
+    v = np.asarray(values, np.float64)
+    m = np.asarray(mask, bool) & np.isfinite(v)
+    v = np.sort(v[m])
+    n = int(v.size)
+    out = []
+    for q in np.atleast_1d(np.asarray(qs, np.float64)):
+        if n < 2:
+            out.append([float("nan"), float("nan")])
+            continue
+        l, u = order_stat_ranks(n, q / 100.0, conf)
+        out.append([float(v[max(l, 1) - 1]), float(v[min(u, n) - 1])])
+    return out
 
 
 # ------------------------------------------------------------- exceedance

@@ -14,6 +14,8 @@ import json
 import os
 from datetime import datetime
 
+import numpy as np
+
 from ..utils.serialize import object_to_serializable_dict, to_serializable
 
 __all__ = ["create_output_directory", "save_report", "save_simulation_results"]
@@ -110,8 +112,21 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
         f.write(f"  Max: {stats['max']:.1f} {unit}\n")
         f.write(
             f"  95% Confidence Interval: [{stats['percentiles'][0]:.1f}, "
-            f"{stats['percentiles'][4]:.1f}] {unit}\n\n"
+            f"{stats['percentiles'][4]:.1f}] {unit}\n"
         )
+        # beyond-reference, additive line: how well-determined the
+        # percentile endpoints themselves are (order-statistic CIs,
+        # mc.stats.percentile_ci) — the reference's percentiles carry no
+        # sampling-error statement
+        ci = stats.get("percentile_ci")
+        if ci and np.isfinite(np.asarray(ci[0])).all():
+            f.write(
+                f"  Percentile sampling CIs (95%): "
+                f"p5 [{ci[0][0]:.1f}, {ci[0][1]:.1f}], "
+                f"p50 [{ci[2][0]:.1f}, {ci[2][1]:.1f}], "
+                f"p95 [{ci[4][0]:.1f}, {ci[4][1]:.1f}] {unit}\n"
+            )
+        f.write("\n")
 
     with open(os.path.join(output_dir, "monte_carlo_report.txt"), "w") as f:
         f.write("Monte Carlo Analysis Report\n")

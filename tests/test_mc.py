@@ -152,6 +152,17 @@ def test_analyzer_schema(small_analysis):
     for stat_key in ["mean", "std", "min", "max", "percentiles"]:
         assert stat_key in a["apogee_altitude"]
     assert len(a["apogee_altitude"]["percentiles"]) == 5
+    # beyond-reference additive key: order-statistic percentile CIs
+    # bracketing the reported percentiles when >= 2 valid lanes exist
+    # (this parity fixture disperses wind like the reference, so most
+    # lanes diverge — NaN bounds are the documented n<2 answer)
+    ci = a["apogee_altitude"]["percentile_ci"]
+    assert len(ci) == 5
+    for p, (lo, hi) in zip(a["apogee_altitude"]["percentiles"], ci):
+        if a["n_samples"] >= 2:
+            assert lo <= p <= hi
+        else:
+            assert np.isnan(lo) and np.isnan(hi)
     # Stats must reflect only valid lanes and be finite
     assert np.isfinite(a["apogee_altitude"]["mean"])
     assert 100.0 < a["apogee_altitude"]["mean"] < 80000.0

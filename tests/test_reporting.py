@@ -101,6 +101,9 @@ def test_report_files(mc_run):
     assert "Monte Carlo Analysis Report" in txt
     assert "Apogee Altitude Statistics:" in txt
     assert "95% Confidence Interval" in txt
+    # the additive percentile-CI line appears only with >= 2 valid lanes
+    # (this fixture's 30 s window leaves ~1); the line itself is pinned by
+    # test_txt_percentile_ci_line below
     assert "Performance Statistics:" in txt
 
 
@@ -193,3 +196,51 @@ def test_find_max_apogee_handles_null_and_empty(tmp_path):
     empty = tmp_path / "none"
     empty.mkdir()
     assert fma(str(empty)) == (None, None)
+
+
+def test_txt_percentile_ci_line(tmp_path):
+    """The additive percentile-CI report line: written when the stats
+    block carries finite CIs, silently absent when they are NaN (n < 2
+    valid lanes — false precision would be worse than no line)."""
+    from erpl_monte_carlo_sim_tpu.reporting.report import _write_txt_report
+
+    stats = {
+        "mean": 5000.0, "std": 100.0, "min": 4700.0, "max": 5300.0,
+        "percentiles": [4800.0, 4900.0, 5000.0, 5100.0, 5200.0],
+        "percentile_ci": [[4780.0, 4820.0], [4880.0, 4920.0],
+                          [4985.0, 5015.0], [5080.0, 5120.0],
+                          [5175.0, 5225.0]],
+    }
+    report = {
+        "timestamp": "t",
+        "simulation_summary": {"total_simulations": 100,
+                               "failed_simulations": 0,
+                               "outlier_simulations": 0,
+                               "success_rate": 100.0},
+        "apogee_altitude_stats": stats,
+        "range_stats": stats,
+        "flight_time_stats": stats,
+    }
+    _write_txt_report(report, str(tmp_path))
+    txt = open(os.path.join(str(tmp_path), "monte_carlo_report.txt")).read()
+    assert "Percentile sampling CIs (95%): p5 [4780.0, 4820.0], " \
+           "p50 [4985.0, 5015.0], p95 [5175.0, 5225.0] m" in txt
+
+    nan = float("nan")
+    stats_nan = dict(stats, percentile_ci=[[nan, nan]] * 5)
+    report_nan = dict(report, apogee_altitude_stats=stats_nan,
+                      range_stats=stats_nan, flight_time_stats=stats_nan)
+    out2 = os.path.join(str(tmp_path), "nan")
+    os.makedirs(out2)
+    _write_txt_report(report_nan, out2)
+    txt2 = open(os.path.join(out2, "monte_carlo_report.txt")).read()
+    assert "Percentile sampling CIs" not in txt2
+    # legacy stats blocks without the key (old checkpoints) still render
+    stats_old = {k: v for k, v in stats.items() if k != "percentile_ci"}
+    report_old = dict(report, apogee_altitude_stats=stats_old,
+                      range_stats=stats_old, flight_time_stats=stats_old)
+    out3 = os.path.join(str(tmp_path), "old")
+    os.makedirs(out3)
+    _write_txt_report(report_old, out3)
+    assert "95% Confidence Interval" in open(
+        os.path.join(out3, "monte_carlo_report.txt")).read()

@@ -238,3 +238,74 @@ def test_sequential_block_in_report(tmp_path):
     txt = open(os.path.join(out, "monte_carlo_report.txt")).read()
     assert "Sequential Stopping" in txt
     assert "mean stderr" in txt and "undecided" not in txt
+
+
+def test_quantile_halfwidth_criterion():
+    """QuantileHalfwidth: unresolvable at tiny n (deep-tail ranks outside
+    the sample -> inf halfwidth, never a false stop), then converges, and
+    the realized half-width tracks the binomial closed form on U(0,1)."""
+    from erpl_monte_carlo_sim_tpu.mc import QuantileHalfwidth
+
+    rng = np.random.default_rng(23)
+
+    # deep tail, tiny n: p99.9 needs ~>3000 lanes to even bracket
+    c = QuantileHalfwidth("range", percentile=99.9, target=0.01)
+    c.update(rng.uniform(size=100))
+    assert c.halfwidth() == np.inf and not c.satisfied()
+    blk = c.block()
+    assert blk["kind"] == "quantile_halfwidth" and blk["n"] == 100
+    assert not blk["satisfied"]
+
+    # median of U(0,1): halfwidth ~ 1.96*sqrt(0.25/n); target reachable
+    # at n=65536 (~0.0038) but not at n=4096 (~0.0153)
+    c = QuantileHalfwidth("range", percentile=50.0, target=0.006)
+    c.update(rng.uniform(size=4096))
+    assert not c.satisfied()
+    hw_small = c.halfwidth()
+    for _ in range(15):
+        c.update(rng.uniform(size=4096))
+    assert c.halfwidth() < hw_small
+    assert c.satisfied(), c.block()
+    blk = c.block()
+    assert blk["ci95"][0] <= blk["estimate"] <= blk["ci95"][1]
+    assert abs(blk["estimate"] - 0.5) < 0.01
+
+    # validation
+    with pytest.raises(ValueError, match="percentile"):
+        QuantileHalfwidth("range", percentile=100.0, target=0.1)
+    with pytest.raises(ValueError, match="ci_halfwidth"):
+        QuantileHalfwidth("range", percentile=50.0, target=0.0)
+
+
+def test_parse_quantile_spec():
+    from erpl_monte_carlo_sim_tpu.mc import QuantileHalfwidth
+
+    c = parse_criterion(
+        {"metric": "apogee_altitude", "percentile": 95.0,
+         "ci_halfwidth": 25.0}
+    )
+    assert isinstance(c, QuantileHalfwidth)
+    assert c.percentile == 95.0 and c.target == 25.0
+    # percentile without ci_halfwidth is not a criterion
+    with pytest.raises(ValueError, match="criterion spec"):
+        parse_criterion({"metric": "range", "percentile": 95.0})
+
+
+def test_run_to_precision_quantile_criterion():
+    """End-to-end: stop on a loose p95 half-width (decided after the first
+    slab), and the stats block carries bracketing percentile CIs."""
+    analysis = _analyzer().run_to_precision(
+        IC,
+        criteria=[{"metric": "apogee_altitude", "percentile": 95.0,
+                   "ci_halfwidth": 200.0}],
+        max_samples=4096, lane_slab=512, seed=3,
+    )
+    seq = analysis["sequential"]
+    blk = seq["criteria"][0]
+    assert blk["kind"] == "quantile_halfwidth"
+    assert seq["satisfied"] and blk["halfwidth"] <= 200.0
+    assert seq["n_used"] < 4096  # loose target: stopped early
+    # the analysis stats block carries the CIs, bracketing the percentiles
+    st = analysis["apogee_altitude"]
+    for p, (lo, hi) in zip(st["percentiles"], st["percentile_ci"]):
+        assert lo <= p <= hi

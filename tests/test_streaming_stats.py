@@ -119,6 +119,11 @@ def test_analyzer_streaming_matches_exact_same_lanes():
         err = (np.abs(np.asarray(streamed[k]["percentiles"])
                       - np.asarray(exact[k]["percentiles"])) / sigma)
         assert err.max() < 1e-3, (k, err)
+        # both layouts carry percentile CIs bracketing their percentiles
+        for blk in (exact[k], streamed[k]):
+            for p, (lo, hi) in zip(blk["percentiles"],
+                                   blk["percentile_ci"]):
+                assert lo <= p <= hi, (k, blk["percentile_ci"])
 
 
 def test_streaming_checkpoint_records_true_n(tmp_path):
@@ -180,3 +185,95 @@ def test_analyzer_rejects_degenerate_streaming_knobs():
         MonteCarloAnalyzer(scene=scene, metrics_sample_cap=0)
     with pytest.raises(ValueError, match="stats_stream_threshold"):
         MonteCarloAnalyzer(scene=scene, stats_stream_threshold=0)
+
+
+# ------------------------------------------------- percentile CIs (round 3)
+
+
+def test_percentile_ci_halfwidth_matches_asymptotics():
+    """Uniform(0,1): quantile-CI half-width ~ z*sqrt(q(1-q)/n)/f = the
+    binomial normal limit with density f=1. Pin the realized half-width to
+    that closed form within discreteness slop, and pin bracketing of the
+    true quantiles."""
+    from erpl_monte_carlo_sim_tpu.mc.stats import percentile_ci
+
+    rng = np.random.default_rng(7)
+    n = 65_536
+    v = rng.uniform(0.0, 1.0, size=n)
+    mask = np.ones(n, bool)
+    qs = (5.0, 25.0, 50.0, 75.0, 95.0)
+    cis = percentile_ci(v, mask, qs)
+    for q, (lo, hi) in zip(qs, cis):
+        f = q / 100.0
+        expect_half = 1.96 * np.sqrt(f * (1 - f) / n)
+        half = (hi - lo) / 2.0
+        assert 0.6 * expect_half < half < 1.6 * expect_half, (q, half)
+        # true quantile of U(0,1) is q/100; one realization at 95% nominal
+        # coverage with a seeded draw — bracketing failure here means the
+        # rank construction is wrong, not bad luck (checked at gen time)
+        assert lo <= f <= hi, (q, lo, hi)
+
+
+def test_percentile_ci_coverage():
+    """Distribution-free coverage: across 400 independent small samples the
+    95% median CI must cover the true median ~95% of the time (binomial
+    3-sigma acceptance band)."""
+    from erpl_monte_carlo_sim_tpu.mc.stats import percentile_ci
+
+    rng = np.random.default_rng(11)
+    n, reps = 256, 400
+    hits = 0
+    for _ in range(reps):
+        v = rng.normal(0.0, 1.0, size=n)
+        (lo, hi), = percentile_ci(v, np.ones(n, bool), [50.0])
+        hits += lo <= 0.0 <= hi
+    cover = hits / reps
+    # Binomial(400, ~0.95+discreteness): accept [0.91, 1.0]
+    assert cover >= 0.91, cover
+
+
+def test_percentile_ci_edges_and_degenerate():
+    from erpl_monte_carlo_sim_tpu.mc.stats import percentile_ci
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=100)
+    m = np.ones(100, bool)
+    # p95 at n=100: upper rank clamps to the max — interval stays ordered
+    # and inside the sample
+    (lo, hi), = percentile_ci(v, m, [99.0])
+    assert v.min() <= lo <= hi <= v.max()
+    # fewer than 2 valid lanes -> NaN
+    (lo, hi), = percentile_ci(v, np.zeros(100, bool), [50.0])
+    assert np.isnan(lo) and np.isnan(hi)
+    # mask + non-finite filtering: poisoned lanes don't move the CI
+    v2 = v.copy()
+    v2[:10] = np.nan
+    ci_masked = percentile_ci(v, np.arange(100) >= 10, [50.0])
+    ci_nan = percentile_ci(v2, m, [50.0])
+    assert ci_masked == ci_nan
+
+
+def test_streaming_percentile_ci_brackets_exact():
+    """Post-compression sketch CIs must bracket the exact order-statistic
+    interval (the rank slack widens, never narrows) while staying within a
+    few times its width."""
+    from erpl_monte_carlo_sim_tpu.mc.stats import percentile_ci
+
+    rng = np.random.default_rng(19)
+    data = rng.normal(50.0, 4.0, size=200_000)
+    s = StreamingStats(max_centroids=8192, exact_threshold=1000)
+    for chunk in np.array_split(data, 13):
+        s.add(chunk)
+    assert not s.is_exact
+    exact = percentile_ci(data, np.ones(data.size, bool))
+    sketch = s.percentile_ci()
+    for q, (elo, ehi), (slo, shi) in zip(
+        (5, 25, 50, 75, 95), exact, sketch
+    ):
+        width = ehi - elo
+        assert slo <= elo + 1e-9 and shi >= ehi - 1e-9, (q, exact, sketch)
+        assert (shi - slo) < 6.0 * width, (q, exact, sketch)
+    # exact-buffer phase: bit-identical to the module function
+    s2 = StreamingStats(exact_threshold=10**9)
+    s2.add(data)
+    assert s2.percentile_ci() == exact
