@@ -55,15 +55,16 @@ def run_sharded_summaries(scene_b, ic_b, axes, cfg: SimConfig, mesh: Mesh,
     return simulate_summary_batch(scene_b, ic_b, cfg)
 
 
-def _histogram_percentiles(v, m, cnt, vmin, vmax, qs, n_bins):
-    """Collective percentile estimate WITHOUT gathering the data: a global
-    fixed-bin histogram (one psum of [n_bins]) locates each target rank's
-    bucket, then one refinement histogram per target (one psum of
+def _histogram_values_at_ranks(v, m, ranks, vmin, vmax, n_bins):
+    """Collective value-at-rank estimate WITHOUT gathering the data: a
+    global fixed-bin histogram (one psum of [n_bins]) locates each target
+    rank's bucket, then one refinement histogram per target (one psum of
     [n_targets, n_bins]) restricted to that bucket narrows the value to
     (range / n_bins^2) — ~6 mm on an 80 km apogee span at 4096 bins, far
-    below the <0.1%-of-sigma bound the tests pin. Ranks follow
-    np.percentile's linear rule (r = q/100 * (cnt-1)); within the final
-    refined bucket the mass is treated as uniform.
+    below the <0.1%-of-sigma bound the tests pin. ``ranks`` are 0-indexed
+    positions in the sorted masked data (np.percentile's linear rule is
+    r = q/100 * (cnt-1)); within the final refined bucket the mass is
+    treated as uniform.
     """
     dtype = v.dtype
     span = jnp.maximum(vmax - vmin, jnp.asarray(1e-30, dtype))
@@ -88,7 +89,6 @@ def _histogram_percentiles(v, m, cnt, vmin, vmax, qs, n_bins):
         local_hist(vmin[None], w[None], n_bins)[0], BATCH_AXIS
     )
     cdf = jnp.cumsum(hist)
-    ranks = qs / 100.0 * jnp.maximum(cnt - 1, 0).astype(dtype)  # [T]
     # rank r sits in the first bucket whose cumulative mass EXCEEDS r
     bucket = jnp.searchsorted(cdf, ranks, side="right")
     bucket = jnp.clip(bucket, 0, n_bins - 1)
@@ -130,9 +130,13 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
     excluded). Moment accumulators ride ``psum`` over ICI. Percentiles: for
     n up to ``exact_percentile_threshold``, one ``all_gather`` of the scalar
     metric followed by a replicated sort (EXACT np.percentile semantics);
-    beyond it, the two-pass collective histogram (``_histogram_percentiles``
-    — O(n_bins) communication instead of O(n) gather + replicated O(n log n)
-    sort, error bounded by range/n_bins^2).
+    beyond it, the two-pass collective histogram
+    (``_histogram_values_at_ranks`` — O(n_bins) communication instead of
+    O(n) gather + replicated O(n log n) sort, error bounded by
+    range/n_bins^2). ``percentile_ci`` [k, 2] rides the same machinery:
+    order-statistic CIs on each percentile at normal-approximation
+    binomial ranks (exact to <1 rank at pod-scale n; clamped to the
+    sample extremes like ``mc.stats.percentile_ci``).
 
     Multi-host safe: when ``values`` is already a global sharded array (a
     ``jax.distributed`` run), the ``device_put`` is a no-op and the psum
@@ -177,27 +181,45 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
         )
 
         qs = jnp.asarray(PERCENTILES, v.dtype)
+        cntf = jnp.maximum(cnt, 1).astype(v.dtype)
+        pct_ranks = qs / 100.0 * jnp.maximum(cnt - 1, 0).astype(v.dtype)
+        # Percentile-CI ranks: the binomial order-statistic interval
+        # (mc.stats.order_stat_ranks) in its normal approximation —
+        # exact to <1 rank at the lane counts a pod-scale run holds, and
+        # traceable (scipy's binom.ppf is not). Ranks below 1 / above n
+        # clamp to the sample extremes, same as mc.stats.percentile_ci.
+        zci = jnp.asarray(1.959963984540054, v.dtype)
+        qf = qs / 100.0
+        sd = jnp.sqrt(cntf * qf * (1.0 - qf))
+        lo_ranks = jnp.clip(jnp.floor(cntf * qf - zci * sd), 1.0, cntf) - 1.0
+        hi_ranks = jnp.clip(
+            jnp.floor(cntf * qf + zci * sd) + 1.0, 1.0, cntf
+        ) - 1.0
+        ranks = jnp.concatenate([pct_ranks, lo_ranks, hi_ranks])
         if use_hist:
-            pct = _histogram_percentiles(
-                v, m, cnt, vmin, vmax, qs, percentile_bins
+            vals = _histogram_values_at_ranks(
+                v, m, ranks, vmin, vmax, percentile_bins
             )
         else:
-            # Exact percentiles: gather every shard's masked metric, sort.
+            # Exact values: gather every shard's masked metric, sort.
             all_v = jax.lax.all_gather(
                 jnp.where(m, v, big), BATCH_AXIS, tiled=True
             )
             sorted_v = jnp.sort(all_v)
-            idx = qs / 100.0 * jnp.maximum(cnt - 1, 0).astype(v.dtype)
-            lo = jnp.floor(idx).astype(jnp.int32)
-            hi = jnp.ceil(idx).astype(jnp.int32)
-            frac = idx - lo.astype(v.dtype)
-            pct = sorted_v[lo] + (sorted_v[hi] - sorted_v[lo]) * frac
+            lo = jnp.floor(ranks).astype(jnp.int32)
+            hi = jnp.ceil(ranks).astype(jnp.int32)
+            frac = ranks - lo.astype(v.dtype)
+            vals = sorted_v[lo] + (sorted_v[hi] - sorted_v[lo]) * frac
+        k = qs.shape[0]
         return {
             "mean": mean,
             "std": jnp.sqrt(var),
             "min": vmin,
             "max": vmax,
-            "percentiles": pct,
+            "percentiles": vals[:k],
+            "percentile_ci": jnp.stack(
+                [vals[k:2 * k], vals[2 * k:]], axis=1
+            ),
             "n": cnt,
         }
 

@@ -44,6 +44,31 @@ def test_collective_stats_matches_masked_stats(mesh):
     np.testing.assert_allclose(
         np.asarray(got["percentiles"]), np.asarray(ref["percentiles"]), rtol=1e-12
     )
+    # percentile_ci (exact path): bitwise order statistics at the
+    # normal-approximation binomial ranks, and within ~2 order-statistic
+    # ranks of the scipy-exact host interval (mc.stats.percentile_ci)
+    from erpl_monte_carlo_sim_tpu.mc.stats import PERCENTILES, percentile_ci
+
+    v = np.asarray(vals)
+    m = np.asarray(mask)
+    s = np.sort(v[m])
+    n = s.size
+    z = 1.959963984540054
+    ci = np.asarray(got["percentile_ci"])
+    assert ci.shape == (5, 2)
+    for i, q in enumerate(PERCENTILES):
+        f = q / 100.0
+        sd = np.sqrt(n * f * (1 - f))
+        l0 = int(np.clip(np.floor(n * f - z * sd), 1, n)) - 1
+        u0 = int(np.clip(np.floor(n * f + z * sd) + 1, 1, n)) - 1
+        assert ci[i, 0] == s[l0] and ci[i, 1] == s[u0], (q, ci[i])
+        assert ci[i, 0] <= np.asarray(ref["percentiles"])[i] <= ci[i, 1]
+    host = np.asarray(percentile_ci(v, m))
+    for i in range(5):
+        for side in (0, 1):
+            r_col = np.searchsorted(s, ci[i, side])
+            r_host = np.searchsorted(s, host[i, side])
+            assert abs(int(r_col) - int(r_host)) <= 2, (i, side, ci, host)
 
 
 @pytest.mark.slow
@@ -193,6 +218,15 @@ def test_collective_histogram_percentiles(mesh):
         np.asarray(ex2["percentiles"]), np.asarray(exact["percentiles"]),
         rtol=1e-12,
     )
+    # percentile_ci rides the same two-pass histogram: within the same
+    # 0.1%-of-sigma bound of the exact-path interval
+    ci_err = np.abs(
+        np.asarray(hist["percentile_ci"]) - np.asarray(ex2["percentile_ci"])
+    ) / float(exact["std"])
+    assert ci_err.max() < 1e-4, ci_err
+    ci = np.asarray(ex2["percentile_ci"])
+    assert (ci[:, 0] <= np.asarray(ex2["percentiles"])).all()
+    assert (ci[:, 1] >= np.asarray(ex2["percentiles"])).all()
 
 
 def test_collective_histogram_degenerate_span(mesh):
@@ -205,6 +239,10 @@ def test_collective_histogram_degenerate_span(mesh):
     got = collective_stats(vals, mask, mesh, exact_percentile_threshold=64)
     np.testing.assert_allclose(
         np.asarray(got["percentiles"]), np.full(5, 1234.5), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["percentile_ci"]), np.full((5, 2), 1234.5),
+        rtol=0, atol=0,
     )
     assert float(got["std"]) == 0.0
     assert int(got["n"]) == int(np.asarray(mask).sum())
