@@ -43,6 +43,7 @@ from .sobol_indices import (
     sobol_indices,
 )
 from .tail import TailReservoir, fit_gpd_pwm, gpd_tail, tail_from_analysis
+from .ensemble import EnsembleAccumulator, member_exceedance
 
 __all__ = [
     "sobol_indices", "jansen_estimates", "active_groups",
@@ -61,5 +62,6 @@ __all__ = [
     "MeanStderr", "ExceedanceDecision", "ExceedanceHalfwidth",
     "QuantileHalfwidth", "parse_criterion",
     "TailReservoir", "fit_gpd_pwm", "gpd_tail", "tail_from_analysis",
+    "EnsembleAccumulator", "member_exceedance",
     "EnvelopeAccumulator", "EnvelopeConfig", "trajectory_channel",
 ]

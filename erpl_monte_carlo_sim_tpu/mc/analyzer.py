@@ -494,6 +494,18 @@ class MonteCarloAnalyzer:
                 ),
             },
         }
+        from .ensemble import EnsembleAccumulator
+
+        ens_acc = EnsembleAccumulator.from_base_wind(base_wind)
+        if ens_acc is not None:
+            # post-stratified forecast-ensemble stats (mc.ensemble)
+            ens_acc.add(
+                np.asarray(sample_np.wind_member), valid_np,
+                {k: np.asarray(getattr(summary_np, k)) for k in
+                 ("apogee_altitude", "range", "flight_time")},
+            )
+            analysis["ensemble"] = ens_acc.block()
+            analysis["wind_members"] = np.asarray(sample_np.wind_member)
         if self.importance_shift:
             from .importance import log_weights
 
@@ -863,6 +875,13 @@ class MonteCarloAnalyzer:
             cv_acc = CVMoments()
             include_full = jnp.ones(slab, bool)
         lw_parts = [] if self.importance_shift else None
+        # Forecast-ensemble post-stratified stats (mc.ensemble): O(K)
+        # per-member moments + a capped member-index prefix aligned with
+        # the retained metrics. K=1 "ensembles" are single forecasts.
+        from .ensemble import EnsembleAccumulator
+
+        ens_acc = EnsembleAccumulator.from_base_wind(base_wind)
+        member_parts = []
         pranges = None
         n_done = 0
         n_valid_total = 0
@@ -899,6 +918,9 @@ class MonteCarloAnalyzer:
                     cv_acc = st["cv_acc"]
                 if lw_parts is not None:
                     lw_parts = st["lw_parts"]
+                if ens_acc is not None:
+                    ens_acc = st["ens_acc"]
+                    member_parts = st["member_parts"]
                 log.info("resumed from %s: slab %d/%d (%d lanes done)",
                          checkpoint_path, slab_idx, n_slabs, n_done)
         while n_done < n_samples:
@@ -966,6 +988,9 @@ class MonteCarloAnalyzer:
                     vals_valid = slab_metrics[k][valid_np]
                     stream[k].add(vals_valid)
                     tails[k].add(vals_valid)
+            if ens_acc is not None:
+                mem_np = np.asarray(sample.wind_member)[:n_s]
+                ens_acc.add(mem_np, valid_np, slab_metrics)
             take = min(n_s, cap - kept)  # == n_s when not streaming
             if take > 0:
                 for k in metrics:
@@ -978,6 +1003,8 @@ class MonteCarloAnalyzer:
                 )
                 valid_parts.append(valid_np[:take])
                 reason_parts.append(reasons_np[:take])
+                if ens_acc is not None:
+                    member_parts.append(mem_np[:take])
                 kept += take
             if self.sampler == "sobol":
                 # Each slab draws from its own fold of the run key — its own
@@ -1071,6 +1098,7 @@ class MonteCarloAnalyzer:
                     "stream": stream, "tails": tails,
                     "footprint_acc": footprint_acc,
                     "cv_acc": cv_acc, "lw_parts": lw_parts,
+                    "ens_acc": ens_acc, "member_parts": member_parts,
                 }, ckpt_fp)
                 log.info("checkpoint written: %s (slab %d/%d)",
                          checkpoint_path, slab_idx, n_slabs)
@@ -1149,6 +1177,14 @@ class MonteCarloAnalyzer:
             "results": records,
             "outliers": outlier_records,
         }
+        if ens_acc is not None:
+            # post-stratified forecast-ensemble stats (mc.ensemble) + the
+            # member indices aligned with the retained metrics prefix
+            analysis["ensemble"] = ens_acc.block()
+            analysis["wind_members"] = (
+                np.concatenate(member_parts) if member_parts
+                else np.zeros(0, np.int32)
+            )
         if lw_parts is not None:
             analysis["importance"] = self._importance_block(
                 {k: metrics[k] for k in

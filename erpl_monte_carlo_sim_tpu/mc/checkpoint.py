@@ -53,6 +53,10 @@ def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
             arrays["sample" + jax.tree_util.keystr(key_path)] = np.asarray(leaf)
     arrays["valid_mask"] = np.asarray(analysis["valid_mask"])
     arrays["reasons"] = np.asarray(analysis["reasons"])
+    if analysis.get("wind_members") is not None:
+        # forecast-ensemble member indices (mc.ensemble) — persisted in
+        # both layouts so member_exceedance works on loaded checkpoints
+        arrays["wind_members"] = np.asarray(analysis["wind_members"])
     meta = {
         # Streaming slabbed runs cap the per-lane arrays at the sample cap;
         # n_total (when present) records the true run size.
@@ -68,6 +72,8 @@ def save_summaries(path: str, analysis: dict, seed: int | None = None) -> None:
         },
         # beyond-reference footprint block (JSON-native dict; absent pre-r3)
         "landing_footprint": analysis.get("landing_footprint"),
+        # beyond-reference forecast-ensemble block (JSON-native dict)
+        "ensemble": analysis.get("ensemble"),
     }
     arrays[_META_KEY] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
@@ -89,7 +95,7 @@ def load_summaries(path: str) -> dict:
 
                 name = k[len("tail."):-len(".nk")]
                 tails[name] = TailReservoir.from_arrays(data, f"tail.{name}.")
-        return {
+        out = {
             "summary": None,
             "metrics": {
                 k[len("metrics."):]: data[k]
@@ -105,6 +111,8 @@ def load_summaries(path: str) -> dict:
             "metrics_is_sample": bool(meta.get("metrics_is_sample", False)),
             "meta": meta,
         }
+        _surface_ensemble(out, data, meta)
+        return out
 
     def grab(prefix, template):
         leaves_paths = jax.tree_util.tree_flatten_with_path(template)[0]
@@ -126,4 +134,15 @@ def load_summaries(path: str) -> dict:
     }
     sample_keys = [k for k in data.files if k.startswith("sample")]
     out["sample"] = {k[len("sample."):]: data[k] for k in sample_keys}
+    _surface_ensemble(out, data, meta)
     return out
+
+
+def _surface_ensemble(out: dict, data, meta: dict) -> None:
+    """Surface the forecast-ensemble block + member indices at top level
+    so ``mc.member_exceedance`` works on a loaded checkpoint exactly as
+    on the live analysis (absent pre-r3 checkpoints load unchanged)."""
+    if meta.get("ensemble") is not None:
+        out["ensemble"] = meta["ensemble"]
+    if "wind_members" in data.files:
+        out["wind_members"] = data["wind_members"]

@@ -94,6 +94,9 @@ class DispersionSample:
     wind_direction: jnp.ndarray  # [n]
     density_multiplier: jnp.ndarray  # [n]
     random_seed: jnp.ndarray  # [n] lane index, schema parity
+    # forecast-ensemble member index per lane (all zeros without an
+    # ensemble base_wind) — feeds mc.ensemble's post-stratified stats
+    wind_member: jnp.ndarray  # [n] int32
 
 
 def _sample_impl(
@@ -403,6 +406,7 @@ def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
             "ij,njc->nic", jnp.asarray(ch["vt"].T, dtype), b
         )
 
+    member = jnp.zeros(n, jnp.int32)
     if base_wind is not None:
         base_profile = jnp.asarray(base_wind[1], dtype)
         if base_profile.ndim == 3:
@@ -414,7 +418,7 @@ def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
             # draw bit for bit (pinned by test).
             member = jax.random.randint(
                 jax.random.fold_in(turb_key, 2), (n,), 0,
-                base_profile.shape[0],
+                base_profile.shape[0], dtype=jnp.int32,
             )
             lane_base = base_profile[member]
             if qmc_noise is None:
@@ -486,6 +490,7 @@ def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
         wind_direction=wind_dir,
         density_multiplier=ch["density_mult"],
         random_seed=jnp.arange(n),
+        wind_member=member,
     )
     return batched_scene, batched_ic, sample
 

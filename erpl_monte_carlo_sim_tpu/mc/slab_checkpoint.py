@@ -43,12 +43,14 @@ import jax
 import numpy as np
 
 from .cv import CVMoments
+from .ensemble import METRICS as _ENS_METRICS
+from .ensemble import EnsembleAccumulator
 from .stats import FootprintAccumulator, StreamingStats
 from .tail import TailReservoir
 
 __all__ = ["run_fingerprint", "save_slab_state", "load_slab_state"]
 
-_VERSION = 3  # v3: exact-part boundaries preserved; backend fingerprinted
+_VERSION = 4  # v4: forecast-ensemble accumulator + member prefix
 _METRIC_KEYS = ("apogee_altitude", "range", "flight_time", "max_speed")
 _STREAM_KEYS = ("apogee_altitude", "range", "flight_time")
 
@@ -153,6 +155,7 @@ def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
         "has_stream": state["stream"] is not None,
         "has_cv": state["cv_acc"] is not None,
         "has_tails": state["tails"] is not None,
+        "has_ens": state["ens_acc"] is not None,
     }
     for k in _METRIC_KEYS:
         parts = state["metrics"][k]
@@ -184,6 +187,16 @@ def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
         arrays["cv.n"] = np.asarray(cv.n)
         for name in ("mz", "mt", "szz", "szt", "stt"):
             arrays["cv." + name] = getattr(cv, name)
+    ens = state["ens_acc"]
+    if ens is not None:
+        arrays["ens.n_drawn"] = ens.n_drawn
+        arrays["ens.n_valid"] = ens.n_valid
+        for m in _ENS_METRICS:
+            arrays[f"ens.n.{m}"] = ens._n[m]
+            arrays[f"ens.mean.{m}"] = ens._mean[m]
+            arrays[f"ens.m2.{m}"] = ens._m2[m]
+        if state["member_parts"]:
+            arrays["member_parts"] = np.concatenate(state["member_parts"])
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -236,6 +249,8 @@ def load_slab_state(path: str, fingerprint: str,
             "stream": None,
             "cv_acc": None,
             "tails": None,
+            "ens_acc": None,
+            "member_parts": [],
         }
         for name in ("valid_parts", "reason_parts", "landing_parts"):
             state[name] = [z[name]] if name in z else []
@@ -258,6 +273,18 @@ def load_slab_state(path: str, fingerprint: str,
                 for name in ("mz", "mt", "szz", "szt", "stt"):
                     setattr(cv, name, np.array(z["cv." + name], np.float64))
             state["cv_acc"] = cv
+        if meta["has_ens"]:
+            ens = EnsembleAccumulator(int(z["ens.n_drawn"].size))
+            ens.n_drawn = np.array(z["ens.n_drawn"], np.int64)
+            ens.n_valid = np.array(z["ens.n_valid"], np.int64)
+            for m in _ENS_METRICS:
+                ens._n[m] = np.array(z[f"ens.n.{m}"], np.int64)
+                ens._mean[m] = np.array(z[f"ens.mean.{m}"], np.float64)
+                ens._m2[m] = np.array(z[f"ens.m2.{m}"], np.float64)
+            state["ens_acc"] = ens
+            state["member_parts"] = (
+                [z["member_parts"]] if "member_parts" in z else []
+            )
         fp = FootprintAccumulator()
         n, mx, my, m2x, m2y, cxy = z["footprint"]
         fp.n = int(n)

@@ -77,6 +77,10 @@ def save_report(analysis: dict, output_dir: str, analyzer=None) -> dict:
         imp = {k: v for k, v in analysis["importance"].items()
                if k != "log_weights"}
         report["importance"] = imp
+    if analysis.get("ensemble"):
+        # beyond-reference: per-forecast-member stats + post-stratified
+        # mixture means (mc.ensemble) — the reference holds one forecast
+        report["ensemble"] = analysis["ensemble"]
     if analysis.get("sequential"):
         # beyond-reference: run-to-precision stopping record
         # (MonteCarloAnalyzer.run_to_precision) — which criteria were met
@@ -151,6 +155,28 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                     f"{e95['semi_minor_m']:.1f} m at "
                     f"{fp['orientation_deg']:.1f} deg\n")
             f.write(f"  CEP: {fp['cep_m']:.1f} m ({fp['cep_method']})\n\n")
+        if "ensemble" in report:
+            ens = report["ensemble"]
+            f.write(f"Forecast Ensemble ({ens['n_members']} members):\n")
+            for row in ens["members"]:
+                apo = row["apogee_altitude"]
+                rng_ = row["range"]
+                f.write(
+                    f"  member {row['member']}: n={row['n_valid']}/"
+                    f"{row['n_drawn']} valid, apogee "
+                    f"{apo['mean']:.1f} +- {apo['std']:.1f} m, range "
+                    f"{rng_['mean']:.1f} +- {rng_['std']:.1f} m\n"
+                )
+            ps = ens["post_stratified"]
+            f.write(
+                "  Post-stratified means: apogee "
+                f"{ps['apogee_altitude']['mean']:.2f} +- "
+                f"{ps['apogee_altitude']['stderr']:.3f} m, range "
+                f"{ps['range']['mean']:.2f} +- "
+                f"{ps['range']['stderr']:.3f} m, flight time "
+                f"{ps['flight_time']['mean']:.2f} +- "
+                f"{ps['flight_time']['stderr']:.3f} s\n\n"
+            )
         if "control_variates" in report:
             cv = report["control_variates"]
             f.write("Control-Variate Adjusted Means:\n")
@@ -218,6 +244,13 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                     f.write(f"  {c['metric']} mean stderr: "
                             f"{c['stderr']:.4g} (target {c['target']:.4g})"
                             f" -> {'met' if c['satisfied'] else 'NOT met'}\n")
+                elif c["kind"] == "quantile_halfwidth":
+                    lo, hi = c["ci95"]
+                    f.write(f"  {c['metric']} p{c['percentile']:g}: "
+                            f"{c['estimate']:.4g} CI95 [{lo:.4g}, {hi:.4g}]"
+                            f" half-width {c['halfwidth']:.4g} "
+                            f"(target {c['target']:.4g}) -> "
+                            f"{'met' if c['satisfied'] else 'NOT met'}\n")
                 else:
                     lo, hi = c["ci95"]
                     f.write(f"  P({c['metric']} > {c['threshold']:g}): "
