@@ -882,6 +882,9 @@ class MonteCarloAnalyzer:
 
         ens_acc = EnsembleAccumulator.from_base_wind(base_wind)
         member_parts = []
+        conv_hist = []
+        conv_acc = {k: [0, 0.0, 0.0] for k in  # n, sum, sum of squares
+                    ("apogee_altitude", "range", "flight_time")}
         pranges = None
         n_done = 0
         n_valid_total = 0
@@ -921,6 +924,8 @@ class MonteCarloAnalyzer:
                 if ens_acc is not None:
                     ens_acc = st["ens_acc"]
                     member_parts = st["member_parts"]
+                conv_hist = st["conv_hist"]
+                conv_acc = st["conv_acc"]
                 log.info("resumed from %s: slab %d/%d (%d lanes done)",
                          checkpoint_path, slab_idx, n_slabs, n_done)
         while n_done < n_samples:
@@ -991,6 +996,30 @@ class MonteCarloAnalyzer:
             if ens_acc is not None:
                 mem_np = np.asarray(sample.wind_member)[:n_s]
                 ens_acc.add(mem_np, valid_np, slab_metrics)
+            # Convergence history: running mean +- stderr per headline
+            # metric after every slab (f64 sums; population variance like
+            # the stats blocks). O(n_slabs) rows of a few floats — the
+            # "has this run converged" diagnostic the reference's fixed-n
+            # driver never shows. Stderr treats valid lanes as i.i.d.
+            # (conservative under sobol/antithetic).
+            row = {"n_done": n_done + n_s, "n_valid": n_valid_total}
+            for k in conv_acc:
+                v = slab_metrics[k][valid_np].astype(np.float64)
+                v = v[np.isfinite(v)]
+                acc = conv_acc[k]
+                acc[0] += v.size
+                acc[1] += float(v.sum())
+                acc[2] += float((v * v).sum())
+                n_c, s_c, s2_c = acc
+                if n_c >= 2:
+                    m_c = s_c / n_c
+                    var_c = max(s2_c / n_c - m_c * m_c, 0.0)
+                    row[k] = {"mean": m_c,
+                              "stderr": float(np.sqrt(var_c / n_c))}
+                else:
+                    row[k] = {"mean": (s_c / n_c) if n_c else float("nan"),
+                              "stderr": float("nan")}
+            conv_hist.append(row)
             take = min(n_s, cap - kept)  # == n_s when not streaming
             if take > 0:
                 for k in metrics:
@@ -1099,6 +1128,7 @@ class MonteCarloAnalyzer:
                     "footprint_acc": footprint_acc,
                     "cv_acc": cv_acc, "lw_parts": lw_parts,
                     "ens_acc": ens_acc, "member_parts": member_parts,
+                    "conv_hist": conv_hist, "conv_acc": conv_acc,
                 }, ckpt_fp)
                 log.info("checkpoint written: %s (slab %d/%d)",
                          checkpoint_path, slab_idx, n_slabs)
@@ -1177,6 +1207,8 @@ class MonteCarloAnalyzer:
             "results": records,
             "outliers": outlier_records,
         }
+        # per-slab running-mean history (reporting.plot_convergence)
+        analysis["convergence"] = conv_hist
         if ens_acc is not None:
             # post-stratified forecast-ensemble stats (mc.ensemble) + the
             # member indices aligned with the retained metrics prefix

@@ -156,6 +156,10 @@ def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
         "has_cv": state["cv_acc"] is not None,
         "has_tails": state["tails"] is not None,
         "has_ens": state["ens_acc"] is not None,
+        # convergence history: JSON-native rows + the three f64 running
+        # sums (floats survive json round-trip exactly: repr-roundtrip)
+        "conv_hist": state["conv_hist"],
+        "conv_acc": state["conv_acc"],
     }
     for k in _METRIC_KEYS:
         parts = state["metrics"][k]
@@ -251,6 +255,8 @@ def load_slab_state(path: str, fingerprint: str,
             "tails": None,
             "ens_acc": None,
             "member_parts": [],
+            "conv_hist": meta["conv_hist"],
+            "conv_acc": meta["conv_acc"],
         }
         for name in ("valid_parts", "reason_parts", "landing_parts"):
             state[name] = [z[name]] if name in z else []

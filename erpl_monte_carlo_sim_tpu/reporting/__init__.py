@@ -1,6 +1,7 @@
 """Reporting & visualization: reference-schema artifacts."""
 
 from .plots import (
+    plot_convergence,
     plot_exceedance,
     plot_landing_footprint,
     plot_results,
@@ -17,6 +18,7 @@ __all__ = [
     "plot_results", "plot_single_simulation", "plot_thrust_twr",
     "plot_trajectory_cloud", "plot_trajectory_cloud_3d",
     "plot_landing_footprint", "plot_exceedance", "plot_sobol_indices",
+    "plot_convergence",
     "create_output_directory", "save_report", "save_simulation_results",
     "to_results_dict",
 ]

@@ -40,6 +40,7 @@ __all__ = [
     "plot_sobol_indices",
     "plot_flight_envelope",
     "plot_launch_window",
+    "plot_convergence",
 ]
 
 
@@ -655,6 +656,48 @@ def plot_launch_window(sweep: dict, output_dir: str | None = None) -> str | None
     plt.tight_layout()
     if output_dir is not None:
         path = os.path.join(output_dir, "launch_window.png")
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+        return path
+    plt.close()
+    return None
+
+
+def plot_convergence(analysis: dict, output_dir: str | None = None) -> str | None:
+    """Running-mean convergence diagnostic (beyond reference): per headline
+    metric, the running mean with its +-1.96-stderr band vs lanes folded in
+    (log x), from the per-slab history ``analysis["convergence"]`` that
+    every slabbed run records. The classic "has this Monte Carlo
+    converged" picture the reference's fixed-n driver cannot show.
+    Single-call runs (no slab boundaries) return None. The band treats
+    valid lanes as i.i.d. — under ``sampler="sobol"``/``antithetic`` the
+    true error is smaller and the band conservative.
+    """
+    hist = analysis.get("convergence")
+    if not hist or len(hist) < 2:
+        return None
+    metrics = (("apogee_altitude", "Apogee Altitude (m)"),
+               ("range", "Range (m)"),
+               ("flight_time", "Flight Time (s)"))
+    n = np.asarray([row["n_valid"] for row in hist], np.float64)
+    fig, axes = plt.subplots(1, 3, figsize=(16, 5))
+    for ax, (key, label) in zip(axes, metrics):
+        mean = np.asarray([row[key]["mean"] for row in hist])
+        se = np.asarray([row[key]["stderr"] for row in hist])
+        ax.plot(n, mean, color="tab:blue", label="running mean")
+        ax.fill_between(n, mean - 1.96 * se, mean + 1.96 * se,
+                        alpha=0.25, color="tab:blue", label="95% CI")
+        ax.axhline(mean[-1], color="tab:gray", linestyle="--",
+                   linewidth=1, label="final mean")
+        ax.set_xscale("log")
+        ax.set_xlabel("valid lanes folded in")
+        ax.set_ylabel(label)
+        ax.grid(True, alpha=0.3)
+        ax.legend(fontsize=8)
+    fig.suptitle("Monte Carlo convergence (running mean, per-slab history)")
+    plt.tight_layout()
+    if output_dir:
+        path = os.path.join(output_dir, "convergence.png")
         plt.savefig(path, dpi=150, bbox_inches="tight")
         plt.close()
         return path

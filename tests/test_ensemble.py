@@ -251,6 +251,7 @@ def test_checkpoint_resume_preserves_ensemble(monkeypatch, tmp_path):
     np.testing.assert_array_equal(resumed["wind_members"],
                                   full["wind_members"])
     assert resumed["ensemble"] == full["ensemble"]
+    assert resumed["convergence"] == full["convergence"]
 
 
 def test_member_exceedance_refuses_importance_runs():

@@ -189,3 +189,35 @@ def test_loaded_checkpoint_answers_exceedance(slabbed_analysis, tmp_path):
     assert loaded["method"] == (
         "sample_prefix" if a.get("metrics_is_sample") else "exact"
     )
+
+
+def test_convergence_history(slabbed_analysis, tmp_path):
+    """Every slabbed run records a per-slab running-mean history whose
+    final row equals the final stats block exactly, and
+    plot_convergence renders it."""
+    _, analysis = slabbed_analysis
+    hist = analysis["convergence"]
+    assert len(hist) == 3  # 1000 lanes at slab 384 -> 3 slabs
+    assert [row["n_done"] for row in hist] == [384, 768, 1000]
+    assert hist[-1]["n_valid"] == analysis["n_samples"]
+    for k in ("apogee_altitude", "range", "flight_time"):
+        last = hist[-1][k]
+        np.testing.assert_allclose(last["mean"], analysis[k]["mean"],
+                                   rtol=1e-12, err_msg=k)
+        # stderr equals the stats block's population std / sqrt(n)
+        np.testing.assert_allclose(
+            last["stderr"],
+            analysis[k]["std"] / np.sqrt(analysis["n_samples"]),
+            rtol=1e-9, err_msg=k,
+        )
+        # monotone n means the running stderr shrinks overall
+        assert hist[-1][k]["stderr"] < hist[0][k]["stderr"] * 1.5
+
+    from erpl_monte_carlo_sim_tpu.reporting import plot_convergence
+
+    import os
+    p = plot_convergence(analysis, str(tmp_path))
+    assert p is not None and os.path.exists(p) and os.path.getsize(p) > 10000
+    # single-call analyses have no slab history -> None, no crash
+    assert plot_convergence({"convergence": []}, str(tmp_path)) is None
+    assert plot_convergence({}, str(tmp_path)) is None
