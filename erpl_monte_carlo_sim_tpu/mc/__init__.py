@@ -32,6 +32,7 @@ from .sequential import (
     ExceedanceDecision,
     ExceedanceHalfwidth,
     MeanStderr,
+    QmcMeanStderr,
     QuantileHalfwidth,
     parse_criterion,
 )
@@ -59,8 +60,8 @@ __all__ = [
     "log_weights", "weighted_mean", "weighted_tail",
     "auto_shift", "shift_from_gradients",
     "parity_twin", "two_level_block",
-    "MeanStderr", "ExceedanceDecision", "ExceedanceHalfwidth",
-    "QuantileHalfwidth", "parse_criterion",
+    "MeanStderr", "QmcMeanStderr", "ExceedanceDecision",
+    "ExceedanceHalfwidth", "QuantileHalfwidth", "parse_criterion",
     "TailReservoir", "fit_gpd_pwm", "gpd_tail", "tail_from_analysis",
     "EnsembleAccumulator", "member_exceedance",
     "EnvelopeAccumulator", "EnvelopeConfig", "trajectory_channel",

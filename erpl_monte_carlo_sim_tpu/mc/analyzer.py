@@ -71,6 +71,18 @@ def _host_stats(values: np.ndarray, mask: np.ndarray) -> dict:
 def _as_ic(initial_conditions) -> InitialConditions:
     if isinstance(initial_conditions, InitialConditions):
         return initial_conditions
+    # The reference (simulator.py:134-150) .get()s exactly these four keys
+    # and silently ignores anything else — a typo'd key there simulates an
+    # all-defaults flight with no warning. Error paths aren't parity
+    # surface: reject unknown keys loudly instead.
+    unknown = set(initial_conditions) - {
+        "position", "velocity", "attitude", "angular_velocity"}
+    if unknown:
+        raise ValueError(
+            f"unknown initial_conditions keys {sorted(unknown)}; valid "
+            "keys are position, velocity, attitude, angular_velocity "
+            "(or pass an InitialConditions)"
+        )
     return InitialConditions.create(
         position=initial_conditions.get("position", (0.0, 0.0, 0.0)),
         velocity=initial_conditions.get("velocity", (0.0, 0.0, 0.0)),
@@ -603,6 +615,16 @@ class MonteCarloAnalyzer:
         if not criteria:
             raise ValueError("criteria must be a non-empty list")
         crits = [parse_criterion(c) for c in criteria]
+        if self.sampler != "sobol":
+            bad = [c for c in crits
+                   if getattr(c, "requires_sobol", False)]
+            if bad:
+                raise ValueError(
+                    "qmc_mean_stderr criteria need sampler='sobol' (slab "
+                    "means are independent RQMC replicates only under the "
+                    "per-slab Owen scrambles); on prng draws use "
+                    "mean_stderr, which is valid AND tighter there"
+                )
         if self.importance_shift:
             raise ValueError(
                 "run_to_precision counts unweighted lanes; "

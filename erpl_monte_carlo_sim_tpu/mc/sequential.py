@@ -45,6 +45,7 @@ from .stats import StreamingStats, _wilson, order_stat_ranks
 
 __all__ = [
     "MeanStderr",
+    "QmcMeanStderr",
     "ExceedanceDecision",
     "ExceedanceHalfwidth",
     "QuantileHalfwidth",
@@ -214,6 +215,90 @@ class ExceedanceHalfwidth(_Criterion):
         }
 
 
+class QmcMeanStderr(_Criterion):
+    """Stop when the RANDOMIZED-QMC stderr of the ``metric`` mean is <=
+    ``target`` — the sequential rule that actually exploits
+    ``sampler="sobol"``.
+
+    Under the analyzer's slab keying every slab draws its own
+    independent Owen scramble, so slab means are i.i.d. unbiased
+    replicates of the QMC estimator and their sample spread is a
+    statistically valid stderr for the pooled mean — typically far
+    smaller than the i.i.d. per-lane formula :class:`MeanStderr` uses
+    (which ignores the negative within-slab correlation QMC buys and so
+    over-runs by the full QMC gain; see the NOTES.md convergence
+    studies). Needs at least ``min_replicates`` slabs before it can
+    stop (a 2-replicate variance estimate is noise); the precision a
+    single replicate reaches scales with ``lane_slab``, so the knob for
+    "more accuracy per look" is the slab size.
+
+    ``run_to_precision`` rejects this criterion unless the analyzer
+    sampler is ``"sobol"`` — on prng draws the slab means are plain
+    i.i.d. batch means and :class:`MeanStderr` is both valid and
+    lane-for-lane tighter (batch-mean stderr wastes the within-slab
+    information).
+    """
+
+    requires_sobol = True
+
+    def __init__(self, metric: str, target: float, min_replicates: int = 4):
+        if target <= 0:
+            raise ValueError(
+                f"qmc_mean_stderr target must be > 0, got {target}"
+            )
+        if min_replicates < 2:
+            raise ValueError(
+                f"min_replicates must be >= 2, got {min_replicates}"
+            )
+        self.metric = metric
+        self.target = float(target)
+        self.min_replicates = int(min_replicates)
+        self.slab_means: list = []
+        self.slab_ns: list = []
+
+    def update(self, vals_valid: np.ndarray) -> None:
+        v = np.asarray(vals_valid, np.float64)
+        v = v[np.isfinite(v)]
+        # an all-invalid slab contributes no replicate (matching the
+        # analyzer's qmc_blocks NaN convention)
+        if v.size:
+            self.slab_means.append(float(v.mean()))
+            self.slab_ns.append(int(v.size))
+
+    def mean(self) -> float:
+        if not self.slab_means:
+            return float("nan")
+        # lane-weighted pool == the plain mean over all valid lanes
+        m = np.asarray(self.slab_means)
+        w = np.asarray(self.slab_ns, np.float64)
+        return float((m * w).sum() / w.sum())
+
+    def stderr(self) -> float:
+        k = len(self.slab_means)
+        if k < self.min_replicates:
+            return float("inf")
+        m = np.asarray(self.slab_means)
+        return float(m.std(ddof=1) / np.sqrt(k))
+
+    def satisfied(self) -> bool:
+        return self.stderr() <= self.target
+
+    def block(self) -> dict:
+        k = len(self.slab_means)
+        return {
+            "kind": "qmc_mean_stderr",
+            "metric": self.metric,
+            "target": self.target,
+            "n": int(sum(self.slab_ns)),
+            "n_replicates": k,
+            "min_replicates": self.min_replicates,
+            "mean": self.mean(),
+            "stderr": self.stderr() if k >= self.min_replicates
+            else float("nan"),
+            "satisfied": bool(self.satisfied()),
+        }
+
+
 class QuantileHalfwidth(_Criterion):
     """Stop when the distribution-free 95% CI on the ``percentile``-th
     percentile has half-width <= ``target`` — "know the p99 range to
@@ -285,6 +370,8 @@ def parse_criterion(spec) -> _Criterion:
     if already criterion instances):
 
     * ``{"metric": m, "mean_stderr": x}`` -> :class:`MeanStderr`
+    * ``{"metric": m, "qmc_mean_stderr": x}`` -> :class:`QmcMeanStderr`
+      (``sampler="sobol"`` runs only)
     * ``{"metric": m, "exceed": t, "p_limit": p}`` ->
       :class:`ExceedanceDecision`
     * ``{"metric": m, "exceed": t, "ci_halfwidth": h}`` ->
@@ -307,6 +394,8 @@ def parse_criterion(spec) -> _Criterion:
     keys = set(spec) - {"metric"}
     if keys == {"mean_stderr"}:
         return MeanStderr(metric, spec["mean_stderr"])
+    if keys == {"qmc_mean_stderr"}:
+        return QmcMeanStderr(metric, spec["qmc_mean_stderr"])
     if keys == {"exceed", "p_limit"}:
         return ExceedanceDecision(metric, spec["exceed"], spec["p_limit"])
     if keys == {"exceed", "ci_halfwidth"}:
@@ -319,6 +408,7 @@ def parse_criterion(spec) -> _Criterion:
         )
     raise ValueError(
         "criterion spec must be {metric, mean_stderr}, "
+        "{metric, qmc_mean_stderr}, "
         "{metric, exceed, p_limit}, {metric, exceed, ci_halfwidth}, "
         "or {metric, percentile, ci_halfwidth}; "
         f"got keys {sorted(spec)}"

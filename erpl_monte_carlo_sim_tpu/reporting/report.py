@@ -240,8 +240,10 @@ def _write_txt_report(report: dict, output_dir: str) -> None:
                     f"{seq['max_samples']} budgeted "
                     f"({'stopped early' if seq['stopped_early'] else 'budget exhausted'})\n")
             for c in seq["criteria"]:
-                if c["kind"] == "mean_stderr":
-                    f.write(f"  {c['metric']} mean stderr: "
+                if c["kind"] in ("mean_stderr", "qmc_mean_stderr"):
+                    tag = (" (RQMC, %d replicates)" % c["n_replicates"]
+                           if c["kind"] == "qmc_mean_stderr" else "")
+                    f.write(f"  {c['metric']} mean stderr{tag}: "
                             f"{c['stderr']:.4g} (target {c['target']:.4g})"
                             f" -> {'met' if c['satisfied'] else 'NOT met'}\n")
                 elif c["kind"] == "quantile_halfwidth":

@@ -184,6 +184,15 @@ def test_analyzer_reproducible(small_analysis):
     assert c["apogee_altitude"]["mean"] != a["apogee_altitude"]["mean"]
 
 
+def test_analyzer_rejects_unknown_ic_keys(small_analysis):
+    # The reference .get()s its four IC keys and silently simulates an
+    # all-defaults flight on a typo (simulator.py:134-150); we reject
+    # loudly instead (error paths are not parity surface).
+    mc, _ = small_analysis
+    with pytest.raises(ValueError, match="launch_altitude"):
+        mc.run_monte_carlo({"launch_altitude": 0.0}, n_samples=4)
+
+
 def test_resimulate_trajectories(small_analysis):
     mc, a = small_analysis
     # Wind-perturbed lanes diverge readily (parity with today's reference:

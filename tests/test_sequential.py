@@ -309,3 +309,80 @@ def test_run_to_precision_quantile_criterion():
     st = analysis["apogee_altitude"]
     for p, (lo, hi) in zip(st["percentiles"], st["percentile_ci"]):
         assert lo <= p <= hi
+
+
+def test_qmc_mean_stderr_closed_form():
+    from erpl_monte_carlo_sim_tpu.mc import QmcMeanStderr
+
+    c = QmcMeanStderr("apogee_altitude", target=0.5, min_replicates=3)
+    assert c.stderr() == np.inf and not c.satisfied()
+    # three slabs of known means: stderr = std(means, ddof=1)/sqrt(3)
+    c.update(np.array([1.0, 3.0]))          # mean 2.0
+    c.update(np.array([4.0, 4.0, np.nan]))  # mean 4.0 (NaN dropped)
+    assert c.stderr() == np.inf  # below min_replicates: cannot stop
+    c.update(np.array([6.0]))               # mean 6.0
+    se = np.std([2.0, 4.0, 6.0], ddof=1) / np.sqrt(3)
+    assert c.stderr() == pytest.approx(se)
+    # pooled mean is lane-weighted (== mean over all valid lanes)
+    assert c.mean() == pytest.approx(np.mean([1, 3, 4, 4, 6]))
+    blk = c.block()
+    assert blk["kind"] == "qmc_mean_stderr" and blk["n"] == 5
+    assert blk["n_replicates"] == 3
+    # an all-invalid slab contributes no replicate
+    c.update(np.array([np.nan]))
+    assert c.block()["n_replicates"] == 3
+    with pytest.raises(ValueError, match="qmc_mean_stderr"):
+        QmcMeanStderr("range", target=0.0)
+    with pytest.raises(ValueError, match="min_replicates"):
+        QmcMeanStderr("range", target=1.0, min_replicates=1)
+    c2 = parse_criterion({"metric": "range", "qmc_mean_stderr": 2.5})
+    assert isinstance(c2, QmcMeanStderr) and c2.target == 2.5
+
+
+def test_qmc_criterion_requires_sobol():
+    with pytest.raises(ValueError, match="sobol"):
+        _analyzer().run_to_precision(
+            IC,
+            criteria=[{"metric": "apogee_altitude",
+                       "qmc_mean_stderr": 1.0}],
+            max_samples=2048, lane_slab=512,
+        )
+
+
+def test_qmc_criterion_stops_earlier_than_iid():
+    """The point of the RQMC rule: under sobol the replicate-spread
+    stderr reflects the real (much smaller) QMC error, so the run stops
+    on far fewer lanes than the i.i.d. formula demands — and the pooled
+    means agree with the budget-exhausted i.i.d. run's to well within
+    the i.i.d. error (same keyed draws)."""
+    target = None
+    # calibrate the target from one sobol run's replicate spread at 4
+    # slabs so the test is robust to the regime's absolute scale
+    probe = _analyzer(sampler="sobol").run_to_precision(
+        IC,
+        criteria=[{"metric": "apogee_altitude", "qmc_mean_stderr": 1e-9}],
+        max_samples=2048, lane_slab=512, seed=3,
+    )
+    blk = probe["sequential"]["criteria"][0]
+    assert blk["n_replicates"] == 4  # exhausted: never satisfied
+    target = 3.0 * blk["stderr"]
+
+    qmc = _analyzer(sampler="sobol").run_to_precision(
+        IC,
+        criteria=[{"metric": "apogee_altitude",
+                   "qmc_mean_stderr": target}],
+        max_samples=65536, lane_slab=512, seed=3,
+    )
+    iid = _analyzer(sampler="sobol").run_to_precision(
+        IC,
+        criteria=[{"metric": "apogee_altitude", "mean_stderr": target}],
+        max_samples=65536, lane_slab=512, seed=3,
+    )
+    q, i = qmc["sequential"], iid["sequential"]
+    assert q["satisfied"]
+    assert q["n_used"] < i["n_used"] or not i["satisfied"]
+    # same keyed slabs: the shorter run's mean is a prefix-pool of the
+    # longer's; they agree within a few i.i.d. stderrs
+    iid_se = iid["apogee_altitude"]["std"] / np.sqrt(q["n_used"])
+    assert abs(qmc["apogee_altitude"]["mean"]
+               - iid["apogee_altitude"]["mean"]) < 4 * iid_se
