@@ -7,8 +7,10 @@ sampling (``--shift channel=sigmas``: exponentially tilted draws,
 self-normalized back to the nominal distribution — see
 ``mc/importance.py``), or GPD peaks-over-threshold extrapolation
 (``--gpd``: fit the sample's extreme tail, extrapolate past counting
-reach without choosing a tilt — see ``mc/tail.py``), and prints one
-JSON object.
+reach without choosing a tilt — see ``mc/tail.py``), or subset
+simulation (``--subset``: adaptive multilevel splitting down to ~1e-9
+with neither a tilt direction nor a tail model — see ``mc/subset.py``),
+and prints one JSON object.
 
 Usage:
   python -m erpl_monte_carlo_sim_tpu.cli.tail_probability \\
@@ -16,7 +18,8 @@ Usage:
       [--n 4096] [--seed 0] [--solid] [--max-time 0] \\
       [--shift motor_thrust=2.0] [--shift mass=1.0] \\
       [--auto-shift [--shift-frac 0.75]] \\
-      [--gpd] [--n-tail 1000]
+      [--gpd] [--n-tail 1000] \\
+      [--subset [--n-per-level 2048] [--p0 0.125] [--max-levels 15]]
 
 ``--max-time 0`` (default) runs full flights; pass e.g. ``6`` for the
 ascent-window configs used in the studies.
@@ -39,7 +42,9 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
                      max_time: float = 0.0, shift: dict | str | None = None,
                      gpd: bool = False, n_tail: int = 1000,
                      scene=None, sim_config=None,
-                     shift_frac: float = 0.75) -> dict:
+                     shift_frac: float = 0.75, subset: bool = False,
+                     n_per_level: int = 2048, p0: float = 0.125,
+                     max_levels: int = 15) -> dict:
     """Estimate P(metric > threshold | valid) and return the result row
     plus run metadata. ``shift`` non-empty selects importance sampling —
     pass ``"auto"`` to pick the tilt from the design-point rule
@@ -47,15 +52,41 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
     differentiable flight, scaled by ``shift_frac``); ``gpd`` selects
     peaks-over-threshold extrapolation (``mc.tail``) — the no-tilt route
     to probabilities beyond counting reach (exclusive with ``shift``:
-    the GPD fit needs the nominal population)."""
+    the GPD fit needs the nominal population); ``subset`` selects subset
+    simulation (``mc.subset``) — adaptive multilevel splitting, the
+    deep-tail estimator that needs neither a tilt direction nor a tail
+    model (exclusive with both)."""
     if gpd and shift:
         raise ValueError("--gpd and --shift are exclusive (the GPD fit "
                          "needs the nominal population)")
+    if subset and (gpd or shift):
+        raise ValueError("--subset is its own estimator; drop --gpd/--shift")
     if scene is None:
         scene = nominal_scene(solid_motor() if solid else liquid_motor())
     if sim_config is None:
         sim_config = SimConfig(max_time=max_time) if max_time > 0 \
             else SimConfig()
+    if subset:
+        mc = MonteCarloAnalyzer(scene=scene, sim_config=sim_config)
+        res = mc.subset_tail(
+            InitialConditions.vertical_launch(), metric, threshold,
+            n_per_level=n_per_level, p0=p0, seed=seed,
+            max_levels=max_levels,
+        )
+        return {
+            "metric": metric,
+            "threshold": threshold,
+            "probability": res["probability_given_valid"],
+            "probability_joint": res["probability"],
+            "ci95": [c / res["valid_fraction"] if res["valid_fraction"]
+                     else float("nan") for c in res["ci95"]],
+            "cov": res["cov"],
+            "method": "subset",
+            "n_sims": res["n_sims"],
+            "n_levels": res["n_levels"],
+            "stalled": res["stalled"],
+            "levels": res["levels"],
+        }
     auto_info = None
     if shift == "auto":
         from ..mc.importance import auto_shift
@@ -119,6 +150,15 @@ def main(argv=None) -> dict:
                    help="GPD tail extrapolation instead of counting")
     p.add_argument("--n-tail", type=int, default=1000,
                    help="exceedances used by the --gpd fit")
+    p.add_argument("--subset", action="store_true",
+                   help="subset simulation (adaptive multilevel "
+                        "splitting) — deep tails without a tilt or a "
+                        "tail model")
+    p.add_argument("--n-per-level", type=int, default=2048,
+                   help="lanes per subset level (with --subset)")
+    p.add_argument("--p0", type=float, default=0.125,
+                   help="subset level survival fraction (with --subset)")
+    p.add_argument("--max-levels", type=int, default=15)
     args = p.parse_args(argv)
     shift = {}
     for s in args.shift:
@@ -132,7 +172,9 @@ def main(argv=None) -> dict:
                            seed=args.seed, solid=args.solid,
                            max_time=args.max_time, shift=shift,
                            gpd=args.gpd, n_tail=args.n_tail,
-                           shift_frac=args.shift_frac)
+                           shift_frac=args.shift_frac, subset=args.subset,
+                           n_per_level=args.n_per_level, p0=args.p0,
+                           max_levels=args.max_levels)
     print(json.dumps(out, indent=2))
     return out
 

@@ -5,10 +5,13 @@ from .cv import CVMoments, control_names, cv_slab_moments, finalize_cv
 from .dispersions import (
     DispersionSample,
     UncertaintyParams,
+    normal_dims,
     sample_dispersions,
+    sample_from_normals,
     scene_in_axes,
     select_lane,
 )
+from .subset import subset_simulation
 from .envelope import EnvelopeAccumulator, EnvelopeConfig, trajectory_channel
 from .filter import OutlierBounds, decode_reasons, outlier_mask
 from .importance import (
@@ -51,7 +54,9 @@ __all__ = [
     "select_interaction_pairs", "pure_interactions",
     "dispersed_objective_and_grad", "optimize_robust",
     "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
-    "sample_dispersions", "scene_in_axes", "select_lane", "OutlierBounds",
+    "sample_dispersions", "sample_from_normals", "normal_dims",
+    "subset_simulation",
+    "scene_in_axes", "select_lane", "OutlierBounds",
     "decode_reasons",
     "outlier_mask", "PERCENTILES", "masked_stats",
     "percentile_ci", "order_stat_ranks",

@@ -665,6 +665,120 @@ class MonteCarloAnalyzer:
         }
         return analysis
 
+    # ----------------------------------------------------- rare events
+    def subset_tail(self, initial_conditions, metric: str,
+                    threshold: float, *, direction: str = "above",
+                    n_per_level: int = 2048, p0: float = 0.125,
+                    seed: int = 0, beta0: float = 0.6,
+                    max_levels: int = 15,
+                    chunk_steps: Optional[int] = None) -> dict:
+        """Deep-tail exceedance probability by subset simulation
+        (``mc.subset``): P(metric > threshold) down to ~1e-9 at a few
+        thousand flights per decade of probability.
+
+        The dispersion distribution is re-expressed as a push-forward of
+        N(0, I_d) (``mc.dispersions.sample_from_normals``: 19 scalar
+        channels + the full per-lane AR(1) turbulence driver), and pCN
+        MCMC walks u-space conditioned on intermediate thresholds; each
+        chain step is one BATCHED flight simulation, so the device always
+        sees wide lanes. Complements ``mc.tail`` (GPD extrapolation:
+        cheap, model risk) and ``importance_shift`` (needs a chosen
+        direction): subset simulation finds the failure region itself.
+
+        ``direction="below"`` estimates P(metric < threshold) (negated
+        internally). Invalid lanes (outlier filter) never count as
+        exceedances, matching ``mc.stats.exceedance``'s
+        finite-and-valid convention; ``probability`` is the JOINT
+        P(exceed AND valid) and ``probability_given_valid`` divides by
+        the level-0 valid fraction (= the conditional probability
+        ``exceedance`` reports, up to its own sampling error).
+
+        Runs its own standard-normal draws: the analyzer's ``sampler`` /
+        ``antithetic`` / ``importance_shift`` / ``control_variates``
+        knobs do not apply here. Forecast ensembles are rejected (the
+        member index is discrete; condition on one member and run per
+        member).
+        """
+        from ..engine.batch import simulate_summary_batch
+        from .dispersions import normal_dims, sample_from_normals
+        from .subset import subset_simulation
+
+        scalar_metrics = ("apogee_altitude", "apogee_time", "range",
+                          "flight_time", "max_speed")
+        if metric not in scalar_metrics:
+            raise ValueError(
+                f"metric must be one of {scalar_metrics}, got {metric!r}"
+            )
+        if direction not in ("above", "below"):
+            raise ValueError(
+                f"direction must be 'above' or 'below', got {direction!r}"
+            )
+        ic = _as_ic(initial_conditions)
+        base_wind = None
+        if (self.base_wind_profile is not None
+                and self.base_altitude_profile is not None):
+            if np.asarray(self.base_wind_profile).ndim == 3:
+                raise ValueError(
+                    "subset_tail does not support forecast ensembles; "
+                    "condition on one member (base_wind_profile[k]) and "
+                    "run per member"
+                )
+            base_wind = (self.base_altitude_profile,
+                         self.base_wind_profile)
+            n_knots = int(np.asarray(self.base_altitude_profile).shape[0])
+        else:
+            n_knots = int(self.wind_grid_points)
+        d = normal_dims(n_knots)
+        sign = 1.0 if direction == "above" else -1.0
+        dtype = jnp.asarray(self.scene.rocket.dry_mass).dtype
+        cfg = self.sim_config
+        bounds = self.bounds
+        scene = self.scene
+        params = self.uncertainty_params
+
+        def _metric_of(u):
+            scene_b, ic_b, _ = sample_from_normals(
+                u, scene, ic, params=params, base_wind=base_wind,
+                wind_grid_points=self.wind_grid_points,
+                wind_grid_top=self.wind_grid_top, dtype=dtype,
+            )
+            if chunk_steps is not None:
+                from ..engine.simulate import simulate_batch_chunked
+
+                summary = simulate_batch_chunked(
+                    scene_b, ic_b, cfg, chunk_steps=chunk_steps)
+            else:
+                summary = simulate_summary_batch(scene_b, ic_b, cfg)
+            valid, _ = outlier_mask(summary, bounds)
+            vals = getattr(summary, metric)
+            return jnp.where(valid & jnp.isfinite(vals),
+                             sign * vals, -jnp.inf)
+
+        # chunked runs drive their own host loop of jitted chunks; the
+        # plain path jits end-to-end (two shapes: n_per_level and n_keep)
+        g_dev = _metric_of if chunk_steps is not None \
+            else jax.jit(_metric_of)
+
+        def g_fn(u_np):
+            return np.asarray(g_dev(jnp.asarray(u_np, dtype)))
+
+        res = subset_simulation(
+            g_fn, d, threshold=sign * float(threshold),
+            n_per_level=n_per_level, p0=p0, seed=seed, beta0=beta0,
+            max_levels=max_levels,
+        )
+        # map internal (sign-flipped) thresholds back to metric units
+        res["metric"] = metric
+        res["direction"] = direction
+        res["threshold"] = float(threshold)
+        for lv in res["levels"]:
+            lv["threshold"] = sign * lv["threshold"]
+        vf = res["valid_fraction"]
+        res["probability_given_valid"] = (
+            res["probability"] / vf if vf > 0 else float("nan")
+        )
+        return res
+
     def _cv_wind_ctrl(self, scene_b, sample, base_wind):
         """The wind_ctrl pytree for mc.cv wind-table controls (None when
         both cv_wind_modes and cv_wind_speed are off). The [N,K] projector

@@ -393,7 +393,12 @@ def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
     # --- wind: per-lane profile on a shared grid
     lane_keys = jax.random.split(turb_key, n)
     qmc_noise = None
-    if "b_lead" in ch:
+    if "noise" in ch:
+        # Fully explicit [n, N, 3] standard-normal AR(1) driver — the
+        # deterministic u -> scene path (sample_from_normals) that subset
+        # simulation's MCMC needs. Mutually exclusive with b_lead.
+        qmc_noise = jnp.asarray(ch["noise"], dtype)
+    elif "b_lead" in ch:
         b_lead = ch["b_lead"]
         n_knots = grid.shape[0]
         k_modes = b_lead.shape[1]
@@ -625,6 +630,120 @@ def sample_dispersions(*args, **kwargs):
             jnp.asarray(a["base_wind"][0]), jnp.asarray(a["base_wind"][1])
         )
     return _sample_impl_jit(**a)
+
+
+def normal_dims(wind_grid_points: int = 100) -> int:
+    """Dimension of the standard-normal parameterization consumed by
+    :func:`sample_from_normals`: 19 scalar dispersion channels (17
+    Gaussian + 2 uniform via the probit transform) + ``3 * N`` AR(1)
+    turbulence drivers on the ``N``-knot wind grid."""
+    return 19 + 3 * int(wind_grid_points)
+
+
+def _sample_normals_impl(u, scene, ic, grid, base_wind, *, params, dtype):
+    """Traced u -> (scene, ic, sample) map. Column layout (fixed contract,
+    mirrors the sobol path's consumption order): pos[3], vel[3], att[3],
+    omega[3], mass, thrust_recorded, motor_thrust, motor_flow, wind_speed,
+    wind_direction, density (19 scalars), then the [N, 3] turbulence
+    driver row-major. Every marginal matches the prng path exactly
+    (Gaussians are sigma * u; uniforms are lo + (hi - lo) * ndtr(u); the
+    AR(1) scan consumes its driver unchanged)."""
+    from jax.scipy.special import ndtr
+
+    n = u.shape[0]
+    u = jnp.asarray(u, dtype)
+    state = {"next": 0}
+
+    def take(k):
+        i = state["next"]
+        state["next"] = i + k
+        return u[:, i:i + k]
+
+    def normal(shape, sigma):
+        cols = shape[1] if len(shape) > 1 else 1
+        return take(cols).reshape(shape) * jnp.asarray(sigma, dtype)
+
+    def uniform(lo, hi):
+        return lo + (hi - lo) * ndtr(take(1)[:, 0])
+
+    ch = {
+        "pos_off": normal((n, 3), params.initial_position),
+        "vel_off": normal((n, 3), params.initial_velocity),
+        "att_off": normal((n, 3), params.initial_attitude),
+        "omg_off": normal((n, 3), params.initial_angular_velocity),
+        "mass_mult": 1.0 + normal((n,), params.mass_uncertainty),
+        "thrust_mult_recorded": 1.0 + normal((n,), params.thrust_uncertainty),
+        "motor_thrust_mult": 1.0 + normal(
+            (n,), jnp.asarray(scene.motor.thrust_uncertainty, dtype)
+        ),
+        "motor_flow_mult": 1.0 + normal(
+            (n,), jnp.asarray(scene.motor.mass_flow_uncertainty, dtype)
+        ),
+        "wind_speed": uniform(params.wind_speed_range[0],
+                              params.wind_speed_range[1]),
+        "wind_dir": uniform(params.wind_direction_range[0],
+                            params.wind_direction_range[1]),
+        "density_mult": 1.0 + normal(
+            (n,), params.atmospheric_density_uncertainty
+        ),
+    }
+    n_knots = grid.shape[0]
+    ch["noise"] = take(3 * n_knots).reshape(n, n_knots, 3)
+    # turb_key is unused on the explicit-noise path (no ensemble members
+    # here — sample_from_normals rejects them); any fixed key works.
+    return _build_scene(scene, ic, ch, jax.random.PRNGKey(0), base_wind,
+                        grid)
+
+
+_sample_normals_jit = jax.jit(
+    _sample_normals_impl, static_argnames=("params", "dtype"),
+)
+
+
+def sample_from_normals(u, scene, ic,
+                        params: UncertaintyParams = UncertaintyParams(),
+                        base_wind=None, wind_grid_points: int = 100,
+                        wind_grid_top: float = 25000.0, dtype=None):
+    """DETERMINISTIC dispersion map: a ``[n, d]`` matrix of standard
+    normals -> ``n`` dispersed (Scene, InitialConditions, sample) lanes,
+    ``d = normal_dims(N)``.
+
+    This is the whole dispersion distribution re-expressed as a smooth
+    push-forward of N(0, I_d) — the representation MCMC-based rare-event
+    methods need (``mc.subset``): conditional resampling moves in u-space,
+    where the prior is isotropic Gaussian and pCN proposals are exact.
+    Same perturbation semantics as ``sample_dispersions`` (same
+    ``_build_scene`` tail, `monte_carlo.py:225-335`); marginals are
+    identical to the prng path. Forecast ENSEMBLES are rejected — the
+    member index is discrete and has no place on the continuous u-space
+    (condition on one member and run per member instead)."""
+    u = jnp.asarray(u)
+    if u.ndim != 2:
+        raise ValueError(f"u must be [n, d]; got shape {tuple(u.shape)}")
+    if dtype is None:
+        dtype = jnp.asarray(scene.rocket.dry_mass).dtype
+    if base_wind is not None:
+        import numpy as _np
+
+        prof = _np.asarray(base_wind[1])
+        if prof.ndim == 3:
+            raise ValueError(
+                "sample_from_normals does not support forecast ensembles "
+                "(discrete member index); condition on a single member"
+            )
+        grid = jnp.asarray(base_wind[0], dtype)
+        base_wind = (grid, jnp.asarray(base_wind[1], dtype))
+    else:
+        grid = jnp.linspace(0.0, float(wind_grid_top),
+                            int(wind_grid_points), dtype=dtype)
+    d = normal_dims(int(grid.shape[0]))
+    if int(u.shape[1]) != d:
+        raise ValueError(
+            f"u has {u.shape[1]} columns but this configuration needs "
+            f"d = normal_dims({int(grid.shape[0])}) = {d}"
+        )
+    return _sample_normals_jit(u, scene, ic, grid, base_wind,
+                               params=params, dtype=dtype)
 
 
 def scene_in_axes(base: Scene, batched: Scene) -> Scene:

@@ -1,0 +1,238 @@
+"""Subset simulation (multilevel splitting) for deep-tail probabilities.
+
+Estimates P(g(U) >= T) for U ~ N(0, I_d) down to ~1e-9 at a cost of a few
+thousand evaluations per decade of probability — the regime where direct
+counting needs 10^10+ lanes and GPD extrapolation (`mc.tail`) carries
+model risk, and where exponential tilting (`mc.importance`) needs a
+user-chosen shift direction. Subset simulation needs neither: it finds
+the failure region adaptively, whatever its shape.
+
+Algorithm (Au & Beck 2001, "Estimation of small failure probabilities in
+high dimensions by subset simulation", with the adaptive conditional
+sampler of Papaioannou et al. 2015): express the tail as a product of
+conditional probabilities
+
+    P(g >= T) = P(g >= t_1) * prod_j P(g >= t_{j+1} | g >= t_j)
+
+with intermediate thresholds t_j chosen adaptively as the (1 - p0)
+quantile of each level's population, so every factor is p0 by
+construction. Conditional populations come from batched MCMC in the
+standard-normal input space: the preconditioned Crank-Nicolson proposal
+
+    u' = sqrt(1 - beta^2) u + beta * xi,   xi ~ N(0, I)
+
+leaves N(0, I) exactly invariant, so the accept test reduces to the
+indicator g(u') >= t_j — no density ratios, dimension-robust (the
+acceptance rate does not collapse as d grows, unlike random-walk
+Metropolis). beta adapts toward ``target_accept`` on a sqrt-damped
+schedule.
+
+TPU mapping: the chain dimension is BATCHED — every chain advances one
+step per device call, so a level's MCMC is ``chain_len - 1`` batched
+evaluations of ``n_keep`` lanes each (full dispersed flights through the
+component engine when driven by ``MonteCarloAnalyzer.subset_tail``). The
+sequential axis is the chain, which is short (1 / p0 steps); the wide
+axis is lanes, which is where the hardware wants it.
+
+Error model: the coefficient of variation follows Au & Beck — each
+level's conditional-probability estimate contributes
+``delta_j^2 = (1 - p_j) / (p_j n) * (1 + gamma_j)`` with ``gamma_j`` the
+chain-autocorrelation inflation estimated from the realized indicator
+sequences; levels are treated as independent (the standard, slightly
+optimistic approximation — Au & Beck sec. 6.3). The reported ``ci95`` is
+lognormal: ``[p * exp(-1.96 delta), p * exp(+1.96 delta)]``.
+
+Reference counterpart: none — `monte_carlo.py:444-459` stops at fixed
+percentiles of a fixed-n run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["subset_simulation"]
+
+
+def _chain_gamma(G: np.ndarray, t: float) -> tuple:
+    """Autocorrelation inflation factor for the estimate
+    ``mean(G >= t)`` over a chain-structured population.
+
+    ``G`` is ``[chain_len, n_chains]`` (step-major). Returns
+    ``(p_hat, gamma)`` with ``gamma = 2 * sum_k (1 - k/chain_len) rho_k``
+    (Au & Beck eq. 29), clamped to >= 0; gamma = 0 for i.i.d. chains.
+    """
+    I = (G >= t).astype(np.float64)
+    cl = I.shape[0]
+    p = float(I.mean())
+    r0 = p * (1.0 - p)
+    if r0 <= 0.0 or cl < 2:
+        return p, 0.0
+    gamma = 0.0
+    for k in range(1, cl):
+        # lag-k autocovariance along chains, averaged over chains
+        rk = float((I[:-k] * I[k:]).mean()) - p * p
+        gamma += 2.0 * (1.0 - k / cl) * (rk / r0)
+    return p, max(gamma, 0.0)
+
+
+def subset_simulation(g_fn, d: int, *, threshold: float,
+                      n_per_level: int = 2048, p0: float = 0.125,
+                      seed: int = 0, beta0: float = 0.6,
+                      target_accept: float = 0.3,
+                      max_levels: int = 15) -> dict:
+    """Estimate ``P(g_fn(U) >= threshold)`` for ``U ~ N(0, I_d)``.
+
+    ``g_fn``: maps a ``[n, d]`` float array of standard normals to ``[n]``
+    metric values. Non-finite outputs are treated as ``-inf`` — they never
+    exceed any threshold and never seed a chain (an invalid/diverged
+    flight cannot certify an exceedance; callers wanting the complementary
+    convention should fold it into ``g_fn``). Called with two batch
+    shapes only: ``n_per_level`` and ``round(p0 * n_per_level)``.
+
+    ``p0``: level survival fraction; ``n_per_level`` must be divisible by
+    ``n_keep = round(p0 * n_per_level)``. Smaller p0 = fewer levels of
+    longer chains; 0.1-0.3 is standard.
+
+    Deterministic in ``seed`` for a fixed configuration and a
+    deterministic ``g_fn``.
+
+    Returns a dict: ``probability``, ``log10_probability``, ``cov``
+    (coefficient of variation, delta), lognormal ``ci95``,
+    ``valid_fraction`` (finite fraction at level 0), ``n_levels``,
+    ``n_sims``, ``stalled`` (True when the run ended before its
+    intermediate thresholds reached ``threshold`` — level budget
+    exhausted, or a level could not raise the threshold — the estimate
+    then reflects counting at the stall point and, if no sample exceeds,
+    ``probability`` is 0.0 with ``cov`` inf: an honest "not observable
+    at this budget", not a certificate), and
+    per-level ``levels`` diagnostics (threshold, conditional probability,
+    acceptance rate, gamma, beta).
+    """
+    n = int(n_per_level)
+    if not (0.0 < p0 < 1.0):
+        raise ValueError(f"p0 must be in (0, 1), got {p0}")
+    n_keep = int(round(p0 * n))
+    if n_keep < 2:
+        raise ValueError(
+            f"p0 * n_per_level = {p0 * n} keeps fewer than 2 seeds"
+        )
+    if n % n_keep:
+        raise ValueError(
+            f"n_per_level ({n}) must be divisible by n_keep ({n_keep}); "
+            "pick p0 = 1/k or adjust n_per_level"
+        )
+    if max_levels < 1:
+        raise ValueError("max_levels must be >= 1")
+    chain_len = n // n_keep
+    threshold = float(threshold)
+    rng = np.random.default_rng(seed)
+
+    def evaluate(u):
+        g = np.asarray(g_fn(u), np.float64).reshape(-1)
+        if g.shape[0] != u.shape[0]:
+            raise ValueError(
+                f"g_fn returned {g.shape[0]} values for {u.shape[0]} lanes"
+            )
+        return np.where(np.isfinite(g), g, -np.inf)
+
+    u = rng.standard_normal((n, d))
+    g = evaluate(u)
+    valid_fraction = float(np.isfinite(g).mean())
+    # Step-major chain layout of the CURRENT population ([chain_len,
+    # n_keep]); None at level 0 (i.i.d., gamma = 0).
+    G_chain = None
+
+    beta = float(beta0)
+    levels = []
+    log_p = 0.0
+    delta_sq = 0.0
+    n_sims = n
+    stalled = False
+    t_prev = -np.inf
+
+    for level in range(max_levels):
+        order = np.argsort(g)[::-1]  # descending; -inf sinks
+        t_cand = float(g[order[n_keep - 1]])
+        last = (t_cand >= threshold or level == max_levels - 1
+                or not np.isfinite(t_cand) or t_cand <= t_prev)
+        t_level = threshold if t_cand >= threshold else t_cand
+        if last:
+            if t_cand < threshold:
+                # level budget exhausted, fewer than n_keep finite
+                # samples, or a threshold that refuses to rise (atomic/
+                # bounded metric): counting at `threshold` on this
+                # population is still an unbiased conditional estimate —
+                # but it can be 0.
+                stalled = True
+            if G_chain is None:
+                p_fin = float((g >= threshold).mean())
+                gamma = 0.0
+            else:
+                p_fin, gamma = _chain_gamma(G_chain, threshold)
+            if p_fin > 0.0:
+                log_p += np.log(p_fin)
+                delta_sq += (1.0 - p_fin) / (p_fin * n) * (1.0 + gamma)
+                probability = float(np.exp(log_p))
+                cov = float(np.sqrt(delta_sq))
+            else:
+                probability, cov = 0.0, float("inf")
+            levels.append({"threshold": threshold, "p": p_fin,
+                           "accept_rate": None, "gamma": gamma,
+                           "beta": beta})
+            break
+        # intermediate level: survival fraction is p0 by construction
+        p_lvl, gamma = (p0, 0.0) if G_chain is None \
+            else _chain_gamma(G_chain, t_level)
+        log_p += np.log(p_lvl)
+        delta_sq += (1.0 - p_lvl) / (p_lvl * n) * (1.0 + gamma)
+        t_prev = t_level
+
+        # --- conditional resampling: n_keep pCN chains of chain_len steps
+        cur_u = u[order[:n_keep]].copy()
+        cur_g = g[order[:n_keep]].copy()
+        steps_u = [cur_u.copy()]
+        steps_g = [cur_g.copy()]
+        acc_rates = []
+        for step in range(1, chain_len):
+            xi = rng.standard_normal((n_keep, d))
+            prop = np.sqrt(1.0 - beta * beta) * cur_u + beta * xi
+            gp = evaluate(prop)
+            n_sims += n_keep
+            acc = gp >= t_level
+            cur_u = np.where(acc[:, None], prop, cur_u)
+            cur_g = np.where(acc, gp, cur_g)
+            steps_u.append(cur_u.copy())
+            steps_g.append(cur_g.copy())
+            a = float(acc.mean())
+            acc_rates.append(a)
+            # aCS-style damped adaptation toward target_accept; exact
+            # invariance holds at any fixed beta, adaptation only tunes
+            # mixing (vanishing-adaptation schedule)
+            beta = float(np.clip(
+                beta * np.exp((a - target_accept) / np.sqrt(step)),
+                0.01, 0.99,
+            ))
+        u = np.concatenate(steps_u, axis=0)
+        g = np.concatenate(steps_g, axis=0)
+        G_chain = np.stack(steps_g, axis=0)
+        levels.append({
+            "threshold": t_level, "p": p_lvl,
+            "accept_rate": float(np.mean(acc_rates)) if acc_rates else None,
+            "gamma": gamma, "beta": beta,
+        })
+
+    return {
+        "probability": probability,
+        "log10_probability": (float(np.log10(probability))
+                              if probability > 0 else -float("inf")),
+        "cov": cov,
+        "ci95": [probability * float(np.exp(-1.96 * cov)),
+                 probability * float(np.exp(1.96 * cov))]
+        if np.isfinite(cov) else [0.0, float("nan")],
+        "valid_fraction": valid_fraction,
+        "threshold": threshold,
+        "n_per_level": n, "p0": p0, "chain_len": chain_len,
+        "n_levels": len(levels), "n_sims": n_sims,
+        "stalled": stalled, "seed": int(seed),
+        "levels": levels,
+    }
