@@ -765,8 +765,12 @@ class MonteCarloAnalyzer:
         res = subset_simulation(
             g_fn, d, threshold=sign * float(threshold),
             n_per_level=n_per_level, p0=p0, seed=seed, beta0=beta0,
-            max_levels=max_levels,
+            max_levels=max_levels, return_population=True,
         )
+        u_fin = res.pop("u_final")
+        g_fin = res.pop("g_final")
+        res["failure_channels"] = self._failure_channels(
+            u_fin, g_fin >= sign * float(threshold), n_knots)
         # map internal (sign-flipped) thresholds back to metric units
         res["metric"] = metric
         res["direction"] = direction
@@ -778,6 +782,57 @@ class MonteCarloAnalyzer:
             res["probability"] / vf if vf > 0 else float("nan")
         )
         return res
+
+    # column layout of mc.dispersions._sample_normals_impl (fixed contract)
+    _U_CHANNELS = (
+        "initial_position_x", "initial_position_y", "initial_position_z",
+        "initial_velocity_x", "initial_velocity_y", "initial_velocity_z",
+        "initial_attitude_x", "initial_attitude_y", "initial_attitude_z",
+        "initial_angular_velocity_x", "initial_angular_velocity_y",
+        "initial_angular_velocity_z",
+        "mass", "thrust_recorded", "motor_thrust", "motor_flow",
+        "wind_speed", "wind_direction", "density",
+    )
+
+    @classmethod
+    def _failure_channels(cls, u_final, fail_mask, n_knots: int):
+        """The ``failure_channels`` block: standardized conditional means
+        of every dispersion channel over the failure-region samples the
+        subset run ends with — the EMPIRICAL DESIGN POINT ("deep
+        exceedances are +2.3-sigma thrust with above-median tailwind"),
+        which doubles as a principled ``importance_shift`` suggestion.
+        ``None`` when no final-population lane reaches the threshold."""
+        fail = np.asarray(fail_mask, bool)
+        if not fail.any():
+            return None
+        uf = np.asarray(u_final, np.float64)[fail]
+        chans = [
+            {"name": nm, "mean": float(uf[:, j].mean()),
+             "std": float(uf[:, j].std())}
+            for j, nm in enumerate(cls._U_CHANNELS)
+        ]
+        turb = uf[:, len(cls._U_CHANNELS):].reshape(uf.shape[0],
+                                                    n_knots, 3)
+        return {
+            "n_failure_samples": int(fail.sum()),
+            "channels": chans,
+            # per-component mean square of the AR(1) driver (nominal 1.0;
+            # >1 = the tail recruits turbulence energy in that component)
+            "turbulence_ms": {
+                "u": float((turb[..., 0] ** 2).mean()),
+                "v": float((turb[..., 1] ** 2).mean()),
+                "w": float((turb[..., 2] ** 2).mean()),
+            },
+            "note": (
+                "sigma-units conditional means over the failure region "
+                "(MCMC-correlated samples: indicative, not stderr-exact). "
+                "wind_speed/wind_direction are uniform channels — a "
+                "positive mean reads 'above median'. thrust_recorded is "
+                "the reference's dead channel (drawn but the motor uses "
+                "its own draw, monte_carlo.py:170,193): its mean is a "
+                "built-in placebo check."
+            ),
+        }
 
     def _cv_wind_ctrl(self, scene_b, sample, base_wind):
         """The wind_ctrl pytree for mc.cv wind-table controls (None when

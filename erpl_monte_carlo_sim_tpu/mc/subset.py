@@ -79,7 +79,8 @@ def subset_simulation(g_fn, d: int, *, threshold: float,
                       n_per_level: int = 2048, p0: float = 0.125,
                       seed: int = 0, beta0: float = 0.6,
                       target_accept: float = 0.3,
-                      max_levels: int = 15) -> dict:
+                      max_levels: int = 15,
+                      return_population: bool = False) -> dict:
     """Estimate ``P(g_fn(U) >= threshold)`` for ``U ~ N(0, I_d)``.
 
     ``g_fn``: maps a ``[n, d]`` float array of standard normals to ``[n]``
@@ -107,6 +108,14 @@ def subset_simulation(g_fn, d: int, *, threshold: float,
     at this budget", not a certificate), and
     per-level ``levels`` diagnostics (threshold, conditional probability,
     acceptance rate, gamma, beta).
+
+    ``return_population=True`` additionally returns ``u_final`` /
+    ``g_final`` — the last level's population (``[n, d]`` / ``[n]``).
+    The lanes with ``g_final >= threshold`` are samples of the FAILURE
+    REGION's conditional distribution (MCMC-correlated, not i.i.d.):
+    their per-dimension statistics are the empirical design point —
+    which inputs drive the tail (see
+    ``MonteCarloAnalyzer.subset_tail``'s ``failure_channels`` block).
     """
     n = int(n_per_level)
     if not (0.0 < p0 < 1.0):
@@ -221,7 +230,9 @@ def subset_simulation(g_fn, d: int, *, threshold: float,
             "gamma": gamma, "beta": beta,
         })
 
+    out_pop = {"u_final": u, "g_final": g} if return_population else {}
     return {
+        **out_pop,
         "probability": probability,
         "log10_probability": (float(np.log10(probability))
                               if probability > 0 else -float("inf")),

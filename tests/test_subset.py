@@ -226,6 +226,48 @@ def test_subset_tail_flights_vs_direct():
     assert res["n_sims"] <= 512 * res["n_levels"]
 
 
+def test_subset_population_mills_ratio():
+    # conditional mean of the driving coordinate over the failure region:
+    # E[u0 | u0 > t] = phi(t) / (1 - Phi(t)) (Mills ratio)
+    t = norm.ppf(1 - 1e-3)
+    r = subset_simulation(lambda u: u[:, 0], 6, threshold=t,
+                          n_per_level=2048, seed=2,
+                          return_population=True)
+    fail = r["g_final"] >= t
+    assert fail.sum() > 100
+    cond_mean = r["u_final"][fail, 0].mean()
+    mills = norm.pdf(t) / (1 - norm.cdf(t))
+    assert abs(cond_mean - mills) < 0.25
+    # non-driving coordinates stay ~standard normal in the failure region
+    other = r["u_final"][fail, 1:]
+    assert abs(other.mean()) < 0.2 and abs(other.std() - 1.0) < 0.15
+    # population not returned by default
+    r2 = subset_simulation(lambda u: u[:, 0], 6, threshold=t,
+                           n_per_level=512, seed=2)
+    assert "u_final" not in r2
+
+
+def test_subset_tail_failure_channels():
+    """The empirical design point must match the physics: window-apogee
+    exceedances are driven by +thrust and -mass; the reference's dead
+    thrust_recorded channel is the placebo."""
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=SimConfig(max_time=2.0),
+                            persistent_cache=False)
+    res = mc.subset_tail(IC, "apogee_altitude", 127.0, n_per_level=512,
+                         p0=0.25, seed=1)
+    fc = res["failure_channels"]
+    assert fc is not None and fc["n_failure_samples"] > 20
+    by_name = {c["name"]: c["mean"] for c in fc["channels"]}
+    assert by_name["motor_thrust"] > 0.3
+    assert by_name["mass"] < 0.0
+    # placebo: the dead channel's conditional mean stays near 0, and the
+    # live thrust channel clearly beats it
+    assert abs(by_name["thrust_recorded"]) < 0.4
+    assert by_name["motor_thrust"] > abs(by_name["thrust_recorded"]) + 0.2
+    for comp in ("u", "v", "w"):
+        assert 0.5 < fc["turbulence_ms"][comp] < 2.0
+
+
 def test_tail_probability_cli_subset(capsys):
     from erpl_monte_carlo_sim_tpu.cli.tail_probability import main
 
