@@ -19,7 +19,14 @@ Usage:
       [--shift motor_thrust=2.0] [--shift mass=1.0] \\
       [--auto-shift [--shift-frac 0.75]] \\
       [--gpd] [--n-tail 1000] \\
-      [--subset [--n-per-level 2048] [--p0 0.125] [--max-levels 15]]
+      [--subset [--n-per-level 2048] [--p0 0.125] [--max-levels 15] \\
+                [--n-runs 4] [--p-target 1e-6]]
+
+``--n-runs K`` pools K independent subset replicates (between-seed 95%
+CI — the honest error bar; the per-run one under-covers, see
+``mc.pool_subset_runs``). ``--p-target P`` inverts the question: the
+metric bound held at probability P instead of the probability at a
+bound (``mc.subset_quantile``; ``--threshold`` is then omitted).
 
 ``--max-time 0`` (default) runs full flights; pass e.g. ``6`` for the
 ascent-window configs used in the studies.
@@ -44,7 +51,8 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
                      scene=None, sim_config=None,
                      shift_frac: float = 0.75, subset: bool = False,
                      n_per_level: int = 2048, p0: float = 0.125,
-                     max_levels: int = 15) -> dict:
+                     max_levels: int = 15, n_runs: int = 1,
+                     p_target: float = 0.0) -> dict:
     """Estimate P(metric > threshold | valid) and return the result row
     plus run metadata. ``shift`` non-empty selects importance sampling —
     pass ``"auto"`` to pick the tilt from the design-point rule
@@ -66,14 +74,43 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
     if sim_config is None:
         sim_config = SimConfig(max_time=max_time) if max_time > 0 \
             else SimConfig()
+    if p_target and not subset:
+        raise ValueError("--p-target needs --subset (quantile mode is "
+                         "subset simulation's inverse problem)")
+    if threshold is None and not (subset and p_target):
+        raise ValueError("--threshold is required (omit it only in "
+                         "--subset --p-target quantile mode)")
+    if subset and p_target:
+        # inverse mode: the metric bound held at probability p_target
+        mc = MonteCarloAnalyzer(scene=scene, sim_config=sim_config)
+        res = mc.subset_quantile(
+            InitialConditions.vertical_launch(), metric, p_target,
+            n_per_level=n_per_level, p0=p0, seed=seed, n_runs=n_runs,
+        )
+        out = {
+            "metric": metric,
+            "p_target": p_target,
+            "threshold": res["threshold"],
+            "ci95_threshold": res["ci95_threshold"],
+            "method": "subset_quantile",
+            "n_sims": res["n_sims"],
+        }
+        if n_runs == 1:
+            out.update(cov=res["cov"], n_levels=res["n_levels"],
+                       stalled=res["stalled"])
+        else:
+            out.update(n_runs=res["n_runs"],
+                       threshold_sd=res["threshold_sd"],
+                       stalled_runs=res["stalled_runs"])
+        return out
     if subset:
         mc = MonteCarloAnalyzer(scene=scene, sim_config=sim_config)
         res = mc.subset_tail(
             InitialConditions.vertical_launch(), metric, threshold,
             n_per_level=n_per_level, p0=p0, seed=seed,
-            max_levels=max_levels,
+            max_levels=max_levels, n_runs=n_runs,
         )
-        return {
+        out = {
             "metric": metric,
             "threshold": threshold,
             "probability": res["probability_given_valid"],
@@ -83,10 +120,18 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
             "cov": res["cov"],
             "method": "subset",
             "n_sims": res["n_sims"],
-            "n_levels": res["n_levels"],
-            "stalled": res["stalled"],
-            "levels": res["levels"],
         }
+        if n_runs == 1:
+            out.update(n_levels=res["n_levels"], stalled=res["stalled"],
+                       levels=res["levels"])
+        else:
+            # pooled replicates: between-seed error bar + calibration
+            out.update(n_runs=res["n_runs"],
+                       n_zero_runs=res["n_zero_runs"],
+                       stalled_runs=res["stalled_runs"],
+                       cov_reported_mean=res["cov_reported_mean"],
+                       spread_ratio=res["spread_ratio"])
+        return out
     auto_info = None
     if shift == "auto":
         from ..mc.importance import auto_shift
@@ -132,7 +177,9 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--metric", default="apogee_altitude")
-    p.add_argument("--threshold", type=float, required=True)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="metric threshold (required except in "
+                        "--subset --p-target quantile mode)")
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--solid", action="store_true")
@@ -159,6 +206,14 @@ def main(argv=None) -> dict:
     p.add_argument("--p0", type=float, default=0.125,
                    help="subset level survival fraction (with --subset)")
     p.add_argument("--max-levels", type=int, default=15)
+    p.add_argument("--n-runs", type=int, default=1,
+                   help="pooled subset replicates (with --subset): "
+                        "between-seed 95% CI instead of the per-run "
+                        "level-independence approximation")
+    p.add_argument("--p-target", type=float, default=0.0,
+                   help="quantile mode (with --subset): report the "
+                        "metric bound held at this probability instead "
+                        "of the probability at a bound")
     args = p.parse_args(argv)
     shift = {}
     for s in args.shift:
@@ -174,7 +229,8 @@ def main(argv=None) -> dict:
                            gpd=args.gpd, n_tail=args.n_tail,
                            shift_frac=args.shift_frac, subset=args.subset,
                            n_per_level=args.n_per_level, p0=args.p0,
-                           max_levels=args.max_levels)
+                           max_levels=args.max_levels, n_runs=args.n_runs,
+                           p_target=args.p_target)
     print(json.dumps(out, indent=2))
     return out
 

@@ -11,7 +11,12 @@ from .dispersions import (
     scene_in_axes,
     select_lane,
 )
-from .subset import subset_simulation
+from .subset import (
+    pool_subset_quantiles,
+    pool_subset_runs,
+    subset_quantile,
+    subset_simulation,
+)
 from .envelope import EnvelopeAccumulator, EnvelopeConfig, trajectory_channel
 from .filter import OutlierBounds, decode_reasons, outlier_mask
 from .importance import (
@@ -55,7 +60,8 @@ __all__ = [
     "dispersed_objective_and_grad", "optimize_robust",
     "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
     "sample_dispersions", "sample_from_normals", "normal_dims",
-    "subset_simulation",
+    "pool_subset_runs", "pool_subset_quantiles",
+    "subset_simulation", "subset_quantile",
     "scene_in_axes", "select_lane", "OutlierBounds",
     "decode_reasons",
     "outlier_mask", "PERCENTILES", "masked_stats",

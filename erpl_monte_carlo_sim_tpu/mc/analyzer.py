@@ -669,7 +669,7 @@ class MonteCarloAnalyzer:
     def subset_tail(self, initial_conditions, metric: str,
                     threshold: float, *, direction: str = "above",
                     n_per_level: int = 2048, p0: float = 0.125,
-                    seed: int = 0, beta0: float = 0.6,
+                    seed: int = 0, n_runs: int = 1, beta0: float = 0.6,
                     max_levels: int = 15,
                     chunk_steps: Optional[int] = None) -> dict:
         """Deep-tail exceedance probability by subset simulation
@@ -698,10 +698,113 @@ class MonteCarloAnalyzer:
         knobs do not apply here. Forecast ensembles are rejected (the
         member index is discrete; condition on one member and run per
         member).
+
+        ``n_runs > 1`` runs that many independent replicates (seeds
+        ``seed .. seed + n_runs - 1``, one compile shared) and pools them
+        with ``mc.pool_subset_runs``: the returned ``cov``/``ci95`` come
+        from the BETWEEN-SEED spread instead of the per-run Au & Beck
+        level-independence approximation, which the measured flight
+        studies show under-covers by 1.5-2.2x (NOTES.md). Use it whenever
+        the decision is tight; ``failure_channels`` then pools every
+        replicate's failure population and per-run diagnostics ride in
+        ``runs``.
         """
+        from .subset import pool_subset_runs, subset_simulation
+
+        g_fn, d, n_knots, sign, ic = self._subset_g_fn(
+            initial_conditions, metric, direction, n_runs, chunk_steps)
+
+        results, pop_u, pop_fail = [], [], []
+        for k in range(int(n_runs)):
+            r = subset_simulation(
+                g_fn, d, threshold=sign * float(threshold),
+                n_per_level=n_per_level, p0=p0, seed=seed + k,
+                beta0=beta0, max_levels=max_levels,
+                return_population=True,
+            )
+            pop_u.append(r.pop("u_final"))
+            pop_fail.append(r.pop("g_final") >= sign * float(threshold))
+            # map internal (sign-flipped) thresholds back to metric units
+            r["threshold"] = float(threshold)
+            for lv in r["levels"]:
+                lv["threshold"] = sign * lv["threshold"]
+            results.append(r)
+        res = results[0] if int(n_runs) == 1 else pool_subset_runs(results)
+        res["failure_channels"] = self._failure_channels(
+            np.concatenate(pop_u, axis=0),
+            np.concatenate(pop_fail, axis=0), n_knots)
+        res["metric"] = metric
+        res["direction"] = direction
+        vf = res["valid_fraction"]
+        res["probability_given_valid"] = (
+            res["probability"] / vf if vf > 0 else float("nan")
+        )
+        return res
+
+    def subset_quantile(self, initial_conditions, metric: str,
+                        p_target: float, *, direction: str = "above",
+                        n_per_level: int = 2048, p0: float = 0.125,
+                        seed: int = 0, n_runs: int = 1,
+                        beta0: float = 0.6,
+                        chunk_steps: Optional[int] = None) -> dict:
+        """Deep-tail quantile by subset simulation (``mc.subset``): the
+        metric bound ``T`` with P(metric > T) = ``p_target`` — the
+        inverse of :meth:`subset_tail`, for bounds at probabilities far
+        beyond counting reach ("the 1e-6 apogee ceiling"). Same normals
+        re-expression, invalid-lane convention (``p_target`` is the
+        JOINT exceed-AND-valid fraction), ensemble rejection, and
+        replicate pooling (``n_runs > 1`` -> ``mc.pool_subset_quantiles``:
+        mean bound with a between-seed Student-t CI in METRIC units —
+        prefer it; the single-run ``ci95_threshold`` inherits the
+        Au & Beck level-independence approximation).
+
+        ``direction="below"`` finds T with P(metric < T) = p_target
+        (lower bound; ``ci95_threshold`` stays [lo, hi] in metric
+        units). ``failure_channels`` profiles the population beyond the
+        estimated bound, exactly as in :meth:`subset_tail`."""
+        from .subset import pool_subset_quantiles, subset_quantile
+
+        g_fn, d, n_knots, sign, _ = self._subset_g_fn(
+            initial_conditions, metric, direction, n_runs, chunk_steps)
+
+        results, pop_u, pop_fail = [], [], []
+        for k in range(int(n_runs)):
+            r = subset_quantile(
+                g_fn, d, p_target=float(p_target),
+                n_per_level=n_per_level, p0=p0, seed=seed + k,
+                beta0=beta0, return_population=True,
+            )
+            pop_u.append(r.pop("u_final"))
+            pop_fail.append(r.pop("g_final") >= r["threshold"])
+            # map internal (sign-flipped) values back to metric units
+            r["threshold"] = sign * r["threshold"]
+            lo, hi = r["ci95_threshold"]
+            r["ci95_threshold"] = sorted(
+                [sign * lo, sign * hi],
+                key=lambda v: (np.isnan(v), v),
+            ) if direction == "below" else [lo, hi]
+            for lv in r["levels"]:
+                lv["threshold"] = sign * lv["threshold"]
+            results.append(r)
+        res = results[0] if int(n_runs) == 1 \
+            else pool_subset_quantiles(results)
+        res["failure_channels"] = self._failure_channels(
+            np.concatenate(pop_u, axis=0),
+            np.concatenate(pop_fail, axis=0), n_knots)
+        res["metric"] = metric
+        res["direction"] = direction
+        return res
+
+    def _subset_g_fn(self, initial_conditions, metric: str,
+                     direction: str, n_runs: int, chunk_steps):
+        """Shared front end of the subset-simulation entry points:
+        validates, re-expresses the dispersion distribution as a
+        push-forward of N(0, I_d), and returns ``(g_fn, d, n_knots,
+        sign, ic)`` with ``g_fn`` the host-callable batched
+        metric-of-normals (one jitted compile shared across replicate
+        runs; invalid/non-finite lanes -> -inf)."""
         from ..engine.batch import simulate_summary_batch
         from .dispersions import normal_dims, sample_from_normals
-        from .subset import subset_simulation
 
         scalar_metrics = ("apogee_altitude", "apogee_time", "range",
                           "flight_time", "max_speed")
@@ -713,15 +816,17 @@ class MonteCarloAnalyzer:
             raise ValueError(
                 f"direction must be 'above' or 'below', got {direction!r}"
             )
+        if int(n_runs) < 1:
+            raise ValueError(f"n_runs must be >= 1, got {n_runs}")
         ic = _as_ic(initial_conditions)
         base_wind = None
         if (self.base_wind_profile is not None
                 and self.base_altitude_profile is not None):
             if np.asarray(self.base_wind_profile).ndim == 3:
                 raise ValueError(
-                    "subset_tail does not support forecast ensembles; "
-                    "condition on one member (base_wind_profile[k]) and "
-                    "run per member"
+                    "subset simulation does not support forecast "
+                    "ensembles; condition on one member "
+                    "(base_wind_profile[k]) and run per member"
                 )
             base_wind = (self.base_altitude_profile,
                          self.base_wind_profile)
@@ -762,26 +867,7 @@ class MonteCarloAnalyzer:
         def g_fn(u_np):
             return np.asarray(g_dev(jnp.asarray(u_np, dtype)))
 
-        res = subset_simulation(
-            g_fn, d, threshold=sign * float(threshold),
-            n_per_level=n_per_level, p0=p0, seed=seed, beta0=beta0,
-            max_levels=max_levels, return_population=True,
-        )
-        u_fin = res.pop("u_final")
-        g_fin = res.pop("g_final")
-        res["failure_channels"] = self._failure_channels(
-            u_fin, g_fin >= sign * float(threshold), n_knots)
-        # map internal (sign-flipped) thresholds back to metric units
-        res["metric"] = metric
-        res["direction"] = direction
-        res["threshold"] = float(threshold)
-        for lv in res["levels"]:
-            lv["threshold"] = sign * lv["threshold"]
-        vf = res["valid_fraction"]
-        res["probability_given_valid"] = (
-            res["probability"] / vf if vf > 0 else float("nan")
-        )
-        return res
+        return g_fn, d, n_knots, sign, ic
 
     # column layout of mc.dispersions._sample_normals_impl (fixed contract)
     _U_CHANNELS = (

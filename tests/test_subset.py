@@ -18,7 +18,10 @@ from erpl_monte_carlo_sim_tpu.mc import (
     MonteCarloAnalyzer,
     UncertaintyParams,
     normal_dims,
+    pool_subset_quantiles,
+    pool_subset_runs,
     sample_from_normals,
+    subset_quantile,
     subset_simulation,
 )
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
@@ -130,6 +133,167 @@ def test_subset_stall_reports_honestly():
                           n_per_level=512, seed=0, max_levels=6)
     assert r["stalled"] and r["probability"] == 0.0
     assert r["cov"] == np.inf and not np.isfinite(r["log10_probability"])
+
+
+# ----------------------------------------------------------- quantiles
+
+
+def test_subset_quantile_gaussian():
+    """Inverse problem against the closed form: the upper-p quantile of
+    a standard normal coordinate, shallow through deep, with the truth
+    inside both the per-run CI and the 4-seed pooled t-interval."""
+    for p_target, tol in [(1e-3, 0.15), (1e-5, 0.2), (1e-7, 0.25)]:
+        truth = norm.ppf(1 - p_target)
+        runs = [subset_quantile(lambda u: u[:, 0], 5, p_target=p_target,
+                                n_per_level=1024, seed=s)
+                for s in range(4)]
+        for r in runs:
+            assert not r["stalled"]
+            assert r["ci95_threshold"][0] < r["threshold"] \
+                < r["ci95_threshold"][1]
+        pooled = pool_subset_quantiles(runs)
+        assert abs(pooled["threshold"] - truth) < tol
+        lo, hi = pooled["ci95_threshold"]
+        assert lo <= truth + 0.05 and truth - 0.05 <= hi
+        assert pooled["n_sims"] == sum(r["n_sims"] for r in runs)
+    # cost scales with decades, not 1/p
+    assert runs[0]["n_sims"] < 10_000
+
+
+def test_subset_quantile_bulk_is_order_statistic():
+    # p_target inside the bulk: no MCMC, the answer is exactly the
+    # sample order statistic of the level-0 draw
+    r = subset_quantile(lambda u: u[:, 0], 3, p_target=0.3,
+                        n_per_level=2048, seed=7)
+    assert r["n_levels"] == 1 and r["n_sims"] == 2048
+    u = np.random.default_rng(7).standard_normal((2048, 3))
+    expect = float(np.sort(u[:, 0])[::-1][int(np.ceil(0.3 * 2048)) - 1])
+    assert r["threshold"] == expect
+    assert r["ci95_threshold"][0] <= r["threshold"] \
+        <= r["ci95_threshold"][1]
+
+
+def test_subset_quantile_validation():
+    with pytest.raises(ValueError, match="p_target"):
+        subset_quantile(lambda u: u[:, 0], 2, p_target=0.0)
+    with pytest.raises(ValueError, match="divisible"):
+        subset_quantile(lambda u: u[:, 0], 2, p_target=1e-3,
+                        n_per_level=1000, p0=0.3)
+    a = subset_quantile(lambda u: u[:, 0], 2, p_target=1e-3,
+                        n_per_level=512, seed=3)
+    b = subset_quantile(lambda u: u[:, 0], 2, p_target=1e-3,
+                        n_per_level=512, seed=3)
+    assert a == b
+    with pytest.raises(ValueError, match=">= 2 runs"):
+        pool_subset_quantiles([a])
+    with pytest.raises(ValueError, match="duplicate seeds"):
+        pool_subset_quantiles([a, b])
+    with pytest.raises(ValueError, match="disagree on p_target"):
+        pool_subset_quantiles([a, dict(b, p_target=1e-4, seed=4)])
+
+
+def test_subset_quantile_flights():
+    """Window-regime apogee bound at a directly checkable depth: the
+    subset quantile must agree with the direct sample quantile, and
+    direction='below' must bound the lower tail in metric units."""
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=SimConfig(max_time=2.0),
+                            persistent_cache=False)
+    direct = mc.run_monte_carlo(IC, n_samples=4096, seed=1)
+    vals = np.asarray(direct["summary"].apogee_altitude, np.float64)
+    valid = np.asarray(direct["valid_mask"])
+    v = vals[valid & np.isfinite(vals)]
+    p_t = 8e-3
+    res = mc.subset_quantile(IC, "apogee_altitude", p_t, n_per_level=512,
+                             p0=0.25, seed=0, n_runs=2)
+    assert res["n_runs"] == 2 and res["metric"] == "apogee_altitude"
+    direct_q = float(np.quantile(v, 1 - p_t))
+    # generous band: direct quantile has its own sampling error
+    assert abs(res["threshold"] - direct_q) < 1.0
+    lo, hi = res["ci95_threshold"]
+    assert lo < res["threshold"] < hi
+    fc = res["failure_channels"]
+    assert fc is not None and fc["n_failure_samples"] > 0
+    # lower tail: the 'below' bound sits under the median
+    low = mc.subset_quantile(IC, "apogee_altitude", 0.05,
+                             direction="below", n_per_level=512,
+                             p0=0.25, seed=0)
+    assert low["threshold"] < float(np.median(v))
+    assert low["ci95_threshold"][0] <= low["threshold"] \
+        <= low["ci95_threshold"][1]
+    assert all(lv["threshold"] >= low["threshold"]
+               for lv in low["levels"][:-1])
+
+
+def test_tail_probability_cli_quantile(capsys):
+    from erpl_monte_carlo_sim_tpu.cli.tail_probability import main
+
+    out = main(["--max-time", "2", "--subset", "--p-target", "5e-3",
+                "--n-per-level", "256", "--p0", "0.25"])
+    assert out["method"] == "subset_quantile"
+    assert np.isfinite(out["threshold"])
+    assert out["ci95_threshold"][0] <= out["threshold"] \
+        <= out["ci95_threshold"][1]
+    assert '"threshold"' in capsys.readouterr().out
+    with pytest.raises(ValueError, match="needs --subset"):
+        main(["--max-time", "2", "--p-target", "1e-3"])
+    with pytest.raises(ValueError, match="threshold is required"):
+        main(["--max-time", "2", "--subset"])
+
+
+# ------------------------------------------------------------- pooling
+
+
+def test_pool_subset_runs_gaussian():
+    """Pooled K-seed estimate: between-seed t-interval contains the
+    closed-form truth, the pooled cov beats the per-run one, and the
+    calibration ratio (realized spread / reported cov) is reported —
+    the quantity the Au & Beck level-independence approximation hides."""
+    t = norm.ppf(1 - 1e-4)
+    runs = [subset_simulation(lambda u: u[:, 0], 5, threshold=t,
+                              n_per_level=1024, seed=s)
+            for s in range(4)]
+    pooled = pool_subset_runs(runs)
+    assert pooled["n_runs"] == 4 and pooled["n_zero_runs"] == 0
+    assert pooled["ci95"][0] <= 1e-4 <= pooled["ci95"][1]
+    # arithmetic mean of the runs, geometric center of the interval
+    assert pooled["probability"] == pytest.approx(
+        np.mean([r["probability"] for r in runs]))
+    assert pooled["probability_geomean"] == pytest.approx(
+        np.exp(np.mean(np.log([r["probability"] for r in runs]))))
+    # pooled cov is the seed-spread stderr: tighter than one run's spread
+    assert pooled["cov_empirical"] < np.std(
+        np.log([r["probability"] for r in runs]), ddof=1)
+    assert np.isfinite(pooled["spread_ratio"]) and pooled["spread_ratio"] > 0
+    assert pooled["n_sims"] == sum(r["n_sims"] for r in runs)
+    assert pooled["seeds"] == [0, 1, 2, 3]
+    assert len(pooled["runs"]) == 4
+
+
+def test_pool_subset_runs_zero_and_validation():
+    # all-zero runs: honest "not observable" — probability 0, [0, nan]
+    dead = [subset_simulation(lambda u: np.tanh(u[:, 0]), 2, threshold=2.0,
+                              n_per_level=256, seed=s, max_levels=3)
+            for s in range(2)]
+    pooled = pool_subset_runs(dead)
+    assert pooled["probability"] == 0.0
+    assert pooled["n_zero_runs"] == 2 and pooled["stalled_runs"] == 2
+    assert pooled["cov"] == np.inf
+    assert pooled["ci95"][0] == 0.0 and np.isnan(pooled["ci95"][1])
+    # a single zero run among positives forces the lower bound to 0
+    t = norm.ppf(1 - 1e-3)
+    live = [subset_simulation(lambda u: u[:, 0], 2, threshold=t,
+                              n_per_level=512, seed=s) for s in range(3)]
+    mixed = pool_subset_runs(live + [dict(dead[0], threshold=t,
+                                          n_per_level=512, seed=9)])
+    assert mixed["n_zero_runs"] == 1 and mixed["ci95"][0] == 0.0
+    assert mixed["probability"] == pytest.approx(
+        np.mean([r["probability"] for r in live] + [0.0]))
+    with pytest.raises(ValueError, match=">= 2 runs"):
+        pool_subset_runs(live[:1])
+    with pytest.raises(ValueError, match="disagree on threshold"):
+        pool_subset_runs([live[0], dict(live[1], threshold=t + 1)])
+    with pytest.raises(ValueError, match="duplicate seeds"):
+        pool_subset_runs([live[0], dict(live[1], seed=live[0]["seed"])])
 
 
 # ------------------------------------- u -> scene marginal equivalence
@@ -268,6 +432,33 @@ def test_subset_tail_failure_channels():
         assert 0.5 < fc["turbulence_ms"][comp] < 2.0
 
 
+def test_subset_tail_pooled_runs():
+    """n_runs > 1: pooled between-seed estimate, per-run thresholds in
+    metric units, failure population merged across replicates, and the
+    single-run path unchanged (runs[0] == a seed-0 run)."""
+    mc = MonteCarloAnalyzer(scene=SCENE, sim_config=SimConfig(max_time=2.0),
+                            persistent_cache=False)
+    res = mc.subset_tail(IC, "apogee_altitude", 127.0, n_per_level=256,
+                         p0=0.25, seed=0, n_runs=2)
+    assert res["n_runs"] == 2 and res["seeds"] == [0, 1]
+    assert res["n_sims"] == sum(r["n_sims"] for r in res["runs"])
+    assert 0.0 < res["probability"] < 1.0
+    assert res["metric"] == "apogee_altitude"
+    for r in res["runs"]:
+        assert r["threshold"] == 127.0
+        assert all(lv["threshold"] <= 127.0 for lv in r["levels"])
+    assert res["probability_given_valid"] >= res["probability"]
+    fc = res["failure_channels"]
+    assert fc is not None and fc["n_failure_samples"] > 0
+    # the pooled run's first replicate IS the single-run result
+    single = mc.subset_tail(IC, "apogee_altitude", 127.0, n_per_level=256,
+                            p0=0.25, seed=0, n_runs=1)
+    for key in ("probability", "cov", "n_sims", "levels"):
+        assert single[key] == res["runs"][0][key]
+    with pytest.raises(ValueError, match="n_runs"):
+        mc.subset_tail(IC, "apogee_altitude", 127.0, n_runs=0)
+
+
 def test_tail_probability_cli_subset(capsys):
     from erpl_monte_carlo_sim_tpu.cli.tail_probability import main
 
@@ -280,6 +471,12 @@ def test_tail_probability_cli_subset(capsys):
     with pytest.raises(ValueError, match="its own estimator"):
         main(["--threshold", "125", "--max-time", "2", "--subset",
               "--gpd"])
+    # pooled replicates surface the between-seed error block
+    out2 = main(["--threshold", "125", "--max-time", "2", "--subset",
+                 "--n-per-level", "256", "--p0", "0.25", "--n-runs", "2"])
+    assert out2["n_runs"] == 2 and "spread_ratio" in out2
+    assert "levels" not in out2
+    capsys.readouterr()
 
 
 def test_subset_tail_validation():
