@@ -80,6 +80,11 @@ def tail_probability(metric: str, threshold: float, n: int = 4096,
     if threshold is None and not (subset and p_target):
         raise ValueError("--threshold is required (omit it only in "
                          "--subset --p-target quantile mode)")
+    if subset and p_target and threshold is not None:
+        raise ValueError("--threshold and --p-target are exclusive: "
+                         "quantile mode SOLVES for the threshold held at "
+                         "p_target — a supplied --threshold would be "
+                         "silently ignored")
     if subset and p_target:
         # inverse mode: the metric bound held at probability p_target
         mc = MonteCarloAnalyzer(scene=scene, sim_config=sim_config)
@@ -208,7 +213,7 @@ def main(argv=None) -> dict:
     p.add_argument("--max-levels", type=int, default=15)
     p.add_argument("--n-runs", type=int, default=1,
                    help="pooled subset replicates (with --subset): "
-                        "between-seed 95% CI instead of the per-run "
+                        "between-seed 95%% CI instead of the per-run "
                         "level-independence approximation")
     p.add_argument("--p-target", type=float, default=0.0,
                    help="quantile mode (with --subset): report the "

@@ -50,7 +50,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["subset_simulation", "subset_quantile", "pool_subset_runs"]
+__all__ = ["subset_simulation", "subset_quantile", "pool_subset_runs",
+           "pool_subset_quantiles"]
 
 
 def _chain_gamma(G: np.ndarray, t: float) -> tuple:

@@ -238,6 +238,15 @@ def test_tail_probability_cli_quantile(capsys):
         main(["--max-time", "2", "--p-target", "1e-3"])
     with pytest.raises(ValueError, match="threshold is required"):
         main(["--max-time", "2", "--subset"])
+    # quantile mode SOLVES for the threshold — supplying one is an error,
+    # not a silent ignore (ADVICE r3)
+    with pytest.raises(ValueError, match="exclusive"):
+        main(["--max-time", "2", "--subset", "--p-target", "1e-3",
+              "--threshold", "30000"])
+    # argparse %-formats help strings: a literal '%' must stay escaped
+    # (ADVICE r3: '95% CI' crashed --help)
+    with pytest.raises(SystemExit):
+        main(["--help"])
 
 
 # ------------------------------------------------------------- pooling
