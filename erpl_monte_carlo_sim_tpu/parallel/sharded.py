@@ -21,12 +21,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.batch import simulate_summary_batch
 from ..engine.config import SimConfig
-from ..mc.stats import PERCENTILES
+from ..mc.stats import PERCENTILES, order_stat_ranks
 from .mesh import BATCH_AXIS, shard_batch
 
 __all__ = ["run_sharded_summaries", "collective_stats",
@@ -134,9 +135,14 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
     (``_histogram_values_at_ranks`` — O(n_bins) communication instead of
     O(n) gather + replicated O(n log n) sort, error bounded by
     range/n_bins^2). ``percentile_ci`` [k, 2] rides the same machinery:
-    order-statistic CIs on each percentile at normal-approximation
-    binomial ranks (exact to <1 rank at pod-scale n; clamped to the
-    sample extremes like ``mc.stats.percentile_ci``).
+    order-statistic CIs on each percentile at the EXACT binomial ranks
+    (``mc.stats.order_stat_ranks``, clamped to the sample extremes like
+    ``mc.stats.percentile_ci``) — the valid count is read back first (one
+    scalar collective), the ranks come from scipy host-side, and the
+    ranked-value extraction runs collectively. The compiled executable
+    stays count-independent because the ranks enter as data, and the CI
+    matches ``mc.stats.percentile_ci`` bit-for-bit at ANY n (pinned by
+    test), not just pod-scale.
 
     Multi-host safe: when ``values`` is already a global sharded array (a
     ``jax.distributed`` run), the ``device_put`` is a no-op and the psum
@@ -151,51 +157,53 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
     else:
         mask = jax.device_put(mask, NamedSharding(mesh, P(BATCH_AXIS)))
 
+    # Valid-lane count first (XLA inserts the cross-shard reduction): the
+    # EXACT binomial order-statistic ranks need scipy's binom.ppf, which is
+    # not traceable — one scalar readback buys bit-parity with
+    # mc.stats.percentile_ci at every n.
+    n_valid = int(jnp.sum(mask & jnp.isfinite(values)))
+    n_eff = max(n_valid, 1)
+    qs_np = np.asarray(PERCENTILES, np.float64)
+    pct_ranks = qs_np / 100.0 * max(n_valid - 1, 0)
+    lo_ranks = np.empty_like(qs_np)
+    hi_ranks = np.empty_like(qs_np)
+    for i, q in enumerate(qs_np):
+        l, u = order_stat_ranks(n_eff, q / 100.0)
+        lo_ranks[i] = max(l, 1) - 1
+        hi_ranks[i] = min(u, n_eff) - 1
+    host_ranks = jnp.asarray(
+        np.concatenate([pct_ranks, lo_ranks, hi_ranks]), values.dtype
+    )
+
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P()),
         out_specs=P(),
         # Outputs are replicated by construction (psum/all_gather), but the
         # sort-percentile path isn't statically inferable as such.
         check_vma=False,
     )
-    def _stats(v, m):
+    def _stats(v, m, ranks):
         m = m & jnp.isfinite(v)
         big = jnp.asarray(jnp.inf, v.dtype)
         cnt = jax.lax.psum(jnp.sum(m), BATCH_AXIS)
         s1 = jax.lax.psum(jnp.sum(jnp.where(m, v, 0.0)), BATCH_AXIS)
-        s2 = jax.lax.psum(jnp.sum(jnp.where(m, v * v, 0.0)), BATCH_AXIS)
         vmin = jax.lax.pmin(jnp.min(jnp.where(m, v, big)), BATCH_AXIS)
         vmax = jax.lax.pmax(jnp.max(jnp.where(m, v, -big)), BATCH_AXIS)
         denom = jnp.maximum(cnt, 1).astype(v.dtype)
         mean = s1 / denom
-        del s2  # one-pass E[x^2]-mean^2 catastrophically cancels in f32
         # Two-pass variance (one extra psum): matches mc.stats.masked_stats'
         # numerically stable form — for flight_time-like data (mean ~1e2,
-        # std ~1e-1) the one-pass form loses ~1e-3 absolute to rounding of
-        # the large accumulators, a ~percent-level std error at f32.
+        # std ~1e-1) the one-pass E[x^2]-mean^2 form loses ~1e-3 absolute to
+        # rounding of the large accumulators, a ~percent-level std error
+        # at f32.
         d = jnp.where(m, v - mean, 0.0)
         var = jnp.maximum(
             jax.lax.psum(jnp.sum(d * d), BATCH_AXIS) / denom, 0.0
         )
 
         qs = jnp.asarray(PERCENTILES, v.dtype)
-        cntf = jnp.maximum(cnt, 1).astype(v.dtype)
-        pct_ranks = qs / 100.0 * jnp.maximum(cnt - 1, 0).astype(v.dtype)
-        # Percentile-CI ranks: the binomial order-statistic interval
-        # (mc.stats.order_stat_ranks) in its normal approximation —
-        # exact to <1 rank at the lane counts a pod-scale run holds, and
-        # traceable (scipy's binom.ppf is not). Ranks below 1 / above n
-        # clamp to the sample extremes, same as mc.stats.percentile_ci.
-        zci = jnp.asarray(1.959963984540054, v.dtype)
-        qf = qs / 100.0
-        sd = jnp.sqrt(cntf * qf * (1.0 - qf))
-        lo_ranks = jnp.clip(jnp.floor(cntf * qf - zci * sd), 1.0, cntf) - 1.0
-        hi_ranks = jnp.clip(
-            jnp.floor(cntf * qf + zci * sd) + 1.0, 1.0, cntf
-        ) - 1.0
-        ranks = jnp.concatenate([pct_ranks, lo_ranks, hi_ranks])
         if use_hist:
             vals = _histogram_values_at_ranks(
                 v, m, ranks, vmin, vmax, percentile_bins
@@ -223,7 +231,7 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
             "n": cnt,
         }
 
-    return _stats(values, mask)
+    return _stats(values, mask, host_ranks)
 
 
 def collective_footprint_moments(landing: jnp.ndarray,
