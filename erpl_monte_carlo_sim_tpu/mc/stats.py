@@ -248,14 +248,56 @@ class StreamingStats:
             out.append([max(lo, self._min), min(hi, self._max)])
         return out
 
+    def sketch_warnings(self, qs=PERCENTILES,
+                        warn_frac: float = 0.05) -> list:
+        """Multimodality check on the compressed sketch (VERDICT r3 item 7).
+
+        A requested percentile whose target rank falls between two
+        centroids separated by a VALUE gap wider than ``warn_frac`` of the
+        metric's std is sitting across a density gap — exactly the regime
+        where the equal-mass sketch's linear interpolation can be off by
+        up to that gap width (~10% of sigma measured on a chute-failure
+        bimodal split, see ``_compress_centroids``). Unimodal metrics at
+        ``max_centroids=8192`` have inter-centroid gaps of ~1e-3 sigma at
+        the reported percentiles, so 5% of sigma separates the two regimes
+        by >1 order of magnitude. Returns one message per affected
+        percentile; empty while the raw buffer makes quantiles exact.
+        """
+        if self._exact_parts is not None or self.n < 2:
+            return []
+        sigma = float(np.sqrt(self._m2 / self.n))
+        if not np.isfinite(sigma) or sigma == 0.0:
+            return []
+        cv, mid = self._centroid_curve()
+        out = []
+        for q in np.atleast_1d(np.asarray(qs, np.float64)):
+            target = q / 100.0 * (self.n - 1) + 0.5
+            i = int(np.searchsorted(mid, target))
+            if i <= 0 or i >= cv.size:
+                continue  # clamped at an extreme: no gap to cross
+            gap = float(cv[i] - cv[i - 1])
+            if gap > warn_frac * sigma:
+                out.append(
+                    f"p{q:g} interpolates across a {gap / sigma:.2f}-sigma "
+                    "centroid gap (multimodal metric?) — sketch value "
+                    "error can approach the gap width"
+                )
+        return out
+
     def stats(self) -> dict:
-        """The analysis-dict stats block (same schema as ``_host_stats``)."""
+        """The analysis-dict stats block (same schema as ``_host_stats``).
+
+        Adds a ``sketch_warning`` key (and logs once) when a reported
+        percentile crosses a wide centroid gap — the multimodal regime
+        where the sketch's documented ~10%-of-sigma value-error caveat
+        applies; absent on unimodal metrics and while quantiles are exact.
+        """
         if self.n == 0:
             nan = float("nan")
             return {"mean": nan, "std": nan, "min": nan, "max": nan,
                     "percentiles": [nan] * len(PERCENTILES),
                     "percentile_ci": [[nan, nan]] * len(PERCENTILES)}
-        return {
+        out = {
             "mean": self._mean,
             "std": float(np.sqrt(self._m2 / self.n)),  # population std
             "min": self._min,
@@ -263,6 +305,17 @@ class StreamingStats:
             "percentiles": self.percentiles(),
             "percentile_ci": self.percentile_ci(),
         }
+        warnings = self.sketch_warnings()
+        if warnings:
+            out["sketch_warning"] = warnings
+            if not getattr(self, "_warned", False):
+                self._warned = True
+                from ..utils.logging import get_logger
+
+                get_logger("mc.stats").warning(
+                    "quantile sketch: %s", "; ".join(warnings)
+                )
+        return out
 
 
 # --------------------------------------------------------------- footprint

@@ -277,3 +277,35 @@ def test_streaming_percentile_ci_brackets_exact():
     s2 = StreamingStats(exact_threshold=10**9)
     s2.add(data)
     assert s2.percentile_ci() == exact
+
+
+def test_sketch_multimodality_warning():
+    """A compressed sketch over a bimodal metric (chute-failure split) must
+    attach sketch_warning to the stats block for percentiles that
+    interpolate across the density gap; a unimodal metric must not warn
+    (VERDICT r3 item 7: the documented ~10%-of-sigma caveat becomes a
+    runtime signal)."""
+    rng = np.random.default_rng(7)
+    # 50/50 mixture with an empty gap; the p50 target rank sits exactly at
+    # the gap (cumulative mass 0.5), so the sketch interpolates across it
+    lo = rng.normal(3000.0, 150.0, size=50_000)
+    hi = rng.normal(9000.0, 150.0, size=50_000)
+    data = np.concatenate([lo, hi])
+    rng.shuffle(data)
+    s = StreamingStats(max_centroids=256, exact_threshold=1000)
+    for chunk in np.array_split(data, 7):
+        s.add(chunk)
+    assert not s.is_exact
+    blk = s.stats()
+    assert "sketch_warning" in blk
+    assert any("p50" in w for w in blk["sketch_warning"])
+    # while the raw buffer is exact there is nothing to warn about
+    s_exact = StreamingStats(exact_threshold=10**9)
+    s_exact.add(data)
+    assert "sketch_warning" not in s_exact.stats()
+    # unimodal flight-metric shape: no warning after compression
+    uni = StreamingStats(max_centroids=256, exact_threshold=1000)
+    for chunk in np.array_split(rng.normal(25000.0, 800.0, 100_000), 7):
+        uni.add(chunk)
+    assert not uni.is_exact
+    assert "sketch_warning" not in uni.stats()
