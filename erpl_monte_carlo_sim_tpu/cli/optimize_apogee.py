@@ -29,19 +29,23 @@ import argparse
 import jax.numpy as jnp
 
 from ..engine import InitialConditions, SimConfig
-from ..engine.diff import _scene_accessors, metric_and_grad, sign_ascent
+from ..engine.diff import _scene_accessors, line_search_ascent, metric_and_grad
 from ..models import liquid_motor, nominal_scene
 
 __all__ = ["optimize", "main"]
 
 
-def optimize(param: str = "rocket.fin_span", steps: int = 10, lr: float = None,
+def optimize(param: str = "rocket.fin_span", steps: int = 24, lr: float = None,
              cfg: SimConfig = None, verbose: bool = True,
-             metric: str = "apogee_altitude"):
+             metric: str = "apogee_altitude",
+             bounds: tuple | None = None):
     """Gradient-ascend ``metric`` w.r.t. ``param`` on the nominal flight.
 
-    Rides ``engine.diff.sign_ascent`` (the stepper shared with
-    ``mc.optimize_robust``). Returns the (value, metric, grad) history.
+    Rides ``engine.diff.line_search_ascent`` (the backtracking stepper
+    shared with ``mc.optimize_robust``): Armijo-tested steps, optional
+    ``bounds``, convergent instead of grid-walking. ``steps`` is the
+    evaluation budget. Returns the ``(value, metric, grad)`` history
+    (an ``AscentHistory``; see ``hist.info`` for convergence state).
     """
     cfg = cfg or SimConfig(max_time=120.0)
     scene = nominal_scene(liquid_motor())
@@ -57,12 +61,19 @@ def optimize(param: str = "rocket.fin_span", steps: int = 10, lr: float = None,
         )
         m, grad = float(m), float(grad)
         if verbose:
-            print(f"step {k}: {param}={value:.6g}  {metric}={m:.1f}  "
+            print(f"eval {k}: {param}={value:.6g}  {metric}={m:.1f}  "
                   f"d({metric})/d({param})={grad:.3g}")
         k += 1
-        return (value, m, grad), grad
+        return (value, m, grad), m, grad
 
-    return sign_ascent(evaluate, float(read(scene)), steps, lr)
+    hist = line_search_ascent(evaluate, float(read(scene)), steps, lr,
+                              bounds=bounds)
+    if verbose and hist:
+        print(f"{hist.info['reason']}: {param}={hist.info['value']:.6g} "
+              f"{metric}={hist.info['objective']:.1f} "
+              f"(converged={hist.info['converged']}, "
+              f"{hist.info['n_evals']} evals)")
+    return hist
 
 
 def main(argv=None) -> list:
@@ -72,9 +83,14 @@ def main(argv=None) -> list:
         "mean - lam*std objective)"
     )
     ap.add_argument("param", nargs="?", default="rocket.fin_span")
-    ap.add_argument("steps", nargs="?", type=int, default=10)
+    ap.add_argument("steps", nargs="?", type=int, default=24,
+                    help="evaluation budget for the line search")
     ap.add_argument("lr", nargs="?", type=float, default=None,
-                    help="fixed step magnitude (default 2%% of start value)")
+                    help="initial step magnitude (default 2%% of start "
+                         "value; the line search adapts it)")
+    ap.add_argument("--bounds", nargs=2, type=float, default=None,
+                    metavar=("LO", "HI"),
+                    help="clamp the parameter to [LO, HI]")
     ap.add_argument("--robust", nargs="?", type=int, const=256, default=0,
                     metavar="N_LANES",
                     help="optimize the dispersed objective over N lanes")
@@ -92,11 +108,13 @@ def main(argv=None) -> list:
             SimConfig(max_time=args.max_time),
             wrt=args.param, metric=args.metric, n_lanes=args.robust,
             risk_lambda=args.lam, steps=args.steps, lr=args.lr,
+            bounds=tuple(args.bounds) if args.bounds else None,
             verbose=True,
         )
     return optimize(args.param, args.steps, args.lr,
                     cfg=SimConfig(max_time=args.max_time),
-                    metric=args.metric)
+                    metric=args.metric,
+                    bounds=tuple(args.bounds) if args.bounds else None)
 
 
 if __name__ == "__main__":

@@ -193,6 +193,26 @@ def _scene_accessors(wrt: str):
     return read, write
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _metric_grad_fn(metric: str, wrt: str, cfg: SimConfig, kw_items: tuple):
+    """Jitted value-and-grad for one (metric, wrt, cfg) triple, cached so
+    repeated calls (every line-search evaluation) re-EXECUTE one compiled
+    program instead of re-tracing the n_steps scan + its transpose — the
+    round-3 optimizer paid a full retrace per evaluation."""
+    read, write = _scene_accessors(wrt)
+    del read
+
+    def f(v, scene, ic):
+        return simulate_metrics_diff(
+            write(scene, v), ic, cfg, **dict(kw_items)
+        )[metric]
+
+    return jax.jit(jax.value_and_grad(f))
+
+
 def metric_and_grad(scene: Scene, ic: InitialConditions,
                     cfg: SimConfig = SimConfig(),
                     metric: str = "apogee_altitude",
@@ -205,12 +225,9 @@ def metric_and_grad(scene: Scene, ic: InitialConditions,
     """
     if metric not in DIFF_METRICS:
         raise ValueError(f"metric must be one of {DIFF_METRICS}, got {metric!r}")
-    read, write = _scene_accessors(wrt)
-
-    def f(v):
-        return simulate_metrics_diff(write(scene, v), ic, cfg, **kw)[metric]
-
-    value, grad = jax.value_and_grad(f)(read(scene))
+    read, _ = _scene_accessors(wrt)
+    fn = _metric_grad_fn(metric, wrt, cfg, tuple(sorted(kw.items())))
+    value, grad = fn(read(scene), scene, ic)
     return value, grad
 
 
@@ -222,25 +239,106 @@ def apogee_and_grad(scene: Scene, ic: InitialConditions,
                            **kw)
 
 
-def sign_ascent(evaluate, v0: float, steps: int, lr: float | None = None):
-    """Shared fixed-magnitude sign-of-gradient ascent loop.
+class AscentHistory(list):
+    """The per-evaluation history list, plus an ``info`` dict:
+    ``{"converged", "reason", "value", "objective", "grad", "n_evals"}``.
+    A list subclass so every pre-round-4 consumer (prints, len, indexing)
+    keeps working while new callers can test ``hist.info["converged"]``."""
 
-    ``evaluate(value) -> (history_entry, grad)``; the loop appends each
-    entry, stops on ``grad == 0``, and moves ``value`` by a FIXED step of
-    ``lr`` (default 2% of ``|v0|``) in the gradient's direction. A
-    normalized step lr/|g| would explode as the optimum is approached
-    (grad -> 0) and stall for steep objectives — this rule was fixed once
-    already; both optimizers (``cli.optimize_apogee`` nominal path,
-    ``mc.optimize_robust``) ride THIS loop so it cannot regress in one
-    and not the other. Returns the history list.
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.info = {"converged": False, "reason": "max_evals",
+                     "value": float("nan"), "objective": float("nan"),
+                     "grad": float("nan"), "n_evals": 0}
+
+
+def line_search_ascent(evaluate, v0: float, steps: int,
+                       lr: float | None = None, *,
+                       bounds: tuple | None = None,
+                       grad_tol: float = 0.0,
+                       step_tol: float | None = None,
+                       grow: float = 2.0, shrink: float = 0.5,
+                       c1: float = 1e-4):
+    """Backtracking-line-search gradient ascent on one scalar parameter.
+
+    ``evaluate(value) -> (history_entry, objective, grad)``. Each proposed
+    move of ``step`` in the gradient's direction must pass the Armijo
+    sufficient-increase test ``f_new >= f + c1*|move|*|g|``; accepted steps
+    grow by ``grow`` (capped at 32x the initial step), rejected ones shrink
+    by ``shrink`` — so the loop takes large steps across flat approaches
+    and contracts geometrically around the optimum instead of walking a
+    fixed grid (the round-3 ``sign_ascent`` oscillated around any optimum
+    narrower than its fixed 2%%-of-|v0| step). A non-finite trial
+    objective rejects like a failed Armijo test.
+
+    Termination (``hist.info["reason"]``): ``grad_tol`` (|grad| at an
+    accepted point <= ``grad_tol``), ``step_tol`` (the step contracted
+    below ``step_tol``, default 1%% of the initial step — the optimum is
+    bracketed to that resolution), ``bound`` (at a ``bounds`` edge with
+    the gradient pointing outward), or ``max_evals`` (``steps`` evaluation
+    budget exhausted; ``converged`` False). CRN note: ``evaluate`` must be
+    deterministic in ``value`` (both shipped objectives are — the nominal
+    flight, and the SAA dispersed batch with fixed seed), otherwise the
+    Armijo comparison chases sampling noise.
+
+    Both optimizers (``cli.optimize_apogee`` nominal path,
+    ``mc.optimize_robust``) ride THIS loop so a step-rule fix cannot land
+    in one and not the other. Returns an ``AscentHistory`` (a list of the
+    per-evaluation entries, plus ``.info``).
+
+    Replaces-at-scale: the use case `find_max_apogee.py:1-16` gestures at
+    (scan saved samples for the best) — here it is a convergent ascent.
     """
-    step = lr if lr is not None else 0.02 * max(abs(float(v0)), 1e-12)
-    value = float(v0)
-    history = []
-    for _ in range(int(steps)):
-        entry, grad = evaluate(value)
-        history.append(entry)
-        if grad == 0.0:
+    history = AscentHistory()
+    budget = int(steps)
+    if budget <= 0:
+        return history
+    lo, hi = bounds if bounds is not None else (-float("inf"), float("inf"))
+    if lo > hi:
+        raise ValueError(f"bounds lo > hi: {bounds}")
+
+    def clip(x):
+        return min(max(x, lo), hi)
+
+    init_step = lr if lr is not None else 0.02 * max(abs(float(v0)), 1e-12)
+    if init_step <= 0:
+        raise ValueError("lr must be positive")
+    tol = step_tol if step_tol is not None else 0.01 * init_step
+    step = init_step
+    max_step = 32.0 * init_step
+
+    v = clip(float(v0))
+    entry, f, g = evaluate(v)
+    history.append(entry)
+    f, g = float(f), float(g)
+    n_evals = 1
+    reason, converged = "max_evals", False
+    while n_evals < budget:
+        if abs(g) <= grad_tol:
+            reason, converged = "grad_tol", True
             break
-        value = value + step * (1.0 if grad > 0 else -1.0)
+        d = 1.0 if g > 0 else -1.0
+        v_try = clip(v + d * step)
+        if v_try == v:
+            # clipped back onto the current bound: gradient points outward
+            reason, converged = "bound", True
+            break
+        entry, f_try, g_try = evaluate(v_try)
+        history.append(entry)
+        f_try, g_try = float(f_try), float(g_try)
+        n_evals += 1
+        # NaN-safe: a diverged trial fails this comparison and backtracks
+        if f_try >= f + c1 * abs(v_try - v) * abs(g):
+            v, f, g = v_try, f_try, g_try
+            step = min(step * grow, max_step)
+        else:
+            step *= shrink
+            if step < tol:
+                reason, converged = "step_tol", True
+                break
+    else:
+        if abs(g) <= grad_tol:
+            reason, converged = "grad_tol", True
+    history.info.update(converged=converged, reason=reason, value=v,
+                        objective=f, grad=g, n_evals=n_evals)
     return history

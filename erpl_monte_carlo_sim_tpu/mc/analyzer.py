@@ -35,7 +35,6 @@ from .dispersions import UncertaintyParams, sample_dispersions
 from .filter import OutlierBounds, decode_reasons, outlier_mask
 from .stats import (
     PERCENTILES,
-    FootprintAccumulator,
     landing_footprint,
     masked_stats,
     percentile_ci,
@@ -1111,8 +1110,6 @@ class MonteCarloAnalyzer:
         # Python dicts; slabbed runs default to the first 1000 of each kind.
         limit = 1000 if materialize_results is None else materialize_results
 
-        from .stats import StreamingStats
-
         streaming = n_samples > self.stats_stream_threshold
         if streaming and self.importance_shift:
             # weighted tail estimators need every lane's (weight, metric)
@@ -1123,49 +1120,23 @@ class MonteCarloAnalyzer:
                 "n_samples <= stats_stream_threshold (IS makes small n "
                 "sufficient; that is its purpose)"
             )
-        cap = self.metrics_sample_cap if streaming else n_samples
-        stream = (
-            {k: StreamingStats(exact_threshold=self.stats_stream_threshold)
-             for k in ("apogee_altitude", "range", "flight_time")}
-            if streaming else None
-        )
-        tails = None
-        if streaming:
-            # top-k/bottom-k order statistics per headline metric, so GPD
-            # tail extrapolation (mc.tail) stays available after the
-            # per-lane arrays are gone; non-streaming layouts fit from
-            # the full arrays instead
-            from .tail import TailReservoir
-
-            tails = {k: TailReservoir() for k in stream}
-        metrics = {k: [] for k in
-                   ("apogee_altitude", "range", "flight_time", "max_speed")}
-        qmc_blocks = {k: [] for k in
-                      ("apogee_altitude", "range", "flight_time")}
-        valid_parts, reason_parts, landing_parts = [], [], []
-        records, outlier_records = [], []
-        footprint_acc = FootprintAccumulator()
-        cv_acc = None
-        if self.control_variates:
-            from .cv import CVMoments
-
-            cv_acc = CVMoments()
-            include_full = jnp.ones(slab, bool)
-        lw_parts = [] if self.importance_shift else None
         # Forecast-ensemble post-stratified stats (mc.ensemble): O(K)
         # per-member moments + a capped member-index prefix aligned with
         # the retained metrics. K=1 "ensembles" are single forecasts.
         from .ensemble import EnsembleAccumulator
+        from .slab_accumulators import SlabContext, build_registry
 
         ens_acc = EnsembleAccumulator.from_base_wind(base_wind)
-        member_parts = []
-        conv_hist = []
-        conv_acc = {k: [0, 0.0, 0.0] for k in  # n, sum, sum of squares
-                    ("apogee_altitude", "range", "flight_time")}
-        pranges = None
+        # Each accumulation concern (prefix, streams, CV, QMC, ensemble,
+        # footprint, importance, convergence, ranges, records) is one
+        # registry object with its own update/checkpoint/finalize —
+        # mc.slab_accumulators. This loop only drives them.
+        accs = build_registry(self, n_samples=n_samples, slab=slab,
+                              base_wind=base_wind, limit=limit,
+                              streaming=streaming, ens_acc=ens_acc)
+        by_key = {a.key: a for a in accs}
         n_done = 0
         n_valid_total = 0
-        kept = 0
         slab_idx = 0
         n_slabs = -(-n_samples // slab)
         ckpt_fp = None
@@ -1175,34 +1146,14 @@ class MonteCarloAnalyzer:
 
             ckpt_fp = run_fingerprint(self, ic, n_samples, slab, seed,
                                       base_wind, chunk_steps, limit)
-            st = load_slab_state(checkpoint_path, ckpt_fp,
-                                 self.stats_stream_threshold)
+            st = load_slab_state(checkpoint_path, ckpt_fp, accs)
             if st is not None:
                 # Resume is EXACT: slab k's dispersions depend only on
-                # (key, k, slab), and every accumulator below is a
-                # deterministic host-side merge — pinned bit-identical to
-                # an uninterrupted run by tests/test_slab_checkpoint.py.
+                # (key, k, slab), and every accumulator is a deterministic
+                # host-side merge — pinned bit-identical to an
+                # uninterrupted run by tests/test_slab_checkpoint.py.
                 n_done, slab_idx = st["n_done"], st["slab_idx"]
-                n_valid_total, kept = st["n_valid_total"], st["kept"]
-                metrics, qmc_blocks = st["metrics"], st["qmc_blocks"]
-                valid_parts = st["valid_parts"]
-                reason_parts = st["reason_parts"]
-                landing_parts, pranges = st["landing_parts"], st["pranges"]
-                records = st["records"]
-                outlier_records = st["outlier_records"]
-                footprint_acc = st["footprint_acc"]
-                if stream is not None:
-                    stream = st["stream"]
-                    tails = st["tails"]
-                if cv_acc is not None:
-                    cv_acc = st["cv_acc"]
-                if lw_parts is not None:
-                    lw_parts = st["lw_parts"]
-                if ens_acc is not None:
-                    ens_acc = st["ens_acc"]
-                    member_parts = st["member_parts"]
-                conv_hist = st["conv_hist"]
-                conv_acc = st["conv_acc"]
+                n_valid_total = st["n_valid_total"]
                 log.info("resumed from %s: slab %d/%d (%d lanes done)",
                          checkpoint_path, slab_idx, n_slabs, n_done)
         while n_done < n_samples:
@@ -1258,119 +1209,16 @@ class MonteCarloAnalyzer:
                 valid if n_s == slab else valid & (jnp.arange(slab) < n_s)
             )
 
-            # Host readback: metrics only (device->host is the slow path).
-            valid_np = np.asarray(valid)[:n_s]
-            reasons_np = np.asarray(reasons)[:n_s]
-            n_valid_total += int(valid_np.sum())
-            slab_metrics = {
-                k: np.asarray(getattr(summary, k))[:n_s] for k in metrics
-            }
-            if streaming:
-                for k in stream:
-                    vals_valid = slab_metrics[k][valid_np]
-                    stream[k].add(vals_valid)
-                    tails[k].add(vals_valid)
-            if ens_acc is not None:
-                mem_np = np.asarray(sample.wind_member)[:n_s]
-                ens_acc.add(mem_np, valid_np, slab_metrics)
-            # Convergence history: running mean +- stderr per headline
-            # metric after every slab (f64 sums; population variance like
-            # the stats blocks). O(n_slabs) rows of a few floats — the
-            # "has this run converged" diagnostic the reference's fixed-n
-            # driver never shows. Stderr treats valid lanes as i.i.d.
-            # (conservative under sobol/antithetic).
-            row = {"n_done": n_done + n_s, "n_valid": n_valid_total}
-            for k in conv_acc:
-                v = slab_metrics[k][valid_np].astype(np.float64)
-                v = v[np.isfinite(v)]
-                acc = conv_acc[k]
-                acc[0] += v.size
-                acc[1] += float(v.sum())
-                acc[2] += float((v * v).sum())
-                n_c, s_c, s2_c = acc
-                if n_c >= 2:
-                    m_c = s_c / n_c
-                    var_c = max(s2_c / n_c - m_c * m_c, 0.0)
-                    row[k] = {"mean": m_c,
-                              "stderr": float(np.sqrt(var_c / n_c))}
-                else:
-                    row[k] = {"mean": (s_c / n_c) if n_c else float("nan"),
-                              "stderr": float("nan")}
-            conv_hist.append(row)
-            take = min(n_s, cap - kept)  # == n_s when not streaming
-            if take > 0:
-                for k in metrics:
-                    metrics[k].append(slab_metrics[k][:take])
-                # capped landing-xy samples so the footprint plot keeps its
-                # impact scatter at slab scale (device-side slice first:
-                # [take,2] over the tunnel, not the full [slab,3])
-                landing_parts.append(
-                    np.asarray(summary.landing_position[:take, :2])
-                )
-                valid_parts.append(valid_np[:take])
-                reason_parts.append(reasons_np[:take])
-                if ens_acc is not None:
-                    member_parts.append(mem_np[:take])
-                kept += take
-            if self.sampler == "sobol":
-                # Each slab draws from its own fold of the run key — its own
-                # scramble — so slab means are independent RQMC replicates.
-                for kname in qmc_blocks:
-                    arr = slab_metrics[kname]
-                    qmc_blocks[kname].append(
-                        float(arr[valid_np].mean()) if valid_np.any()
-                        else float("nan")
-                    )
-
-            footprint_acc.add(*(
-                float(np.asarray(v)) for v in _footprint_moments_kernel(
-                    summary.landing_position, ranges_mask
-                )
-            ))
-
-            if lw_parts is not None:
-                from .importance import log_weights
-
-                lw_parts.append(log_weights(
-                    sample, self.uncertainty_params, self.scene.motor,
-                    self.importance_shift,
-                )[:n_s])
-
-            if cv_acc is not None:
-                from .cv import cv_slab_moments
-
-                cv_acc.add(jax.device_get(cv_slab_moments(
-                    sample, summary, valid,
-                    include_full if n_s == slab else jnp.arange(slab) < n_s,
-                    self.uncertainty_params, self.scene.motor,
-                    self._cv_wind_ctrl(scene_b, sample, base_wind),
-                )))
-
-            # Parameter ranges reduce ON DEVICE (18 scalars back per slab,
-            # not the 19 MB dispersion SoA — the tunnel is the slow path).
-            pr = self._parameter_ranges_device(sample, ranges_mask)
-            pranges = pr if pranges is None else self._merge_ranges(pranges, pr)
-
-            # Full summary/sample readback ONLY while per-sim records are
-            # still being materialized AND this slab has lanes of the kind
-            # still needed (an all-valid slab contributes no outliers).
-            need_valid = len(records) < limit and valid_np.any()
-            need_outlier = len(outlier_records) < limit and (~valid_np).any()
-            if need_valid or need_outlier:
-                summary_np = jax.tree.map(lambda x: np.asarray(x)[:n_s], summary)
-                sample_np = jax.tree.map(lambda x: np.asarray(x)[:n_s], sample)
-                if need_valid:
-                    records.extend(self._materialize_records(
-                        summary_np, sample_np, valid_np, reasons_np,
-                        want_valid=True, limit=limit - len(records),
-                        offset=n_done,
-                    ))
-                if need_outlier:
-                    outlier_records.extend(self._materialize_records(
-                        summary_np, sample_np, valid_np, reasons_np,
-                        want_valid=False, limit=limit - len(outlier_records),
-                        offset=n_done,
-                    ))
+            ctx = SlabContext(summary=summary, sample=sample,
+                              scene_b=scene_b, valid=valid, reasons=reasons,
+                              ranges_mask=ranges_mask, n_s=n_s, slab=slab,
+                              n_done=n_done)
+            # Host readback (the slow path) happens lazily inside ctx —
+            # once per array, only if some accumulator asks.
+            n_valid_total += int(ctx.valid_np.sum())
+            ctx.n_valid_total = n_valid_total
+            for acc in accs:
+                acc.update(ctx)
 
             n_done += n_s
             slab_idx += 1
@@ -1381,7 +1229,7 @@ class MonteCarloAnalyzer:
                 # all the data); truncation fires only mid-run. Stopping
                 # after slab k is exactly the run that asked for k*slab
                 # lanes — slab draws depend on (key, slab_idx, slab) only.
-                met = stop_rule(slab_metrics, valid_np, n_done)
+                met = stop_rule(ctx.slab_metrics, ctx.valid_np, n_done)
                 if met and min_samples <= n_done < n_samples:
                     log.info(
                         "sequential stop: criteria met after slab %d "
@@ -1394,28 +1242,14 @@ class MonteCarloAnalyzer:
                     and slab_idx % checkpoint_every == 0):
                 save_slab_state(checkpoint_path, {
                     "n_done": n_done, "slab_idx": slab_idx,
-                    "n_valid_total": n_valid_total, "kept": kept,
-                    "metrics": metrics, "qmc_blocks": qmc_blocks,
-                    "valid_parts": valid_parts,
-                    "reason_parts": reason_parts,
-                    "landing_parts": landing_parts, "pranges": pranges,
-                    "records": records,
-                    "outlier_records": outlier_records,
-                    "stream": stream, "tails": tails,
-                    "footprint_acc": footprint_acc,
-                    "cv_acc": cv_acc, "lw_parts": lw_parts,
-                    "ens_acc": ens_acc, "member_parts": member_parts,
-                    "conv_hist": conv_hist, "conv_acc": conv_acc,
-                }, ckpt_fp)
+                    "n_valid_total": n_valid_total,
+                }, accs, ckpt_fp)
                 log.info("checkpoint written: %s (slab %d/%d)",
                          checkpoint_path, slab_idx, n_slabs)
 
         if ckpt_fp is not None and os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)  # completed: nothing left to resume
 
-        metrics = {k: np.concatenate(v) for k, v in metrics.items()}
-        valid_np = np.concatenate(valid_parts)
-        reasons_np = np.concatenate(reason_parts)
         elapsed = time.time() - t_start
 
         self._resim_memo = None
@@ -1425,11 +1259,13 @@ class MonteCarloAnalyzer:
         }
 
         n_valid = n_valid_total
+        prefix = by_key["prefix"]
         if streaming:
-            stats_blocks = {k: s.stats() for k, s in stream.items()}
+            stats_blocks = by_key["stream"].stats_blocks()
         else:
+            metrics_all, valid_all, _ = prefix.concatenated()
             stats_blocks = {
-                k: _host_stats(metrics[k], valid_np)
+                k: _host_stats(metrics_all[k], valid_all)
                 for k in ("apogee_altitude", "range", "flight_time")
             }
         analysis = {
@@ -1439,39 +1275,15 @@ class MonteCarloAnalyzer:
             "apogee_altitude": stats_blocks["apogee_altitude"],
             "range": stats_blocks["range"],
             "flight_time": stats_blocks["flight_time"],
-            # Mean/cov/ellipses exact via the per-slab moment merge; CEP is
-            # the fitted Gaussian's (cep_method="gaussian") — per-lane miss
-            # distances are never materialized in slabbed runs.
-            "landing_footprint": footprint_acc.footprint(),
-            "parameter_ranges_observed": pranges or {},
             # Slabbed runs keep per-lane headline metrics, not the full
             # FlightSummary SoA (bounded host memory + tunnel traffic).
             "summary": None,
-            "metrics": metrics,
-            # Same capped prefix as metrics: per-lane impact xy for the
-            # footprint plot's scatter (the footprint STATS above see every
-            # lane via the moment merge).
-            "landing_samples": (
-                np.concatenate(landing_parts) if landing_parts
-                else np.zeros((0, 2))
-            ),
-            # Streaming runs cap the per-lane arrays at metrics_sample_cap
-            # lanes (i.i.d. for prng; see _run_slabbed docstring for the
-            # sobol/antithetic correlation caveat); stats above come from
-            # exact moments + the quantile sketch over EVERY lane.
-            "metrics_is_sample": streaming,
-            # Streaming runs keep their quantile sketches queryable:
-            # stats.exceedance_from_analysis answers P(metric > t) from
-            # the sketch after the per-lane data is gone.
-            "streams": stream,
-            # Streaming runs also keep the top-k/bottom-k order statistics
-            # per metric for GPD tail extrapolation (mc.tail); per-lane
-            # layouts fit from the full arrays instead.
-            "tail_reservoirs": tails,
+            # Streaming-only blocks default to None; StreamAccumulator
+            # overwrites them when engaged.
+            "streams": None,
+            "tail_reservoirs": None,
             "n_total": n_samples,
             "sample": None,
-            "valid_mask": valid_np,
-            "reasons": reasons_np,
             "initial_conditions": ic,
             "performance": {
                 "total_time": elapsed,
@@ -1481,33 +1293,11 @@ class MonteCarloAnalyzer:
                     else jax.device_count()
                 ),
             },
-            "results": records,
-            "outliers": outlier_records,
         }
-        # per-slab running-mean history (reporting.plot_convergence)
-        analysis["convergence"] = conv_hist
-        if ens_acc is not None:
-            # post-stratified forecast-ensemble stats (mc.ensemble) + the
-            # member indices aligned with the retained metrics prefix
-            analysis["ensemble"] = ens_acc.block()
-            analysis["wind_members"] = (
-                np.concatenate(member_parts) if member_parts
-                else np.zeros(0, np.int32)
-            )
-        if lw_parts is not None:
-            analysis["importance"] = self._importance_block(
-                {k: metrics[k] for k in
-                 ("apogee_altitude", "range", "flight_time")},
-                valid_np, np.concatenate(lw_parts),
-            )
-        if cv_acc is not None:
-            from .cv import finalize_cv
-
-            analysis["control_variates"] = finalize_cv(
-                cv_acc, self._cv_names()
-            )
-        if self.sampler == "sobol" and len(qmc_blocks["apogee_altitude"]) > 1:
-            analysis["qmc_error"] = self._qmc_error(qmc_blocks)
+        # Registry order = finalize order (the importance block reads the
+        # prefix's concatenated metrics; everything else is independent).
+        for acc in accs:
+            acc.finalize(analysis, self)
         if self.two_level_lanes:
             analysis["two_level"] = self._two_level(
                 ic, seed, base_wind, analysis

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from ..engine.diff import (
     DIFF_METRICS,
     _scene_accessors,
-    sign_ascent,
+    line_search_ascent,
     simulate_metrics_diff,
 )
 from .dispersions import UncertaintyParams, sample_dispersions
@@ -134,18 +134,22 @@ def optimize_robust(
     params: UncertaintyParams = UncertaintyParams(),
     risk_lambda: float = 0.0,
     base_wind: tuple | None = None,
-    steps: int = 10,
+    steps: int = 24,
     lr: float | None = None,
+    bounds: tuple | None = None,
     verbose: bool = False,
 ) -> list:
     """Gradient-ascend the dispersed objective w.r.t. ``scene.<wrt>``.
 
     Same step rule as ``cli.optimize_apogee`` — both ride
-    ``engine.diff.sign_ascent`` (fixed-magnitude sign-of-gradient steps).
-    Returns the history ``[(value, objective, grad, mean, std), ...]``
-    (one entry per step; ascending objective not guaranteed — the caller
-    sees every step). SAA: the ``seed`` lanes are fixed for the whole
-    trajectory.
+    ``engine.diff.line_search_ascent`` (Armijo backtracking, optional
+    ``bounds``, step-contraction convergence; ``steps`` is the evaluation
+    budget). SAA with CRN: the ``seed`` lanes are fixed for the whole
+    trajectory, so the objective is deterministic in ``value`` and the
+    Armijo comparisons are noise-free. Returns the history
+    ``[(value, objective, grad, mean, std), ...]`` — one entry per
+    EVALUATION including rejected trials (an ``AscentHistory``; check
+    ``hist.info`` for the converged point).
     """
     read, _ = _scene_accessors(wrt)
 
@@ -160,7 +164,7 @@ def optimize_robust(
             print(f"  {wrt}={value:.6g}  objective={obj:.4f}  "
                   f"mean={diag['mean']:.4f}  std={diag['std']:.4f}  "
                   f"grad={grad:.4g}", flush=True)
-        return (value, obj, grad, diag["mean"], diag["std"]), grad
+        return (value, obj, grad, diag["mean"], diag["std"]), obj, grad
 
-    return sign_ascent(evaluate, float(jnp.asarray(read(scene))),
-                       steps, lr)
+    return line_search_ascent(evaluate, float(jnp.asarray(read(scene))),
+                              steps, lr, bounds=bounds)

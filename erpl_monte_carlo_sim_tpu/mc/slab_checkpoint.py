@@ -42,17 +42,15 @@ import os
 import jax
 import numpy as np
 
-from .cv import CVMoments
-from .ensemble import METRICS as _ENS_METRICS
-from .ensemble import EnsembleAccumulator
-from .stats import FootprintAccumulator, StreamingStats
-from .tail import TailReservoir
+from .stats import StreamingStats
 
 __all__ = ["run_fingerprint", "save_slab_state", "load_slab_state"]
 
-_VERSION = 4  # v4: forecast-ensemble accumulator + member prefix
-_METRIC_KEYS = ("apogee_altitude", "range", "flight_time", "max_speed")
-_STREAM_KEYS = ("apogee_altitude", "range", "flight_time")
+# v5: accumulator-registry format — the container version only changes
+# when the ENVELOPE changes; each accumulator carries its own schema
+# version in meta["acc"][key]["version"] (mc.slab_accumulators), so
+# adding an estimator no longer revs the whole file format.
+_VERSION = 5
 
 
 def run_fingerprint(analyzer, ic, n_samples, slab, seed, base_wind,
@@ -138,69 +136,27 @@ def _unpack_stream(z, prefix: str, exact_threshold: int) -> StreamingStats:
     return s
 
 
-def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
-    """Atomically persist the loop state built by ``_run_slabbed``."""
+def save_slab_state(path: str, loop: dict, accs: list,
+                    fingerprint: str) -> None:
+    """Atomically persist the slab loop's state: the three loop counters
+    plus every registry accumulator's leaves (``mc.slab_accumulators`` —
+    each contributes npz arrays via ``to_arrays`` and JSON-native state
+    via ``meta_state``, under its own ``key``/``version``)."""
     arrays: dict = {}
     meta = {
         "version": _VERSION,
         "fingerprint": fingerprint,
-        "n_done": int(state["n_done"]),
-        "slab_idx": int(state["slab_idx"]),
-        "n_valid_total": int(state["n_valid_total"]),
-        "kept": int(state["kept"]),
-        "pranges": state["pranges"],
-        "records": state["records"],
-        "outlier_records": state["outlier_records"],
-        "has_lw": state["lw_parts"] is not None,
-        "has_stream": state["stream"] is not None,
-        "has_cv": state["cv_acc"] is not None,
-        "has_tails": state["tails"] is not None,
-        "has_ens": state["ens_acc"] is not None,
-        # convergence history: JSON-native rows + the three f64 running
-        # sums (floats survive json round-trip exactly: repr-roundtrip)
-        "conv_hist": state["conv_hist"],
-        "conv_acc": state["conv_acc"],
+        "n_done": int(loop["n_done"]),
+        "slab_idx": int(loop["slab_idx"]),
+        "n_valid_total": int(loop["n_valid_total"]),
+        # per-accumulator schema version + JSON-native state (floats
+        # survive json round-trip exactly: repr-roundtrip)
+        "acc": {},
     }
-    for k in _METRIC_KEYS:
-        parts = state["metrics"][k]
-        arrays["metrics." + k] = (
-            np.concatenate(parts) if parts else np.empty(0, np.float32)
-        )
-    for name in ("valid_parts", "reason_parts", "landing_parts"):
-        parts = state[name]
-        if parts:
-            arrays[name] = np.concatenate(parts)
-    for k in _STREAM_KEYS:
-        arrays["qmc." + k] = np.asarray(state["qmc_blocks"][k], np.float64)
-    if state["lw_parts"] is not None and state["lw_parts"]:
-        arrays["lw"] = np.concatenate(
-            [np.asarray(p) for p in state["lw_parts"]]
-        )
-    if state["stream"] is not None:
-        for k in _STREAM_KEYS:
-            _pack_stream(state["stream"][k], arrays, f"stream.{k}.")
-    if state["tails"] is not None:
-        for k, r in state["tails"].items():
-            r.to_arrays(arrays, f"tail.{k}.")
-    fp = state["footprint_acc"]
-    arrays["footprint"] = np.asarray(
-        [fp.n, fp.mx, fp.my, fp.m2x, fp.m2y, fp.cxy], np.float64
-    )
-    cv = state["cv_acc"]
-    if cv is not None and cv.n > 0:
-        arrays["cv.n"] = np.asarray(cv.n)
-        for name in ("mz", "mt", "szz", "szt", "stt"):
-            arrays["cv." + name] = getattr(cv, name)
-    ens = state["ens_acc"]
-    if ens is not None:
-        arrays["ens.n_drawn"] = ens.n_drawn
-        arrays["ens.n_valid"] = ens.n_valid
-        for m in _ENS_METRICS:
-            arrays[f"ens.n.{m}"] = ens._n[m]
-            arrays[f"ens.mean.{m}"] = ens._mean[m]
-            arrays[f"ens.m2.{m}"] = ens._m2[m]
-        if state["member_parts"]:
-            arrays["member_parts"] = np.concatenate(state["member_parts"])
+    for acc in accs:
+        acc.to_arrays(arrays)
+        meta["acc"][acc.key] = {"version": acc.version,
+                                "state": acc.meta_state()}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -214,10 +170,13 @@ def save_slab_state(path: str, state: dict, fingerprint: str) -> None:
 
 
 def load_slab_state(path: str, fingerprint: str,
-                    exact_threshold: int) -> dict | None:
-    """Restore the loop state, or None when no checkpoint exists. A
-    fingerprint mismatch raises — silently restarting (or worse, resuming
-    a DIFFERENT run's accumulators) would corrupt results."""
+                    accs: list) -> dict | None:
+    """Restore the registry accumulators IN PLACE and return the loop
+    counters, or None when no checkpoint exists. A fingerprint mismatch
+    raises — silently restarting (or worse, resuming a DIFFERENT run's
+    accumulators) would corrupt results. Per-accumulator versions are
+    checked too: equal fingerprints imply the same registry keys, but an
+    accumulator whose internal schema evolved must refuse its old leaves."""
     if not os.path.exists(path):
         return None
     with np.load(path) as z:
@@ -234,67 +193,22 @@ def load_slab_state(path: str, fingerprint: str,
                 "(scene/config/sampling mismatch); delete it or point "
                 "checkpoint_path elsewhere to start fresh"
             )
-        state = {
-            "n_done": meta["n_done"],
-            "slab_idx": meta["slab_idx"],
-            "n_valid_total": meta["n_valid_total"],
-            "kept": meta["kept"],
-            "pranges": meta["pranges"],
-            "records": meta["records"],
-            "outlier_records": meta["outlier_records"],
-            "metrics": {
-                k: ([z["metrics." + k]] if z["metrics." + k].size else [])
-                for k in _METRIC_KEYS
-            },
-            "qmc_blocks": {
-                k: [float(x) for x in z["qmc." + k]] for k in _STREAM_KEYS
-            },
-            "lw_parts": None,
-            "stream": None,
-            "cv_acc": None,
-            "tails": None,
-            "ens_acc": None,
-            "member_parts": [],
-            "conv_hist": meta["conv_hist"],
-            "conv_acc": meta["conv_acc"],
-        }
-        for name in ("valid_parts", "reason_parts", "landing_parts"):
-            state[name] = [z[name]] if name in z else []
-        if meta["has_lw"]:
-            state["lw_parts"] = [z["lw"]] if "lw" in z else []
-        if meta["has_stream"]:
-            state["stream"] = {
-                k: _unpack_stream(z, f"stream.{k}.", exact_threshold)
-                for k in _STREAM_KEYS
-            }
-        if meta["has_tails"]:
-            state["tails"] = {
-                k: TailReservoir.from_arrays(z, f"tail.{k}.")
-                for k in _STREAM_KEYS
-            }
-        if meta["has_cv"]:
-            cv = CVMoments()
-            if "cv.n" in z:
-                cv.n = int(z["cv.n"])
-                for name in ("mz", "mt", "szz", "szt", "stt"):
-                    setattr(cv, name, np.array(z["cv." + name], np.float64))
-            state["cv_acc"] = cv
-        if meta["has_ens"]:
-            ens = EnsembleAccumulator(int(z["ens.n_drawn"].size))
-            ens.n_drawn = np.array(z["ens.n_drawn"], np.int64)
-            ens.n_valid = np.array(z["ens.n_valid"], np.int64)
-            for m in _ENS_METRICS:
-                ens._n[m] = np.array(z[f"ens.n.{m}"], np.int64)
-                ens._mean[m] = np.array(z[f"ens.mean.{m}"], np.float64)
-                ens._m2[m] = np.array(z[f"ens.m2.{m}"], np.float64)
-            state["ens_acc"] = ens
-            state["member_parts"] = (
-                [z["member_parts"]] if "member_parts" in z else []
+        saved = meta["acc"]
+        keys = [a.key for a in accs]
+        if sorted(saved) != sorted(keys):
+            raise ValueError(
+                f"checkpoint {path!r} holds accumulators {sorted(saved)} "
+                f"but this run builds {sorted(keys)} — fingerprint "
+                "collision or registry drift; delete the checkpoint"
             )
-        fp = FootprintAccumulator()
-        n, mx, my, m2x, m2y, cxy = z["footprint"]
-        fp.n = int(n)
-        fp.mx, fp.my = float(mx), float(my)
-        fp.m2x, fp.m2y, fp.cxy = float(m2x), float(m2y), float(cxy)
-        state["footprint_acc"] = fp
-    return state
+        for acc in accs:
+            ent = saved[acc.key]
+            if ent["version"] != acc.version:
+                raise ValueError(
+                    f"checkpoint accumulator {acc.key!r} is schema "
+                    f"v{ent['version']}; this build expects "
+                    f"v{acc.version} — delete the checkpoint"
+                )
+            acc.restore(z, ent["state"])
+        return {"n_done": meta["n_done"], "slab_idx": meta["slab_idx"],
+                "n_valid_total": meta["n_valid_total"]}

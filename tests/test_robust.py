@@ -8,6 +8,7 @@ dispersed gradient against finite differences of the SAME objective
 """
 
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from erpl_monte_carlo_sim_tpu.engine import InitialConditions, SimConfig
@@ -163,28 +164,51 @@ def test_finless_design_gradient_finite():
     assert np.isfinite(float(dcp0))
 
 
-def test_sign_ascent_shared_stepper():
-    """Both optimizers ride engine.diff.sign_ascent: fixed-magnitude
-    steps, direction from the gradient sign, stop on grad == 0."""
-    from erpl_monte_carlo_sim_tpu.engine.diff import sign_ascent
+def test_line_search_ascent_shared_stepper():
+    """Both optimizers ride engine.diff.line_search_ascent: Armijo
+    backtracking with step growth/contraction — it must CONVERGE to a
+    stationary point (not walk a fixed grid), respect bounds, and report
+    why it stopped."""
+    from erpl_monte_carlo_sim_tpu.engine.diff import line_search_ascent
 
-    # maximize -(v-1)^2 from v=4: grad = -2(v-1) < 0 -> steps go DOWN
+    # maximize -(v-1)^2 from v=4
+    def evaluate(v):
+        f = -((v - 1.0) ** 2)
+        g = -2.0 * (v - 1.0)
+        return (v, f, g), f, g
+
+    hist = line_search_ascent(evaluate, 4.0, steps=64, lr=1.0)
+    assert hist.info["converged"], hist.info
+    assert hist.info["reason"] in ("grad_tol", "step_tol")
+    # the round-3 sign_ascent with lr=1.0 could only land on integers;
+    # the line search must localize the optimum to the step tolerance
+    assert hist.info["value"] == pytest.approx(1.0, abs=0.02)
+    assert len(hist) == hist.info["n_evals"] <= 64
+    # default initial step is 2% of |v0|
     evals = []
 
-    def evaluate(v):
-        g = -2.0 * (v - 1.0)
+    def spy(v):
         evals.append(v)
-        return (v, g), g
+        return evaluate(v)
 
-    hist = sign_ascent(evaluate, 4.0, steps=5, lr=1.0)
-    assert [h[0] for h in hist] == [4.0, 3.0, 2.0, 1.0]  # grad==0 at v=1
-    assert len(hist) == 4  # early stop, not 5
-    # default step is 2% of |v0|
-    evals.clear()
-    sign_ascent(evaluate, 4.0, steps=2)
+    line_search_ascent(spy, 4.0, steps=2)
     assert evals[1] == pytest.approx(4.0 - 0.08)
+    # bounds: gradient points below lo -> converges AT the bound
+    hist = line_search_ascent(evaluate, 4.0, steps=64, lr=1.0,
+                              bounds=(2.5, 10.0))
+    assert hist.info["converged"] and hist.info["reason"] == "bound"
+    assert hist.info["value"] == 2.5
+    # a non-finite trial objective backtracks instead of stepping into it
+    def cliff(v):
+        f = float("nan") if v > 4.5 else -((v - 5.0) ** 2)
+        return (v, f), f, -2.0 * (v - 5.0)
+
+    hist = line_search_ascent(cliff, 4.0, steps=64, lr=1.0)
+    assert hist.info["converged"]
+    assert 4.0 <= hist.info["value"] <= 4.5
+    assert np.isfinite(hist.info["objective"])
     # steps=0 evaluates nothing (cheap CLI arg-parsing tests rely on this)
-    assert sign_ascent(evaluate, 4.0, steps=0) == []
+    assert line_search_ascent(evaluate, 4.0, steps=0) == []
 
 
 def test_optimize_apogee_cli_argparse():
