@@ -115,6 +115,23 @@ def main() -> None:
         fast_times.append(time.time() - t0)
     t_fast = min(fast_times)
 
+    # RK2 fast mode (r4): midpoint integrator on top of the fast flags —
+    # the loop is compute-bound on dynamics evaluations (measured: zero
+    # table bytes gains only +19%), so halving the evals is the lever.
+    # Accuracy pinned in tests/test_batch.py (windowed apogee deltas
+    # ~1e-4 m vs 59 m dispersion sigma).
+    rk2_cfg = SimConfig(max_time=6.0, wind_eval_per_step=True,
+                        wind_table_bf16=True, integrator="rk2")
+    rr = run(scene_b, ic_b, rk2_cfg)
+    np.asarray(rr.apogee_altitude)
+    rk2_times = []
+    for _ in range(3):
+        t0 = time.time()
+        rr = run(scene_b, ic_b, rk2_cfg)
+        np.asarray(rr.apogee_altitude)
+        rk2_times.append(time.time() - t0)
+    t_rk2 = min(rk2_times)
+
     # Single-flight p50 latency (full nominal flight to landing). Headline
     # number uses the tiered-timestep fast flags (descent_dt_scale /
     # ascent_q_threshold: coarse RK4 only in dynamically-quiet phases;
@@ -197,6 +214,7 @@ def main() -> None:
         "steps": steps,
         "wall_s": round(t, 4),
         "fast_mode_traj_per_s": round(B / t_fast, 1),
+        "rk2_fast_mode_traj_per_s": round(B / t_rk2, 1),
         "single_flight_p50_s": round(sorted(lat)[1], 3),
         "single_flight_mode": "tiered dt (descent_dt_scale=16, ascent_q_threshold=8000)",
         "single_flight_parity_p50_s": round(sorted(lat_parity)[1], 3),

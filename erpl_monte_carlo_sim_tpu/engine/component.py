@@ -212,6 +212,9 @@ def dynamics_c(scene, cfg, wind_fn, t, st, para):
     lift = q_dyn * coeffs.cl * rocket.reference_area
     side = q_dyn * coeffs.cy * rocket.reference_area
     # wind->body matrix applied to (-drag, -side, -lift) (`utils.py:175-205`)
+    # (r4 ablation note: replacing these with the exact algebraic
+    # identities cos(atan2(w,u)) = u/hypot etc. measured 3.7% SLOWER on
+    # v5e — the guard selects cost more than the VPU's sin/cos. Retired.)
     ca = jnp.cos(alpha)
     sa = jnp.sin(alpha)
     cb = jnp.cos(beta)
@@ -304,6 +307,12 @@ def rk4_c(scene, cfg, wind_fn, t, st, para, dt=None):
     k1, para = dynamics_c(scene, cfg, eval_wind, t, st, para)
     k2, para = dynamics_c(scene, cfg, eval_wind, t + 0.5 * dt,
                           axpy(0.5 * dt, k1), para)
+    if cfg.integrator == "rk2":
+        # midpoint method (SimConfig.integrator): two dynamics evals —
+        # the fast-mode compute bound is the eval count (r4 ablation)
+        new = tuple(s + dt * b for s, b in zip(st, k2))
+        qw, qx, qy, qz = quat_normalize_c(new[6], new[7], new[8], new[9])
+        return new[:6] + (qw, qx, qy, qz) + new[10:], para
     k3, para = dynamics_c(scene, cfg, eval_wind, t + 0.5 * dt,
                           axpy(0.5 * dt, k2), para)
     k4, para = dynamics_c(scene, cfg, eval_wind, t + dt, axpy(dt, k3), para)

@@ -77,6 +77,21 @@ class SimConfig:
     # shifts <0.01 m (pinned by tests/test_batch.py).
     wind_table_bf16: bool = False
 
+    # OPT-IN (default "rk4" = exact reference parity, `simulator.py:216-227`):
+    # "rk2" integrates with the midpoint method — TWO dynamics evaluations
+    # per step instead of four. The fast-mode hot loop is compute-bound on
+    # the dynamics evals (r4 ablation: removing ALL per-lane wind-table
+    # bytes gains only +19%; flags/vmem/unroll/transcendental-elimination
+    # <±2%), so halving them is the one lever with headroom. Accuracy:
+    # local error O(dt^3) vs RK4's O(dt^5); at dt=5 ms the boost/coast
+    # dynamics (weathercock periods >= 0.2 s) are resolved to far below
+    # dispersion sigma — measured deltas pinned in tests/test_batch.py.
+    # CAUTION: the chute-opening transient's |lambda|*dt approaches the
+    # midpoint method's real-axis stability bound at full speed; use for
+    # windowed MC (no chute) or with descent_dt_scale's fine-dt settle
+    # windows, and validate full-flight configs against parity.
+    integrator: str = "rk4"
+
     # OPT-IN (default False = exact reference parity): energy-consistent
     # aero force decomposition. The reference's wind->body matrix does not
     # map drag exactly opposite the relative wind when alpha AND beta are

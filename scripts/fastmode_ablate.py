@@ -63,20 +63,21 @@ PROBE_FLAGS = [
 ]
 
 
-def setup(shared_table=False):
+def setup(cfg, shared_table=False):
     scene = nominal_scene(liquid_motor())
     ic = InitialConditions.vertical_launch()
     scene_b, ic_b, _ = sample_dispersions(
         jax.random.PRNGKey(0), scene, ic, n=B)
     scene_nw, grid, wT, ics = prepare_batch(scene_b, ic_b)
-    wT = wT.astype(jnp.bfloat16)
+    if cfg.wind_table_bf16:
+        wT = wT.astype(jnp.bfloat16)
     if shared_table:
         wT = wT[:, :, :1]  # broadcastable shared table (attribution only)
     return scene_nw, grid, wT, ics
 
 
 def run_variant(name, cfg, compiler_options=None, shared_table=False):
-    scene_nw, grid, wT, ics = setup(shared_table)
+    scene_nw, grid, wT, ics = setup(cfg, shared_table)
     t_c0 = time.time()
     try:
         lowered = _run_components.lower(scene_nw, grid, wT, cfg, ics)
@@ -133,6 +134,20 @@ def main():
             run_variant(f"unroll{u}", SimConfig(unroll=u, **FAST))
     if want("sharedtable"):
         run_variant("sharedtable", SimConfig(**FAST), shared_table=True)
+    if want("rk2"):
+        run_variant("rk2", SimConfig(integrator="rk2", **FAST))
+    if want("rk2-eps"):
+        run_variant("rk2_evalperstep_f32",
+                    SimConfig(max_time=6.0, integrator="rk2",
+                              wind_eval_per_step=True))
+    if want("rk2-bf16"):
+        run_variant("rk2_bf16_perstage",
+                    SimConfig(max_time=6.0, integrator="rk2",
+                              wind_table_bf16=True))
+    if want("rk2-parity-wind"):
+        # rk2 with parity wind semantics (isolates the integrator's gain)
+        run_variant("rk2_paritywind",
+                    SimConfig(max_time=6.0, integrator="rk2"))
     if want("parity"):
         run_variant("parity", SimConfig(max_time=6.0))
 
