@@ -169,9 +169,10 @@ def simulate_flight_batch(
         d = recs["derived"]
         derived = {k: bt(v) for k, v in d.items()
                    if not k.startswith("euler_")}
-        derived["euler_angles"] = stack3(
-            d["euler_roll"], d["euler_pitch"], d["euler_yaw"]
-        )
+        if "euler_roll" in d:  # absent when record_channels filtered it
+            derived["euler_angles"] = stack3(
+                d["euler_roll"], d["euler_pitch"], d["euler_yaw"]
+            )
     traj = Trajectory(
         time=bt(recs["time"]),
         position=stack3(recs["px"], recs["py"], recs["pz"]),

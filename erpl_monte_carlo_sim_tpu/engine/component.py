@@ -733,10 +733,53 @@ def flight_components_trajectory(scene, cfg, wind_fn, ics):
             "frac": st[13],
         }
         if cfg.record_derived:
-            out["derived"] = derived_c(scene, cfg, wind_fn, t_off, st)
+            derived = derived_c(scene, cfg, wind_fn, t_off, st)
+            if cfg.record_channels is not None:
+                # unreferenced channels DCE inside the jit; each one
+                # dropped saves its [T, B] buffer and its compute.
+                # "euler_angles" selects the three euler_* components
+                # (the recorder stores them split; batch.py restacks).
+                keep = set(cfg.record_channels)
+                if "euler_angles" in keep:
+                    keep |= {"euler_roll", "euler_pitch", "euler_yaw"}
+                derived = {k: v for k, v in derived.items() if k in keep}
+            out["derived"] = derived
         return out
 
-    def step_fn(c, _):
+    n_records = -(-cfg.max_steps // stride)
+
+    rec0 = record(carry0)
+    rec0["valid"] = jnp.ones_like(lane_active(carry0))
+    # Preallocated [T, ...] record buffers, written in place by
+    # dynamic_update_slice inside a while_loop that EXITS as soon as every
+    # lane has terminated — the round-3 recorder was a fixed-length scan
+    # that always executed all max_steps masked sub-steps, which made
+    # tiered-dt recording pay for the steps the tiering saved (measured
+    # ~4x on the envelope path, NOTES.md r4). Frames after the exit are
+    # backfilled with the frozen terminal record below — bit-identical to
+    # what the full-length scan recorded (masked steps are no-ops, so
+    # every post-termination frame repeats the frozen state).
+    bufs = jax.tree.map(
+        lambda x: jnp.zeros((n_records + 1,) + x.shape, x.dtype)
+        .at[0].set(x),
+        rec0,
+    )
+
+    def write(bufs, i, rec):
+        return jax.tree.map(
+            lambda b, r: jax.lax.dynamic_update_slice(
+                b, r[None].astype(b.dtype),
+                (i,) + (0,) * (b.ndim - 1),
+            ),
+            bufs, rec,
+        )
+
+    def cond(state):
+        c, i, _ = state
+        return (i <= n_records) & jnp.any(lane_active(c))
+
+    def body(state):
+        c, i, bufs = state
         ran = lane_active(c)  # True iff the first sub-step advances
         c = main_body(c)
         if stride > 1:
@@ -745,16 +788,20 @@ def flight_components_trajectory(scene, cfg, wind_fn, ics):
             )
         rec = record(c)
         rec["valid"] = ran
-        return c, rec
+        return c, i + 1, write(bufs, i, rec)
 
-    n_records = -(-cfg.max_steps // stride)
-    carry, recs = jax.lax.scan(step_fn, carry0, None, length=n_records)
+    carry, i_stop, bufs = jax.lax.while_loop(cond, body, (carry0, 1, bufs))
 
-    rec0 = record(carry0)
-    rec0["valid"] = jnp.ones_like(lane_active(carry0))
+    # backfill frames [i_stop, n_records]: the frozen terminal record
+    rec_fin = record(carry)
+    rec_fin["valid"] = lane_active(carry)  # all False at exit
+    tail = jnp.arange(n_records + 1) >= i_stop
     full = jax.tree.map(
-        lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
-        rec0, recs,
+        lambda b, r: jnp.where(
+            tail.reshape((n_records + 1,) + (1,) * (b.ndim - 1)),
+            r[None].astype(b.dtype), b,
+        ),
+        bufs, rec_fin,
     )
     st, ev = carry
     return aux["summarize"](st, ev), full

@@ -146,6 +146,14 @@ class SimConfig:
     # HBM when recording trajectory clouds for large batches (SURVEY.md §7
     # "memory for trajectories"). Physics is unaffected — only recording.
     record_stride: int = 1
+    # Trajectory mode: with record_derived, record ONLY these derived
+    # channels (None = all of them, the reference-complete history).
+    # The unrecorded channels' computations dead-code-eliminate inside
+    # the jitted recorder, and each dropped channel saves a [T, B] HBM
+    # buffer — the flight-envelope path needs 5 of the ~20 derived
+    # channels (r4 recording-path ablation, NOTES.md). State channels
+    # (position/velocity/quaternion/rates/time/valid) always record.
+    record_channels: tuple | None = None
 
     @property
     def max_steps(self) -> int:

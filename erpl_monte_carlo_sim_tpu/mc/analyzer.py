@@ -1472,7 +1472,10 @@ class MonteCarloAnalyzer:
         import dataclasses
 
         cfg = sim_config or self.sim_config
-        cfg = dataclasses.replace(cfg, record_derived=True)
+        # record only the channels the envelope bins: the rest of the
+        # derived set dead-code-eliminates inside the jitted recorder
+        cfg = dataclasses.replace(cfg, record_derived=True,
+                                  record_channels=tuple(env.channels))
         if env.record_stride is not None:
             cfg = dataclasses.replace(cfg, record_stride=env.record_stride)
         acc = EnvelopeAccumulator(cfg, env)

@@ -75,6 +75,13 @@ class EnvelopeConfig:
     percentiles: tuple = PERCENTILES
     record_stride: Optional[int] = 8
     edge_margin: float = 0.05  # widen calibrated [min,max] by this fraction
+    # Feed the quantile HISTOGRAMS every Nth recorded frame only (moments/
+    # min/max always see every frame and stay exact). Within a time bin a
+    # lane contributes many strongly-autocorrelated frames (~25 at the
+    # default strides), so the bands' effective sample count is set by the
+    # LANE count, not the frame count — a stride of 4 cuts the dominant
+    # binning matmul 4x (measured, NOTES.md r4) at no visible band change.
+    hist_frame_stride: int = 1
 
 
 def trajectory_channel(traj, name: str) -> jnp.ndarray:
@@ -93,40 +100,74 @@ def trajectory_channel(traj, name: str) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins",))
-def _bin_moments(t, valid, value, bin_dt, n_bins):
-    """Per-time-bin (count, mean, centered M2, min, max) on device.
+def _bin_moments_mc(t, valid, values, bin_dt, n_bins):
+    """Multi-channel per-time-bin (count, mean, centered M2, min, max).
 
-    Everything reduces with segment ops over the flattened [B*T] samples;
-    bin ``n_bins`` is the spill bucket for masked samples (dropped). The
-    M2 sum is CENTERED (mean gathered back per sample) — raw sum-of-squares
-    cancels catastrophically in f32 when std << mean (altitude: 25 km +- 50
-    m loses every digit).
+    ``values`` is [C, B, T]; returns [C, n_bins] arrays in ONE dispatch.
+    All reductions are one-hot contractions (``einsum`` over the shared
+    [B, T, K] bin indicator — XLA fuses the iota-compare into the MXU
+    operands) instead of ``segment_sum``: TPU scatter serializes, and the
+    one-hot matmul measured 5-10x faster at envelope-chunk shapes
+    (NOTES.md r4 recording-path ablation). The M2 contraction is CENTERED
+    (bin means broadcast back through the same one-hot) — raw
+    sum-of-squares cancels catastrophically in f32 when std << mean
+    (altitude: 25 km +- 50 m loses every digit).
     """
     ids = jnp.clip(jnp.floor(t / bin_dt).astype(jnp.int32), 0, n_bins - 1)
-    m = valid & jnp.isfinite(value)
-    ids = jnp.where(m, ids, n_bins).ravel()
-    v = value.ravel()
-    mr = m.ravel()
-    nseg = n_bins + 1
-    ones = mr.astype(v.dtype)
-    n = jax.ops.segment_sum(ones, ids, num_segments=nseg)[:n_bins]
-    s = jax.ops.segment_sum(jnp.where(mr, v, 0.0), ids,
-                            num_segments=nseg)[:n_bins]
+    m = valid[None] & jnp.isfinite(values)          # [C,B,T]
+    oh = ids[..., None] == jnp.arange(n_bins)       # [B,T,K]
+    ohf = oh.astype(values.dtype)
+    v0 = jnp.where(m, values, 0.0)
+    n = jnp.einsum("cbt,btk->ck", m.astype(values.dtype), ohf)
+    s = jnp.einsum("cbt,btk->ck", v0, ohf)
     mean = s / jnp.maximum(n, 1.0)
-    c = v - jnp.concatenate([mean, jnp.zeros((1,), mean.dtype)])[ids]
-    m2 = jax.ops.segment_sum(jnp.where(mr, c * c, 0.0), ids,
-                             num_segments=nseg)[:n_bins]
-    big = jnp.asarray(jnp.inf, v.dtype)
-    vmin = jax.ops.segment_min(jnp.where(mr, v, big), ids,
-                               num_segments=nseg)[:n_bins]
-    vmax = jax.ops.segment_max(jnp.where(mr, v, -big), ids,
-                               num_segments=nseg)[:n_bins]
+    mb = jnp.einsum("ck,btk->cbt", mean, ohf)
+    c = jnp.where(m, values - mb, 0.0)
+    m2 = jnp.einsum("cbt,btk->ck", c * c, ohf)
+    big = jnp.asarray(jnp.inf, values.dtype)
+    sel = oh[None] & m[..., None]                   # [C,B,T,K] (fused)
+    vmin = jnp.min(jnp.where(sel, values[..., None], big), axis=(1, 2))
+    vmax = jnp.max(jnp.where(sel, values[..., None], -big), axis=(1, 2))
     return n, mean, m2, vmin, vmax
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_bins", "n_buckets", "frame_stride"))
+def _bin_histogram_mc(t, valid, values, bin_dt, lo, width, n_bins,
+                      n_buckets, frame_stride=1):
+    """Multi-channel fixed-edge per-bin histograms [C, n_bins, n_buckets]
+    + per-channel clipped counts, one dispatch. The count is a two-sided
+    one-hot contraction on the MXU (bin indicator x bucket indicator,
+    bf16 inputs / f32 accumulation — counts are exact integers far below
+    2^24). ``frame_stride`` subsamples frames for the histogram ONLY
+    (see ``EnvelopeConfig.hist_frame_stride``)."""
+    if frame_stride > 1:
+        t = t[:, ::frame_stride]
+        valid = valid[:, ::frame_stride]
+        values = values[:, :, ::frame_stride]
+    ids = jnp.clip(jnp.floor(t / bin_dt).astype(jnp.int32), 0, n_bins - 1)
+    m = valid[None] & jnp.isfinite(values)
+    ohk = (ids[..., None] == jnp.arange(n_bins)).astype(values.dtype)
+    lo_s = jnp.einsum("ck,btk->cbt", lo, ohk)
+    w_s = jnp.einsum("ck,btk->cbt", width, ohk)
+    frac = (values - lo_s) / jnp.maximum(w_s, 1e-30)
+    bucket = jnp.clip(frac.astype(jnp.int32), 0, n_buckets - 1)
+    ohj = ((bucket[..., None] == jnp.arange(n_buckets))
+           & m[..., None]).astype(jnp.bfloat16)
+    h = jnp.einsum("btk,cbtj->ckj", ohk.astype(jnp.bfloat16), ohj,
+                   preferred_element_type=jnp.float32)
+    clipped = jnp.where(m & ((frac < 0.0) | (frac >= n_buckets)), 1.0, 0.0)
+    clip_ct = jnp.einsum("cbt,btk->ck", clipped, ohk).sum(axis=1)
+    return h, clip_ct
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "n_buckets"))
 def _bin_histogram(t, valid, value, bin_dt, lo, width, n_bins, n_buckets):
-    """Fixed-edge per-bin histogram [n_bins, n_buckets] + clipped count.
+    """Single-channel fixed-edge per-bin histogram [n_bins, n_buckets] +
+    clipped count — kept (segment-sum form) for the shard_map collective
+    path (``parallel.collective_envelope``), where the per-shard batch is
+    small and the psum dominates; the chunked host path uses the
+    MXU-contraction ``_bin_histogram_mc`` above.
 
     ``lo``/``width`` are the calibrated per-bin bucket grids; samples
     outside clamp into the edge buckets (counted in ``clipped``).
@@ -175,7 +216,7 @@ class EnvelopeAccumulator:
         self._m2 = {c: z() for c in env.channels}
         self._min = {c: np.full(self.n_bins, np.inf) for c in env.channels}
         self._max = {c: np.full(self.n_bins, -np.inf) for c in env.channels}
-        self._edges = None  # {channel: (lo, width)} device arrays, frozen
+        self._edges = None  # ([C, n_bins] lo, [C, n_bins] width), frozen
         self._hist = {
             c: np.zeros((self.n_bins, env.n_buckets), np.float64)
             for c in env.channels
@@ -183,52 +224,55 @@ class EnvelopeAccumulator:
         self._clipped = {c: 0.0 for c in env.channels}
 
     def add(self, traj) -> None:
-        """Fold in one batched Trajectory ([B, T, ...] leaves)."""
+        """Fold in one batched Trajectory ([B, T, ...] leaves).
+
+        TWO device dispatches per chunk (multi-channel moment contraction,
+        multi-channel histogram) — the round-3 version dispatched 3 calls
+        PER CHANNEL and its segment-op kernels serialized on TPU scatter
+        (measured 8.6 s/chunk for 6 channels at [2048, 7501]; the
+        contraction kernels bring it under 1 s — NOTES.md r4)."""
         env = self.env
         t = traj.time
         valid = traj.valid
-        chunk_minmax = {}
-        values = {}  # computed once per channel; the histogram pass reuses
-        for ch in env.channels:
-            value = values[ch] = trajectory_channel(traj, ch)
-            n, mean, m2, vmin, vmax = jax.device_get(_bin_moments(
-                t, valid, value, env.bin_dt, self.n_bins
-            ))
-            self._merge_moments(ch, n.astype(np.float64),
-                                mean.astype(np.float64),
-                                m2.astype(np.float64))
-            self._min[ch] = np.minimum(self._min[ch], vmin)
-            self._max[ch] = np.maximum(self._max[ch], vmax)
-            chunk_minmax[ch] = (vmin, vmax)
+        values = jnp.stack(
+            [trajectory_channel(traj, ch) for ch in env.channels]
+        )
+        n, mean, m2, vmin, vmax = jax.device_get(_bin_moments_mc(
+            t, valid, values, env.bin_dt, self.n_bins
+        ))
+        for i, ch in enumerate(env.channels):
+            self._merge_moments(ch, n[i].astype(np.float64),
+                                mean[i].astype(np.float64),
+                                m2[i].astype(np.float64))
+            self._min[ch] = np.minimum(self._min[ch], vmin[i])
+            self._max[ch] = np.maximum(self._max[ch], vmax[i])
         if self._edges is None:
-            self._calibrate(chunk_minmax)
-        for ch in env.channels:
-            value = values[ch]
-            lo, width = self._edges[ch]
-            h, clip_ct = jax.device_get(_bin_histogram(
-                t, valid, value, env.bin_dt, lo, width,
-                self.n_bins, env.n_buckets,
-            ))
-            self._hist[ch] += h.astype(np.float64)
-            self._clipped[ch] += float(clip_ct.sum())
+            self._calibrate(vmin, vmax)
+        lo, width = self._edges
+        h, clip_ct = jax.device_get(_bin_histogram_mc(
+            t, valid, values, env.bin_dt, lo, width,
+            self.n_bins, env.n_buckets,
+            frame_stride=max(1, env.hist_frame_stride),
+        ))
+        for i, ch in enumerate(env.channels):
+            self._hist[ch] += h[i].astype(np.float64)
+            self._clipped[ch] += float(clip_ct[i])
         self.n_lanes += int(traj.valid.shape[0])
 
-    def _calibrate(self, chunk_minmax) -> None:
-        """Freeze per-bin bucket edges from the first chunk's min/max,
-        widened by ``edge_margin`` (empty bins get a degenerate unit span;
-        their histograms stay empty)."""
+    def _calibrate(self, vmin, vmax) -> None:
+        """Freeze per-bin bucket edges from the first chunk's [C, n_bins]
+        min/max, widened by ``edge_margin`` (empty bins get a degenerate
+        unit span; their histograms stay empty)."""
         env = self.env
-        self._edges = {}
-        for ch, (vmin, vmax) in chunk_minmax.items():
-            vmin = np.where(np.isfinite(vmin), vmin, 0.0)
-            vmax = np.where(np.isfinite(vmax), vmax, 1.0)
-            span = np.maximum(vmax - vmin, 1e-12)
-            lo = vmin - env.edge_margin * span
-            hi = vmax + env.edge_margin * span
-            width = (hi - lo) / env.n_buckets
-            self._edges[ch] = (
-                jnp.asarray(lo, jnp.float32), jnp.asarray(width, jnp.float32)
-            )
+        vmin = np.where(np.isfinite(vmin), vmin, 0.0)
+        vmax = np.where(np.isfinite(vmax), vmax, 1.0)
+        span = np.maximum(vmax - vmin, 1e-12)
+        lo = vmin - env.edge_margin * span
+        hi = vmax + env.edge_margin * span
+        width = (hi - lo) / env.n_buckets
+        self._edges = (
+            jnp.asarray(lo, jnp.float32), jnp.asarray(width, jnp.float32)
+        )
 
     def _merge_moments(self, ch, n_b, mean_b, m2_b) -> None:
         n_a = self._n[ch]
@@ -251,10 +295,10 @@ class EnvelopeAccumulator:
         """
         env = self.env
         per_channel = {}
-        for ch in env.channels:
-            lo = np.asarray(self._edges[ch][0], np.float64) if self._edges \
+        for i, ch in enumerate(env.channels):
+            lo = np.asarray(self._edges[0][i], np.float64) if self._edges \
                 else np.zeros(self.n_bins)
-            width = np.asarray(self._edges[ch][1], np.float64) \
+            width = np.asarray(self._edges[1][i], np.float64) \
                 if self._edges else np.ones(self.n_bins)
             per_channel[ch] = {
                 "n": self._n[ch], "mean": self._mean[ch],

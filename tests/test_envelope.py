@@ -22,7 +22,11 @@ from erpl_monte_carlo_sim_tpu.mc import (
     EnvelopeConfig,
     MonteCarloAnalyzer,
 )
-from erpl_monte_carlo_sim_tpu.mc.envelope import _bin_histogram, _bin_moments
+from erpl_monte_carlo_sim_tpu.mc.envelope import (
+    _bin_histogram,
+    _bin_histogram_mc,
+    _bin_moments_mc,
+)
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
 
 CFG = SimConfig(max_time=3.0)
@@ -45,19 +49,27 @@ def test_bin_moments_match_numpy():
     valid = rng.uniform(size=(B, T)) < 0.9
     value = rng.normal(100.0, 5.0, (B, T))
     value[0, 3] = np.nan  # non-finite samples must drop
+    # two channels through the multi-channel contraction kernel: the
+    # second is a shifted copy so per-channel separation is visible
+    values = np.stack([value, value + 7.0])
     n, mean, m2, vmin, vmax = map(
         np.asarray,
-        _bin_moments(jnp.asarray(t), jnp.asarray(valid), jnp.asarray(value),
-                     bin_dt, n_bins),
+        _bin_moments_mc(jnp.asarray(t), jnp.asarray(valid),
+                        jnp.asarray(values), bin_dt, n_bins),
     )
-    for b, sel in enumerate(_ref_bins(t, valid, value, bin_dt, n_bins)):
-        assert n[b] == sel.size
-        if sel.size:
-            np.testing.assert_allclose(mean[b], sel.mean(), rtol=1e-12)
-            np.testing.assert_allclose(
-                m2[b], ((sel - sel.mean()) ** 2).sum(), rtol=1e-9, atol=1e-9
-            )
-            assert vmin[b] == sel.min() and vmax[b] == sel.max()
+    for c, off in enumerate((0.0, 7.0)):
+        for b, sel in enumerate(
+            _ref_bins(t, valid, value + off, bin_dt, n_bins)
+        ):
+            assert n[c, b] == sel.size
+            if sel.size:
+                np.testing.assert_allclose(mean[c, b], sel.mean(),
+                                           rtol=1e-12)
+                np.testing.assert_allclose(
+                    m2[c, b], ((sel - sel.mean()) ** 2).sum(),
+                    rtol=1e-9, atol=1e-9,
+                )
+                assert vmin[c, b] == sel.min() and vmax[c, b] == sel.max()
 
 
 def test_bin_histogram_quantiles_within_bucket():
@@ -271,3 +283,44 @@ def test_bin_histogram_counts_are_integer():
     assert jnp.issubdtype(clip_ct.dtype, jnp.integer)
     assert int(h.sum()) + int(clip_ct.sum()) >= int(h.sum())
     assert int(h.sum()) == 3 * 32
+
+
+def test_bin_histogram_mc_matches_single_channel():
+    """The multi-channel MXU-contraction histogram must count EXACTLY what
+    the single-channel segment kernel counts (bf16 one-hot inputs with f32
+    accumulation keep integer counts exact below 2^24), and its
+    frame-stride subsampling must equal slicing by hand."""
+    rng = np.random.default_rng(11)
+    B, T, K, J = 17, 60, 5, 16
+    t = np.cumsum(rng.uniform(0.01, 0.08, (B, T)), axis=1)
+    valid = rng.uniform(size=(B, T)) < 0.9
+    vals = np.stack([rng.normal(40.0, 3.0, (B, T)),
+                     rng.normal(-5.0, 1.0, (B, T))])
+    vals[0, 2, 5] = np.inf  # non-finite drops per channel
+    lo = np.stack([np.full(K, 30.0), np.full(K, -9.0)])
+    width = np.stack([np.full(K, 1.2), np.full(K, 0.7)])
+    h, clip_ct = map(np.asarray, _bin_histogram_mc(
+        jnp.asarray(t), jnp.asarray(valid), jnp.asarray(vals), 0.5,
+        jnp.asarray(lo, jnp.float32), jnp.asarray(width, jnp.float32),
+        K, J,
+    ))
+    for c in range(2):
+        h1, c1 = map(np.asarray, _bin_histogram(
+            jnp.asarray(t), jnp.asarray(valid), jnp.asarray(vals[c]), 0.5,
+            jnp.asarray(lo[c], jnp.float32),
+            jnp.asarray(width[c], jnp.float32), K, J,
+        ))
+        np.testing.assert_array_equal(h[c], h1)
+        assert clip_ct[c] == c1.sum()
+    h4, _ = map(np.asarray, _bin_histogram_mc(
+        jnp.asarray(t), jnp.asarray(valid), jnp.asarray(vals), 0.5,
+        jnp.asarray(lo, jnp.float32), jnp.asarray(width, jnp.float32),
+        K, J, frame_stride=4,
+    ))
+    href, _ = map(np.asarray, _bin_histogram_mc(
+        jnp.asarray(t[:, ::4]), jnp.asarray(valid[:, ::4]),
+        jnp.asarray(vals[:, :, ::4]), 0.5,
+        jnp.asarray(lo, jnp.float32), jnp.asarray(width, jnp.float32),
+        K, J,
+    ))
+    np.testing.assert_array_equal(h4, href)
