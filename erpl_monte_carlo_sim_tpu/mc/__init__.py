@@ -5,6 +5,7 @@ from .cv import CVMoments, control_names, cv_slab_moments, finalize_cv
 from .dispersions import (
     DispersionSample,
     UncertaintyParams,
+    inject_reference_lanes,
     normal_dims,
     sample_dispersions,
     sample_from_normals,
@@ -60,6 +61,7 @@ __all__ = [
     "dispersed_objective_and_grad", "optimize_robust",
     "MonteCarloAnalyzer", "DispersionSample", "UncertaintyParams",
     "sample_dispersions", "sample_from_normals", "normal_dims",
+    "inject_reference_lanes",
     "pool_subset_runs", "pool_subset_quantiles",
     "subset_simulation", "subset_quantile",
     "scene_in_axes", "select_lane", "OutlierBounds",

@@ -44,7 +44,8 @@ from ..models.wind import (
     perturb_wind_profile,
 )
 
-__all__ = ["UncertaintyParams", "DispersionSample", "sample_dispersions", "scene_in_axes"]
+__all__ = ["UncertaintyParams", "DispersionSample", "sample_dispersions",
+           "scene_in_axes", "inject_reference_lanes"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -498,6 +499,57 @@ def _build_scene(scene, ic, ch, turb_key, base_wind, grid):
         wind_member=member,
     )
     return batched_scene, batched_ic, sample
+
+
+def inject_reference_lanes(scene: Scene, ic: InitialConditions, params: dict,
+                           wind_grid, wind_profiles):
+    """Batched (Scene, InitialConditions) from EXPLICIT per-lane dispersion
+    values and wind tables — the lane-matched injection path of the MC
+    distribution-parity certificate (tests/golden/mc_*.jsonl, generated by
+    executing the reference's own `_run_single_simulation`,
+    `monte_carlo.py:225-335`, via scripts/gen_mc_golden.py).
+
+    ``params`` holds [n] arrays: ``mass_mult``, ``motor_thrust_mult``,
+    ``motor_mdot_mult``, ``density_mult`` and [n, 3] ``pos_off``/
+    ``vel_off``/``att_off``/``omg_off``; ``wind_profiles`` is [n, N, 3] on
+    the shared ``wind_grid`` [N]. Perturbation semantics mirror
+    ``_build_scene`` exactly (mass scales dry+prop, burn-time re-sync,
+    functional density scale) — the difference is that every realized
+    value comes from the recorded reference run instead of being drawn,
+    so population statistics compare with ZERO sampling noise.
+    """
+    dtype = jnp.asarray(scene.rocket.dry_mass).dtype
+    p = {k: jnp.asarray(v, dtype) for k, v in params.items()}
+    mass_mult = p["mass_mult"]
+    rocket = scene.rocket.replace(
+        dry_mass=scene.rocket.dry_mass * mass_mult,
+        propellant_mass=scene.rocket.propellant_mass * mass_mult,
+    )
+    new_prop = scene.rocket.propellant_mass * mass_mult
+    new_mdot = scene.motor.mass_flow_rate * p["motor_mdot_mult"]
+    motor = scene.motor.replace(
+        thrust_scale=scene.motor.thrust_scale * p["motor_thrust_mult"],
+        mass_flow_rate=new_mdot,
+        propellant_mass=new_prop,
+        burn_time=new_prop / new_mdot,
+    )
+    atmosphere = scene.atmosphere.replace(
+        density_scale=scene.atmosphere.density_scale * p["density_mult"]
+    )
+    wind = WindField(
+        altitudes=jnp.asarray(wind_grid, dtype),
+        wind=jnp.asarray(wind_profiles, dtype),
+    )
+    batched_scene = Scene(rocket=rocket, motor=motor, atmosphere=atmosphere,
+                          wind=wind, wind_model=scene.wind_model)
+    batched_ic = InitialConditions(
+        position=jnp.asarray(ic.position, dtype) + p["pos_off"],
+        velocity=jnp.asarray(ic.velocity, dtype) + p["vel_off"],
+        attitude=jnp.asarray(ic.attitude, dtype) + p["att_off"],
+        angular_velocity=jnp.asarray(ic.angular_velocity, dtype)
+        + p["omg_off"],
+    )
+    return batched_scene, batched_ic
 
 
 def select_lane(batched: Scene, base: Scene, lane) -> Scene:

@@ -70,6 +70,17 @@ def build_analyzer(config):
             "/root/reference/rocket_simulation/sample_wind.csv")
         mc.base_altitude_profile = alt_prof
         mc.base_wind_profile = wind_prof
+    elif config == "mildwind":
+        # Full dispersion set (IC offsets, synthetic turbulent wind,
+        # liquid motor, density) in the wind regime where the reference
+        # integrator is numerically stable: the measured forecast config
+        # (~15 m/s winds aloft) diverges mid-boost on >90% of lanes —
+        # the documented over-stable weathercock instability
+        # (`monte_carlo.py:40-44`; SimConfig.energy_consistent_aero's
+        # rationale) — so wind_speed_range is capped at 2 m/s here.
+        motor = LiquidMotor()
+        mc = MonteCarloAnalyzer(rocket, motor, atm, wm)
+        mc.uncertainty_params["wind_speed_range"] = [0.0, 2.0]
     else:
         raise ValueError(config)
     return mc
@@ -147,7 +158,8 @@ def lane_record(mc, params, i):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["calm", "forecast"], required=True)
+    ap.add_argument("--config", choices=["calm", "forecast", "mildwind"],
+                    required=True)
     ap.add_argument("--n", type=int, default=220)
     args = ap.parse_args()
 
