@@ -117,7 +117,7 @@ def main(n_samples: int = 50, stabilized: bool = False):
     plot_single_simulation(results, output_dir)
     plot_thrust_twr(results, output_dir)
     log.info(f"Report and plots saved to: {output_dir}")
-    return results, analysis
+    return results, analysis, output_dir
 
 
 if __name__ == "__main__":

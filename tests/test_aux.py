@@ -83,3 +83,47 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(b["summary"].apogee_altitude),
         np.asarray(ck["summary"].apogee_altitude),
     )
+
+
+def test_example_artifact_schema():
+    """EXAMPLE_r04.json — the recorded on-TPU run of the full reference
+    workflow (example.py: single flight + forecast MC + report + plots;
+    scripts/example_artifact.py). Validates shape and sanity so the
+    artifact claim is machine-checked, not prose."""
+    import json
+    import os
+
+    import pytest
+
+    path = "/root/repo/EXAMPLE_r04.json"
+    if not os.path.exists(path):
+        pytest.skip("artifact not yet generated this round")
+    art = json.load(open(path))
+    assert art["round"] == 4
+    assert "TPU" in art["device"] or "Tpu" in art["device"]
+    assert len(art["runs"]) == 2
+    assert [r["stabilized"] for r in art["runs"]] == [False, True]
+    for r in art["runs"]:
+        assert r["wall_s"] > 0
+        # the full artifact set: report JSON/TXT, per-sim exports, and
+        # every plot family (>= 8 files measured)
+        assert r["n_files"] >= 8
+        names = " ".join(r["files"])
+        for frag in ("report", ".png"):
+            assert frag in names, frag
+        for f in r["files"].values():
+            assert f["bytes"] > 0 and len(f["sha256"]) == 64
+        # the example's CSV-wind single flight is the DIVERGENT one — the
+        # executed reference crashes it too (flight_liquid_csvwind golden:
+        # apogee 6999.9 m, flight_time 15.2 s, range 6.7e126); only its
+        # failure mode, not its chaotic values, is stable across builds
+        assert r["single_flight"]["apogee_m"] > 1000.0
+        assert r["mc"]["n_valid"] + r["mc"]["n_outliers"] == 50
+    parity, stabilized = art["runs"]
+    # parity reproduces the reference's wind-dispersion instability
+    # (~7/220 pass measured on the forecast goldens — binomially, a
+    # 50-lane run passes a handful at most)
+    assert parity["mc"]["n_valid"] <= 10
+    # the energy-consistent fix keeps the same population finite
+    assert stabilized["mc"]["n_valid"] >= 45
+    assert stabilized["single_flight"]["flight_time_s"] > 100.0
