@@ -11,16 +11,27 @@ summary metrics. The pytest side then certifies BOTH:
      n with the same sigmas and check the reference sample statistics fall
      inside the framework's confidence intervals.
 
-Two configurations (VERDICT r3 item 1):
+Configurations (VERDICT r3 item 1):
   calm     — SolidMotor, zero wind (turbulence_intensity=0, wind_speed 0),
              zero attitude/rate/velocity offsets; mass/motor/density
-             dispersions only. Per-lane deterministic, chaos-free.
+             dispersions only. Per-lane deterministic, chaos-free — the
+             STATISTICAL anchor (150 lanes committed).
   forecast — LiquidMotor + sample_wind.csv forecast, full default
              uncertainty params, perturbed wind per lane (the example.py
-             MC configuration, `example.py:57-66`).
+             MC configuration, `example.py:57-66`). Measured r4: the
+             reference integrator DIVERGES mid-boost on 213/220 lanes
+             (over-stable weathercock + energy-injection instability) —
+             these goldens certify divergence-RATE parity, not statistics.
+  mildwind — liquid + synthetic wind capped at 2 m/s: built as the
+             intended stable full-channel config, but measured to diverge
+             exactly like forecast (ANY lateral perturbation — a 0.005 rad
+             tilt or a random-direction breeze — destabilizes the
+             reference's boost phase; only axisymmetric configs are
+             numerically meaningful). Kept as a config for reproducing
+             that finding; no golden is committed.
 
 Run (serial, ~19 s/flight on this host):
-  python scripts/gen_mc_golden.py --config calm --n 220
+  python scripts/gen_mc_golden.py --config calm --n 150
   python scripts/gen_mc_golden.py --config forecast --n 220
 
 Output: tests/golden/mc_<config>.jsonl — one JSON object per lane, written
