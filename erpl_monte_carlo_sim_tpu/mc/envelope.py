@@ -115,8 +115,7 @@ def _bin_moments_mc(t, valid, values, bin_dt, n_bins):
     """
     ids = jnp.clip(jnp.floor(t / bin_dt).astype(jnp.int32), 0, n_bins - 1)
     m = valid[None] & jnp.isfinite(values)          # [C,B,T]
-    oh = ids[..., None] == jnp.arange(n_bins)       # [B,T,K]
-    ohf = oh.astype(values.dtype)
+    ohf = (ids[..., None] == jnp.arange(n_bins)).astype(values.dtype)
     v0 = jnp.where(m, values, 0.0)
     n = jnp.einsum("cbt,btk->ck", m.astype(values.dtype), ohf)
     s = jnp.einsum("cbt,btk->ck", v0, ohf)
@@ -124,10 +123,33 @@ def _bin_moments_mc(t, valid, values, bin_dt, n_bins):
     mb = jnp.einsum("ck,btk->cbt", mean, ohf)
     c = jnp.where(m, values - mb, 0.0)
     m2 = jnp.einsum("cbt,btk->ck", c * c, ohf)
+    # min/max: bin-BLOCKED one-hot reduces. A whole-K selector feeding both
+    # reductions gets MATERIALIZED by XLA ([B,T,K] bool = 8.7 GB at chunk
+    # 4096: measured HBM OOM), and TPU scatter (segment_min/max) costs
+    # ~160 ms/op at these shapes (measured). Blocking K and giving each
+    # reduction its OWN selector keeps the compare fused into the reduce
+    # with bounded temp memory (~[B,T,block] per map step).
     big = jnp.asarray(jnp.inf, values.dtype)
-    sel = oh[None] & m[..., None]                   # [C,B,T,K] (fused)
-    vmin = jnp.min(jnp.where(sel, values[..., None], big), axis=(1, 2))
-    vmax = jnp.max(jnp.where(sel, values[..., None], -big), axis=(1, 2))
+    v_min = jnp.where(m, values, big)       # [C,B,T]
+    v_max = jnp.where(m, values, -big)
+    block = 64
+    n_blocks = -(-n_bins // block)
+    starts = jnp.arange(n_blocks) * block
+
+    def block_min(k0):
+        sel = ids[..., None] == (k0 + jnp.arange(block))   # [B,T,block]
+        return jnp.min(jnp.where(sel[None], v_min[..., None], big),
+                       axis=(1, 2))                        # [C,block]
+
+    def block_max(k0):
+        sel = ids[..., None] == (k0 + jnp.arange(block))
+        return jnp.max(jnp.where(sel[None], v_max[..., None], -big),
+                       axis=(1, 2))
+
+    vmin = jnp.moveaxis(jax.lax.map(block_min, starts), 0, 1)
+    vmax = jnp.moveaxis(jax.lax.map(block_max, starts), 0, 1)
+    vmin = vmin.reshape(values.shape[0], -1)[:, :n_bins]
+    vmax = vmax.reshape(values.shape[0], -1)[:, :n_bins]
     return n, mean, m2, vmin, vmax
 
 
