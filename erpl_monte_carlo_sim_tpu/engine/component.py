@@ -737,10 +737,12 @@ def flight_components_trajectory(scene, cfg, wind_fn, ics):
             if cfg.record_channels is not None:
                 # unreferenced channels DCE inside the jit; each one
                 # dropped saves its [T, B] buffer and its compute.
-                # "euler_angles" selects the three euler_* components
-                # (the recorder stores them split; batch.py restacks).
+                # Any euler request ("euler_angles" or a component)
+                # selects ALL three components — batch.py restacks them
+                # as one [.., 3] array and needs the full set.
                 keep = set(cfg.record_channels)
-                if "euler_angles" in keep:
+                if keep & {"euler_angles", "euler_roll", "euler_pitch",
+                           "euler_yaw"}:
                     keep |= {"euler_roll", "euler_pitch", "euler_yaw"}
                 derived = {k: v for k, v in derived.items() if k in keep}
             out["derived"] = derived

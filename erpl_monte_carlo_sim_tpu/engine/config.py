@@ -155,6 +155,14 @@ class SimConfig:
     # (position/velocity/quaternion/rates/time/valid) always record.
     record_channels: tuple | None = None
 
+    def __post_init__(self):
+        # string-enum validation (same convention as dispersions' sampler):
+        # a typo like "RK2" or "midpoint" must be loud, not silently RK4
+        if self.integrator not in ("rk4", "rk2"):
+            raise ValueError(
+                f"integrator must be 'rk4' or 'rk2', got {self.integrator!r}"
+            )
+
     @property
     def max_steps(self) -> int:
         """Static bound on main-loop steps (reference worst case: rail_time~0)."""

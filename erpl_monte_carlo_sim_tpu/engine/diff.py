@@ -312,6 +312,15 @@ def line_search_ascent(evaluate, v0: float, steps: int,
     history.append(entry)
     f, g = float(f), float(g)
     n_evals = 1
+    import math
+
+    if not (math.isfinite(f) and math.isfinite(g)):
+        # non-finite START: there is nothing to bracket — backtracking
+        # would shrink the step below tol and falsely report step_tol
+        # convergence around a point never evaluated finite (r4 review)
+        history.info.update(converged=False, reason="nonfinite_start",
+                            value=v, objective=f, grad=g, n_evals=1)
+        return history
     reason, converged = "max_evals", False
     while n_evals < budget:
         if abs(g) <= grad_tol:

@@ -384,7 +384,12 @@ def result_block(env: EnvelopeConfig, n_bins: int, per_channel: dict,
             n, np.asarray(blk["min"], np.float64),
             np.asarray(blk["max"], np.float64), env.percentiles,
         )
-        total = float(n.sum())
+        # clipped_frac denominator: the HISTOGRAM's own sample count
+        # (every masked sample it saw lands in some bucket), not the
+        # moments' n.sum() — under hist_frame_stride the histogram sees
+        # a strided subset and dividing by all frames understated the
+        # miscalibration diagnostic by the stride factor (r4 review).
+        hist_total = float(np.asarray(blk["hist"], np.float64).sum())
         out["channels"][ch] = {
             "n": [int(x) for x in n],
             "mean": [float(x) for x in mean],
@@ -396,7 +401,7 @@ def result_block(env: EnvelopeConfig, n_bins: int, per_channel: dict,
                 for i, q in enumerate(env.percentiles)
             },
             "clipped_frac": (
-                float(blk["clipped"]) / total if total else 0.0
+                float(blk["clipped"]) / hist_total if hist_total else 0.0
             ),
         }
     return out

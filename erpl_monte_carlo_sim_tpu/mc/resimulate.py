@@ -34,8 +34,6 @@ class ResimulationMixin:
         batch layouts (single-call and auto-slabbed). Slabbed runs re-create
         each touched slab's dispersions by key (same padded draw as
         ``_resimulate_slabbed``) and select the slab-local lane."""
-        from .dispersions import select_lane
-
         if self._last_batch is None:
             raise RuntimeError("run_monte_carlo first")
         if isinstance(self._last_batch, dict) and self._last_batch.get("slabbed"):
@@ -159,7 +157,15 @@ class ResimulationMixin:
         # record only the channels the envelope bins: the rest of the
         # derived set dead-code-eliminates inside the jitted recorder
         cfg = dataclasses.replace(cfg, record_derived=True,
-                                  record_channels=tuple(env.channels))
+                                  record_channels=tuple(
+                                      c for c in env.channels
+                                      # state-served channels never read
+                                      # the derived buffers
+                                      # (envelope.trajectory_channel):
+                                      # recording them wastes a [T,B]
+                                      # buffer each
+                                      if c not in ("altitude", "speed")
+                                  ))
         if env.record_stride is not None:
             cfg = dataclasses.replace(cfg, record_stride=env.record_stride)
         acc = EnvelopeAccumulator(cfg, env)

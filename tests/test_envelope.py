@@ -324,3 +324,38 @@ def test_bin_histogram_mc_matches_single_channel():
         K, J,
     ))
     np.testing.assert_array_equal(h4, href)
+
+
+def test_clipped_frac_denominator_respects_hist_stride():
+    """clipped_frac divides by the HISTOGRAM's sample count: under
+    hist_frame_stride the histogram sees a strided frame subset, and the
+    old all-frames denominator understated the miscalibration diagnostic
+    by the stride factor (r4 review). All-clipping data must report
+    clipped_frac == 1.0 at any stride."""
+    from erpl_monte_carlo_sim_tpu.engine import SimConfig
+
+    cfg = SimConfig(max_time=4.0)
+    env = EnvelopeConfig(channels=("altitude",), bin_dt=1.0,
+                         record_stride=1, hist_frame_stride=2)
+    acc = EnvelopeAccumulator(cfg, env)
+    B, T = 8, 40
+    t = np.tile(np.linspace(0.0, 3.9, T), (B, 1))
+    pos = np.zeros((B, T, 3))
+    pos[..., 2] = np.linspace(1000.0, 2000.0, T)[None, :]
+
+    class FakeTraj:
+        time = jnp.asarray(t)
+        valid = jnp.ones((B, T), bool)
+        position = jnp.asarray(pos)
+        velocity = jnp.zeros((B, T, 3))
+        derived = {}
+
+    acc.add(FakeTraj())
+    # sabotage the calibrated edges so EVERY sample clips, then re-add
+    lo, width = acc._edges
+    acc._edges = (lo + 1e6, width)
+    acc._hist = {c: np.zeros_like(h) for c, h in acc._hist.items()}
+    acc._clipped = {c: 0.0 for c in acc._clipped}
+    acc.add(FakeTraj())
+    blk = acc.result()["channels"]["altitude"]
+    assert blk["clipped_frac"] == pytest.approx(1.0)

@@ -230,3 +230,19 @@ def test_optimize_apogee_cli_argparse():
         optimize_apogee.main(["rocket.fin_span", "not-an-int"])
     with pytest.raises(SystemExit):
         optimize_apogee.main(["rocket.fin_span", "0", "--lam"])
+
+
+def test_line_search_nonfinite_start_refuses_convergence():
+    """A diverged starting point (NaN objective/gradient) must NOT be
+    reported as converged — the r4 pre-fix loop shrank the step below tol
+    and declared step_tol convergence around a point it never evaluated
+    finite."""
+    from erpl_monte_carlo_sim_tpu.engine.diff import line_search_ascent
+
+    def bad(v):
+        return (v, float("nan")), float("nan"), float("nan")
+
+    hist = line_search_ascent(bad, 1.0, steps=16, lr=0.1)
+    assert not hist.info["converged"]
+    assert hist.info["reason"] == "nonfinite_start"
+    assert hist.info["n_evals"] == 1

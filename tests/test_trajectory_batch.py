@@ -131,3 +131,31 @@ def test_record_stride_subsamples(dispersed_batch):
         a = np.asarray(getattr(t1, k))[:, idx]
         b = np.asarray(getattr(t4, k))
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=0, err_msg=k)
+
+
+def test_record_channels_euler_subset_and_validation():
+    """record_channels: any euler_* request keeps all three components
+    (batch.py restacks them as one array — a proper subset used to
+    KeyError); SimConfig rejects unknown integrator strings."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from erpl_monte_carlo_sim_tpu.engine import (
+        InitialConditions,
+        SimConfig,
+        simulate_flight_batch,
+    )
+    from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
+
+    scene = nominal_scene(liquid_motor())
+    ic = InitialConditions.vertical_launch()
+    ic1 = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape), ic)
+    cfg = SimConfig(max_time=2.0, record_derived=True,
+                    record_channels=("euler_roll", "mach"))
+    _, traj = simulate_flight_batch(scene, ic1, cfg)
+    assert "euler_angles" in traj.derived and "mach" in traj.derived
+    assert traj.derived["euler_angles"].shape[-1] == 3
+    assert np.isfinite(np.asarray(traj.derived["mach"])).all()
+    with pytest.raises(ValueError, match="integrator"):
+        SimConfig(integrator="RK2")
