@@ -28,7 +28,7 @@ from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
 
 N_MC = 65536
 N_ENV = 8192
-CHUNK = 2048
+CHUNK = 4096
 STRIDE = 8
 
 enable_persistent_cache()
