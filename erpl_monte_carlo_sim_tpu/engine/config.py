@@ -89,7 +89,12 @@ class SimConfig:
     # CAUTION: the chute-opening transient's |lambda|*dt approaches the
     # midpoint method's real-axis stability bound at full speed; use for
     # windowed MC (no chute) or with descent_dt_scale's fine-dt settle
-    # windows, and validate full-flight configs against parity.
+    # windows, and validate full-flight configs against parity. Measured
+    # at scale (r4, NOTES.md): 65,536 dispersed FULL flights to landing
+    # under stabilized + tiered flags — zero divergences, every chute
+    # deployed, population apogee mean/std within 0.05 m of rk4's,
+    # lane-matched deltas median 0.2 m vs a 684 m dispersion sigma, and
+    # 3.4x the wall-clock (41.5 -> 12.3 s).
     integrator: str = "rk4"
 
     # OPT-IN (default False = exact reference parity): energy-consistent
