@@ -26,10 +26,14 @@ enable_persistent_cache()
 SLAB = 262_144
 N_SLABS = 4  # 4 x 262144 = 1,048,576 flights
 
+import sys
+
+RK2 = "--rk2" in sys.argv
 cfg = SimConfig(
     energy_consistent_aero=True,   # stabilized: no wind-divergence outliers
     descent_dt_scale=16,           # coarse dt in quiet phases only
     ascent_q_threshold=8000.0,     # + quiet coast ascent
+    integrator="rk2" if RK2 else "rk4",  # r4: midpoint opt-in, 3.4x
 )
 scene = nominal_scene(liquid_motor())
 ic = InitialConditions.vertical_launch()
@@ -65,7 +69,8 @@ print(json.dumps({
     "apogee_std_m": round(float(apo[valid].std()), 1),
     "range_mean_m": round(float(rng[valid].mean()), 1),
     "flight_time_mean_s": round(float(ft[valid].mean()), 1),
-    "mode": "stabilized aero + tiered dt (descent_dt_scale=16, q_thresh=8000)",
+    "mode": "stabilized aero + tiered dt (descent_dt_scale=16, q_thresh=8000)"
+            + (" + rk2" if RK2 else ""),
     "chips": 1,
     "r1_capstone": "16.3 min (vmap path, parity dt)",
 }))
