@@ -39,12 +39,17 @@ jax.config.update("jax_num_cpu_devices", 8)
 # programs), so warm re-runs are several times faster. The dir is
 # test-local — entries here are zlib-compressed (zstandard blocked above)
 # and CPU-compiled, so they never mix with the TPU-side zstd entries in
-# .jax_compile_cache. Analyzer constructors calling
-# enable_persistent_cache() see a dir already configured and leave it.
+# .jax_compile_cache — AND host-keyed: XLA:CPU AOT entries embed the
+# compiling host's SIMD features, and replaying them on a narrower host is
+# a latent SIGILL (the MULTICHIP_r04 loader-error wall). Analyzer
+# constructors calling enable_persistent_cache() see a dir already
+# configured and leave it.
+from erpl_monte_carlo_sim_tpu.utils.cache import host_fingerprint  # noqa: E402
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 ".jax_compile_cache_cpu"),
+                 f".jax_compile_cache_cpu-{host_fingerprint()}"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 

@@ -22,10 +22,12 @@ import jax
 import jax.numpy as jnp
 
 from ..models.scene import Scene
+from ..models.wind import WindModes
 from ..ops.quaternion import quaternion_to_euler
 from .component import (
     flight_components,
     flight_components_trajectory,
+    tent_weights_lanes_minor,
     wind_tent_lanes_minor,
 )
 from .config import SimConfig
@@ -46,11 +48,21 @@ def prepare_batch(scene_b: Scene, ic_b: InitialConditions):
     wind = scene_b.wind
     scene_nw = scene_b.replace(wind=None)
     grid = jnp.asarray(wind.altitudes)
-    warr = jnp.asarray(wind.wind)
-    if warr.ndim == 2:  # shared [N,3] table -> lane axis broadcasts
-        wT = warr.T[:, :, None]
-    else:  # [B,N,3] per-lane
-        wT = jnp.transpose(warr, (2, 1, 0))
+    if isinstance(wind, WindModes):
+        # Mode-compressed layout: shared basis [N,M] + per-lane scores
+        # carried lanes-minor [3,M,B] (B on the 128-wide lane tiles, same
+        # reasoning as the [3,N,B] table layout). The dict keys make the
+        # jitted wind_fn's dispatch structural, not positional.
+        wT = {
+            "basis": jnp.asarray(wind.basis),
+            "scores": jnp.transpose(jnp.asarray(wind.scores), (2, 1, 0)),
+        }
+    else:
+        warr = jnp.asarray(wind.wind)
+        if warr.ndim == 2:  # shared [N,3] table -> lane axis broadcasts
+            wT = warr.T[:, :, None]
+        else:  # [B,N,3] per-lane
+            wT = jnp.transpose(warr, (2, 1, 0))
     ics = tuple(
         jnp.asarray(arr[:, c])
         for arr in (ic_b.position, ic_b.velocity, ic_b.attitude,
@@ -60,8 +72,36 @@ def prepare_batch(scene_b: Scene, ic_b: InitialConditions):
     return scene_nw, grid, wT, ics
 
 
-@functools.partial(jax.jit, static_argnums=3)
-def _run_components(scene_nw, grid, wT, cfg, ics):
+def _make_wind_fn(grid, wT):
+    """Wind query closure over either layout.
+
+    Dict = mode-compressed (`models.wind.WindModes` via prepare_batch):
+    per-lane bytes are the [3,M,B] scores; the shared [N,M] basis is tent-
+    interpolated at the per-lane altitude by one small matmul. Array =
+    the [3,N,B] per-lane (or [3,N,1] shared) table layout.
+    """
+    if isinstance(wT, dict):
+        basis = wT["basis"]    # [N, M] shared
+        scores = wT["scores"]  # [3, M, B] per-lane
+
+        def wind_fn(alt):
+            su, sv, sw = scores[0], scores[1], scores[2]
+            if su.dtype != alt.dtype:
+                # bf16-stored scores (SimConfig.wind_table_bf16): the
+                # upcast fuses into the score contraction.
+                su = su.astype(alt.dtype)
+                sv = sv.astype(alt.dtype)
+                sw = sw.astype(alt.dtype)
+            w = tent_weights_lanes_minor(alt, grid)              # [N,B]
+            bval = jnp.einsum("nm,nb->mb", basis.astype(alt.dtype), w)
+            return (
+                jnp.sum(bval * su, axis=0),
+                jnp.sum(bval * sv, axis=0),
+                jnp.sum(bval * sw, axis=0),
+            )
+
+        return wind_fn
+
     def wind_fn(alt):
         u, v, w = wT[0], wT[1], wT[2]
         if u.dtype != alt.dtype:
@@ -72,20 +112,19 @@ def _run_components(scene_nw, grid, wT, cfg, ics):
             w = w.astype(alt.dtype)
         return wind_tent_lanes_minor(alt, grid, u, v, w)
 
-    return flight_components(scene_nw, cfg, wind_fn, ics)
+    return wind_fn
+
+
+@functools.partial(jax.jit, static_argnums=3)
+def _run_components(scene_nw, grid, wT, cfg, ics):
+    return flight_components(scene_nw, cfg, _make_wind_fn(grid, wT), ics)
 
 
 @functools.partial(jax.jit, static_argnums=3)
 def _run_components_trajectory(scene_nw, grid, wT, cfg, ics):
-    def wind_fn(alt):
-        u, v, w = wT[0], wT[1], wT[2]
-        if u.dtype != alt.dtype:
-            u = u.astype(alt.dtype)
-            v = v.astype(alt.dtype)
-            w = w.astype(alt.dtype)
-        return wind_tent_lanes_minor(alt, grid, u, v, w)
-
-    return flight_components_trajectory(scene_nw, cfg, wind_fn, ics)
+    return flight_components_trajectory(
+        scene_nw, cfg, _make_wind_fn(grid, wT), ics
+    )
 
 
 def simulate_summary_batch(
@@ -99,9 +138,19 @@ def simulate_summary_batch(
     """
     scene_nw, grid, wT, ics = prepare_batch(scene_b, ic_b)
     if cfg.wind_table_bf16:
-        wT = wT.astype(jnp.bfloat16)
+        wT = _bf16_tables(wT)
     res = _run_components(scene_nw, grid, wT, cfg, ics)
     return _summary_pytree(res)
+
+
+def _bf16_tables(wT):
+    """wind_table_bf16: halve the per-lane bytes — the [3,N,B] table, or
+    just the scores in the mode-compressed layout (the shared basis stays
+    f32: it is tiny and shared, and keeping it full precision halves the
+    compounding of rounding error through the two-stage contraction)."""
+    if isinstance(wT, dict):
+        return {**wT, "scores": wT["scores"].astype(jnp.bfloat16)}
+    return wT.astype(jnp.bfloat16)
 
 
 def _summary_pytree(res: dict) -> FlightSummary:
@@ -152,7 +201,7 @@ def simulate_flight_batch(
     """
     scene_nw, grid, wT, ics = prepare_batch(scene_b, ic_b)
     if cfg.wind_table_bf16:
-        wT = wT.astype(jnp.bfloat16)
+        wT = _bf16_tables(wT)
     res, recs = _run_components_trajectory(scene_nw, grid, wT, cfg, ics)
     summary = _summary_pytree(res)
 

@@ -124,12 +124,11 @@ def wind_tent_lanes_major(alt, grid, wu, wv, ww):
     )
 
 
-def wind_tent_lanes_minor(alt, grid, wu, wv, ww):
-    """Tent-basis wind query, lanes-MINOR layout: grid [N], wu/wv/ww [N,B],
-    alt [B]. The XLA batch layout: B rides the 128-wide lane dimension with
-    zero padding (B is a multiple of 128), N=100 pads only the 8-wide
-    sublane axis (~4%), vs ~28% for [B,100]. The reduction runs over
-    sublanes, which the VPU handles natively."""
+def tent_weights_lanes_minor(alt, grid):
+    """Clamped-linear tent weights [N,B] for per-lane altitudes ``alt [B]``
+    on the shared ``grid [N]`` — the gather-free interpolation core shared
+    by the table query (`wind_tent_lanes_minor`) and the mode-compressed
+    query (`engine.batch`'s WindModes path)."""
     n = grid.shape[0]
     xc = jnp.clip(alt, grid[0], grid[n - 1])[None, :]  # [1,B]
     dg = jnp.maximum(grid[1:] - grid[:-1], 1e-30)
@@ -138,7 +137,16 @@ def wind_tent_lanes_minor(alt, grid, wu, wv, ww):
     gcol = grid[:, None]
     up = (xc - (gcol - left)) / left
     down = ((gcol + right) - xc) / right
-    w = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)  # [N,B]
+    return jnp.clip(jnp.minimum(up, down), 0.0, 1.0)  # [N,B]
+
+
+def wind_tent_lanes_minor(alt, grid, wu, wv, ww):
+    """Tent-basis wind query, lanes-MINOR layout: grid [N], wu/wv/ww [N,B],
+    alt [B]. The XLA batch layout: B rides the 128-wide lane dimension with
+    zero padding (B is a multiple of 128), N=100 pads only the 8-wide
+    sublane axis (~4%), vs ~28% for [B,100]. The reduction runs over
+    sublanes, which the VPU handles natively."""
+    w = tent_weights_lanes_minor(alt, grid)
     return (
         jnp.sum(w * wu, axis=0),
         jnp.sum(w * wv, axis=0),

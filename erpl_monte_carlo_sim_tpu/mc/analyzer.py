@@ -177,6 +177,7 @@ class MonteCarloAnalyzer(SubsetDriverMixin, ResimulationMixin):
         metrics_sample_cap: int = 1_048_576,
         wind_grid_points: int = 100,
         wind_grid_top: float = 25000.0,
+        wind_table_modes: Optional[int] = None,
     ):
         if scene is None:
             if motor is None:
@@ -314,6 +315,20 @@ class MonteCarloAnalyzer(SubsetDriverMixin, ResimulationMixin):
         # that don't need 250 m wind resolution.
         self.wind_grid_points = wind_grid_points
         self.wind_grid_top = wind_grid_top
+        # Mode-compressed per-lane wind tables (models.wind.WindModes):
+        # carry each lane's wind as K AR(1)-mode scores against a shared
+        # orthonormal basis instead of the full [N,3] table — the measured
+        # residual HBM ceiling of rk2 fast mode (NOTES.md r4: zero-table-
+        # byte attribution +19%; table bytes drop ~N/(K+aux) ~ 4x at K=24).
+        # Opt-in documented approximation: exact when K >= wind_grid_points
+        # (pinned by test), stats drift at the default-recommended K=24
+        # pinned like wind_table_bf16's. Applied to the simulation call
+        # only — accumulators (CV projections, re-simulation) keep the
+        # realized tables.
+        if wind_table_modes is not None and wind_table_modes < 1:
+            raise ValueError("wind_table_modes must be >= 1 (or None)")
+        self.wind_table_modes = wind_table_modes
+        self._wind_basis_memo = None  # (cache_key, basis ndarray)
         # Auto-slab threshold: a single device call tops out between 512k
         # and 1M lanes on one v5e chip (HBM headroom for the per-lane wind
         # tables + RK4 stage intermediates); beyond this the lane axis is
@@ -334,6 +349,36 @@ class MonteCarloAnalyzer(SubsetDriverMixin, ResimulationMixin):
         # SAME first-N lanes three times in a row; each re-simulation is a
         # full trajectory-recording run (minutes on the tunneled TPU).
         self._resim_memo = None
+
+    def _compress_for_sim(self, scene_b, base_wind):
+        """With ``wind_table_modes=K`` set: a copy of ``scene_b`` whose
+        per-lane wind tables are mode-compressed (models.wind.WindModes)
+        for the simulation call. The realized-table ``scene_b`` itself is
+        untouched — accumulators and re-simulation keep full tables. Shared
+        (non-per-lane) wind tables pass through: they are already one
+        broadcast table, there are no per-lane bytes to save."""
+        k = self.wind_table_modes
+        if not k:
+            return scene_b
+        wind = scene_b.wind
+        if jnp.ndim(wind.wind) != 3:
+            return scene_b
+        from ..models.wind import compress_wind, wind_mode_basis
+
+        grid = np.asarray(wind.altitudes)
+        extra = None if base_wind is None else np.asarray(base_wind[1])
+        cache_key = (
+            int(k), grid.tobytes(),
+            None if extra is None else extra.tobytes(),
+        )
+        if (self._wind_basis_memo is None
+                or self._wind_basis_memo[0] != cache_key):
+            basis = wind_mode_basis(self.scene.wind_model, grid, k,
+                                    extra_profiles=extra)
+            self._wind_basis_memo = (cache_key, basis)
+        return scene_b.replace(
+            wind=compress_wind(wind, self._wind_basis_memo[1])
+        )
 
     # ------------------------------------------------------------------ run
     def run_monte_carlo(
@@ -386,6 +431,14 @@ class MonteCarloAnalyzer(SubsetDriverMixin, ResimulationMixin):
         run configuration refuses to load.
         """
         del n_processes, optimized
+        if chunk_steps is not None and self.wind_table_modes:
+            # the stacked chunked engine consumes WindField tables only;
+            # silently dropping the compression the caller asked for would
+            # misreport what ran
+            raise ValueError(
+                "wind_table_modes applies to the component batch path; "
+                "it does not compose with chunk_steps"
+            )
         ic = _as_ic(initial_conditions)
         base_wind = None
         if self.base_wind_profile is not None and self.base_altitude_profile is not None:
@@ -449,7 +502,10 @@ class MonteCarloAnalyzer(SubsetDriverMixin, ResimulationMixin):
             # to jit(vmap(simulate_summary)), ~2.4x faster on TPU.
             from ..engine.batch import simulate_summary_batch
 
-            summary = simulate_summary_batch(scene_b, ic_b, self.sim_config)
+            summary = simulate_summary_batch(
+                self._compress_for_sim(scene_b, base_wind), ic_b,
+                self.sim_config,
+            )
         valid, reasons = outlier_mask(summary, self.bounds)
 
         stats = {
@@ -943,7 +999,8 @@ class MonteCarloAnalyzer(SubsetDriverMixin, ResimulationMixin):
                 from ..engine.batch import simulate_summary_batch
 
                 summary = simulate_summary_batch(
-                    scene_b, ic_b, self.sim_config
+                    self._compress_for_sim(scene_b, base_wind), ic_b,
+                    self.sim_config,
                 )
             # Globalize the per-slab lane ids: dispersions stamps
             # random_seed = arange(slab) (slab-LOCAL); records and parameter

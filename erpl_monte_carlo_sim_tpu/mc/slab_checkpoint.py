@@ -97,8 +97,11 @@ def run_fingerprint(analyzer, ic, n_samples, slab, seed, base_wind,
 
 
 def _pack_stream(s: StreamingStats, out: dict, prefix: str) -> None:
+    # _warned rides along so the "logged once" contract of the
+    # multimodality sketch warning survives a checkpoint resume.
     out[prefix + "moments"] = np.asarray(
-        [s.n, s._mean, s._m2, s._min, s._max], np.float64
+        [s.n, s._mean, s._m2, s._min, s._max,
+         float(getattr(s, "_warned", False))], np.float64
     )
     if s._exact_parts is not None:
         parts = s._exact_parts
@@ -119,10 +122,13 @@ def _pack_stream(s: StreamingStats, out: dict, prefix: str) -> None:
 
 def _unpack_stream(z, prefix: str, exact_threshold: int) -> StreamingStats:
     s = StreamingStats(exact_threshold=exact_threshold)
-    n, mean, m2, mn, mx = z[prefix + "moments"]
+    mo = z[prefix + "moments"]
+    n, mean, m2, mn, mx = mo[:5]
     s.n = int(n)
     s._mean, s._m2 = float(mean), float(m2)
     s._min, s._max = float(mn), float(mx)
+    # 6th slot (absent in pre-r5 checkpoints): the warn-once latch.
+    s._warned = bool(mo[5]) if mo.size > 5 else False
     if prefix + "exact" in z:
         lens = z[prefix + "exact_lens"]
         s._exact_parts = (

@@ -28,12 +28,15 @@ from .scene import Scene, nominal_scene
 from .wind import (
     WindField,
     WindModelParams,
+    WindModes,
+    compress_wind,
     generate_stochastic_profile,
     load_wind_ensemble_from_csvs,
     load_wind_profile_from_csv,
     perturb_wind_profile,
     power_law_profile,
     wind_at_altitude,
+    wind_mode_basis,
 )
 
 __all__ = [
@@ -43,8 +46,9 @@ __all__ = [
     "AeroCoefficients", "MassProperties", "RocketParams", "aero_coefficients",
     "barrowman_cp", "dynamic_cp", "mass_properties", "stability_margin",
     "Scene", "nominal_scene",
-    "WindField", "WindModelParams", "generate_stochastic_profile",
+    "WindField", "WindModelParams", "WindModes", "compress_wind",
+    "generate_stochastic_profile",
     "load_wind_profile_from_csv", "load_wind_ensemble_from_csvs",
     "perturb_wind_profile", "power_law_profile",
-    "wind_at_altitude",
+    "wind_at_altitude", "wind_mode_basis",
 ]

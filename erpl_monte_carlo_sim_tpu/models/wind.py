@@ -31,12 +31,15 @@ from ..ops.interp import interpolate_vec
 
 __all__ = [
     "WindField",
+    "WindModes",
     "WindModelParams",
     "wind_at_altitude",
     "power_law_profile",
     "generate_stochastic_profile",
     "perturb_wind_profile",
     "ar1_transfer_matrix",
+    "wind_mode_basis",
+    "compress_wind",
     "load_wind_profile_from_csv",
     "load_wind_ensemble_from_csvs",
 ]
@@ -169,6 +172,109 @@ def perturb_wind_profile(
         p, key, altitudes, base_profile[:, :2], mean_w=base_profile[:, 2],
         noise=noise,
     )
+
+
+@struct.dataclass
+class WindModes:
+    """Mode-compressed per-lane wind tables (opt-in fast-mode layout).
+
+    The AR(1) turbulence is LINEAR in its standard-normal driver
+    (``turb = A @ z``, see `ar1_transfer_matrix`), so a Monte Carlo batch of
+    per-lane [N,3] wind tables lives — up to truncation — in the span of a
+    SHARED orthonormal basis ``Q [N, M]`` (top-K left singular vectors of A
+    plus the mean-structure columns: constant offset, power-law shear shape,
+    optional forecast/ensemble profiles). Each lane then carries only its
+    per-component mode scores ``scores [B, M, 3] = einsum('nm,bnc->bmc', Q,
+    wind_tables)``, and the in-flight query is
+
+        wind_c(h) = sum_m  Q_m(h) * scores[m, c]
+
+    with ``Q_m(h)`` the shared tent-interpolated basis row — per-lane HBM
+    traffic per wind eval drops from 3N to 3M table elements (N=100,
+    M=K+aux ~ 26 at the default K=24), which is the measured residual
+    ceiling of rk2 fast mode (NOTES.md r4 ablation: zero-table-byte
+    attribution +19%). EXACT when M >= N (Q square-orthonormal); at K < N
+    an opt-in documented approximation whose stats drift is pinned by test
+    like ``wind_table_bf16``'s.
+
+    Replaces the same reference query loop (`environment.py:267-276`) as
+    ``WindField`` — this is a storage layout, not a physics change.
+    """
+
+    altitudes: jnp.ndarray   # [N] shared grid
+    basis: jnp.ndarray       # [N, M] shared orthonormal columns
+    scores: jnp.ndarray      # [B, M, 3] per-lane mode scores
+
+
+def wind_mode_basis(p: WindModelParams, altitudes, k: int,
+                    extra_profiles=None) -> np.ndarray:
+    """Shared [N, M] orthonormal basis for `WindModes` (host-side NumPy).
+
+    Columns, in order: (a) the mean-structure directions — a constant
+    column (forecast speed/direction offsets, `monte_carlo.py:276-279`),
+    the power-law shear shape (`environment.py:118-123`), and any
+    ``extra_profiles`` columns (a [N,3] forecast or [Km,N,3] ensemble whose
+    per-component profiles each contribute a column) — then (b) the top-k
+    left singular vectors of the AR(1) transfer matrix (the directions
+    carrying the most turbulence variance; same SVD infrastructure as
+    ``sobol_wind_modes``). Orthonormalized by modified Gram-Schmidt with
+    near-dependent columns dropped, so the mean structure is captured
+    EXACTLY at any k and projection is a plain transpose-matmul.
+    """
+    alt = np.asarray(altitudes, np.float64)
+    n = alt.shape[0]
+    k = int(min(max(k, 0), n))
+    cols = [np.ones(n)]
+    # power-law shape: reference_altitude=10 m, exponent from params
+    # (`power_law_profile`); amplitude is per-lane, shape is shared.
+    expo = float(np.asarray(p.power_law_exponent))
+    cols.append(np.maximum(alt / 10.0, 0.0) ** expo)
+    if extra_profiles is not None:
+        prof = np.asarray(extra_profiles, np.float64)
+        if prof.ndim == 2:
+            prof = prof[None]
+        for member in prof:          # [N, 3]
+            for c in range(member.shape[1]):
+                col = member[:, c]
+                if np.abs(col).max() > 0.0:
+                    cols.append(col)
+    if k > 0:
+        a_mat = ar1_transfer_matrix(p, alt)
+        u_svd, _, _ = np.linalg.svd(a_mat)
+        cols.extend(u_svd[:, :k].T)
+    # Modified Gram-Schmidt with drop: mean columns first guarantees their
+    # exact capture; dependent turbulence directions merge harmlessly.
+    q_cols = []
+    for col in cols:
+        v = col.astype(np.float64).copy()
+        for q in q_cols:
+            v -= (q @ v) * q
+        nrm = np.linalg.norm(v)
+        if nrm > 1e-10 * max(np.linalg.norm(col), 1.0):
+            q_cols.append(v / nrm)
+        if len(q_cols) >= n:
+            break
+    return np.stack(q_cols, axis=1)
+
+
+def compress_wind(field: WindField, basis) -> WindModes:
+    """Project a batched ``WindField`` ([B,N,3] per-lane tables) onto the
+    shared orthonormal ``basis [N,M]`` -> ``WindModes`` scores [B,M,3].
+
+    Jit-friendly (one matmul); with a square basis (M=N) the projection is
+    exact to float roundoff. The one-time cost replaces B*N*3 table bytes
+    with B*M*3 score bytes in every downstream wind eval.
+    """
+    wind = jnp.asarray(field.wind)
+    if wind.ndim != 3:
+        raise ValueError(
+            "compress_wind needs a per-lane [B,N,3] table; shared tables "
+            "are already cheap (broadcast lane axis)"
+        )
+    q = jnp.asarray(basis, wind.dtype)
+    scores = jnp.einsum("nm,bnc->bmc", q, wind)
+    return WindModes(altitudes=jnp.asarray(field.altitudes), basis=q,
+                     scores=scores)
 
 
 def ar1_transfer_matrix(p: WindModelParams, altitudes) -> np.ndarray:

@@ -138,11 +138,14 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
     order-statistic CIs on each percentile at the EXACT binomial ranks
     (``mc.stats.order_stat_ranks``, clamped to the sample extremes like
     ``mc.stats.percentile_ci``) — the valid count is read back first (one
-    scalar collective), the ranks come from scipy host-side, and the
-    ranked-value extraction runs collectively. The compiled executable
-    stays count-independent because the ranks enter as data, and the CI
-    matches ``mc.stats.percentile_ci`` bit-for-bit at ANY n (pinned by
-    test), not just pod-scale.
+    scalar collective), the ranks come from scipy host-side (CI ranks ride
+    as int32 so they stay exact past 2^24 lanes), and the ranked-value
+    extraction runs collectively. The compiled executable stays
+    count-independent because the ranks enter as data, and on the
+    exact-sort path (n <= exact_percentile_threshold, >= 2 valid lanes)
+    the CI matches ``mc.stats.percentile_ci`` bit-for-bit (pinned by
+    test); with fewer than 2 valid lanes percentiles and CIs are NaN,
+    mirroring ``percentile_ci``'s guard.
 
     Multi-host safe: when ``values`` is already a global sharded array (a
     ``jax.distributed`` run), the ``device_put`` is a no-op and the psum
@@ -171,20 +174,36 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
         l, u = order_stat_ranks(n_eff, q / 100.0)
         lo_ranks[i] = max(l, 1) - 1
         hi_ranks[i] = min(u, n_eff) - 1
+    # The histogram path consumes CONTINUOUS rank positions (compared
+    # against cumulative bin masses); float dtype is fine there because the
+    # bin-resolution error dominates any f32 rank rounding.
     host_ranks = jnp.asarray(
         np.concatenate([pct_ranks, lo_ranks, hi_ranks]), values.dtype
     )
+    # The exact-sort path gathers at INTEGER order statistics: indices ride
+    # as int32 (integral ranks round in f32 above n ~ 2^24, which a caller
+    # reaches by raising exact_percentile_threshold) and only the
+    # in-[0,1) interpolation fraction stays float. ceil is computed host-
+    # side in f64, so hi == lo exactly when the rank is integral and never
+    # touches the +inf padding beyond the valid prefix.
+    host_idx = jnp.asarray(
+        np.concatenate([
+            np.floor(pct_ranks), np.ceil(pct_ranks), lo_ranks, hi_ranks
+        ]).astype(np.int64),
+        jnp.int32,
+    )
+    host_frac = jnp.asarray(pct_ranks - np.floor(pct_ranks), values.dtype)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P()),
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(), P(), P()),
         out_specs=P(),
         # Outputs are replicated by construction (psum/all_gather), but the
         # sort-percentile path isn't statically inferable as such.
         check_vma=False,
     )
-    def _stats(v, m, ranks):
+    def _stats(v, m, ranks, idx, frac):
         m = m & jnp.isfinite(v)
         big = jnp.asarray(jnp.inf, v.dtype)
         cnt = jax.lax.psum(jnp.sum(m), BATCH_AXIS)
@@ -204,21 +223,23 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
         )
 
         qs = jnp.asarray(PERCENTILES, v.dtype)
+        k = qs.shape[0]
         if use_hist:
             vals = _histogram_values_at_ranks(
                 v, m, ranks, vmin, vmax, percentile_bins
             )
         else:
-            # Exact values: gather every shard's masked metric, sort.
+            # Exact values: gather every shard's masked metric, sort, then
+            # gather at the host-computed INT32 order statistics (exact at
+            # any n — f32 ranks round above 2^24).
             all_v = jax.lax.all_gather(
                 jnp.where(m, v, big), BATCH_AXIS, tiled=True
             )
             sorted_v = jnp.sort(all_v)
-            lo = jnp.floor(ranks).astype(jnp.int32)
-            hi = jnp.ceil(ranks).astype(jnp.int32)
-            frac = ranks - lo.astype(v.dtype)
-            vals = sorted_v[lo] + (sorted_v[hi] - sorted_v[lo]) * frac
-        k = qs.shape[0]
+            picked = sorted_v[idx]  # [pct_lo, pct_hi, ci_lo, ci_hi] x k
+            p_lo, p_hi = picked[:k], picked[k:2 * k]
+            pct_vals = p_lo + (p_hi - p_lo) * frac
+            vals = jnp.concatenate([pct_vals, picked[2 * k:]])
         return {
             "mean": mean,
             "std": jnp.sqrt(var),
@@ -231,7 +252,16 @@ def collective_stats(values: jnp.ndarray, mask: jnp.ndarray | None,
             "n": cnt,
         }
 
-    return _stats(values, mask, host_ranks)
+    out = _stats(values, mask, host_ranks, host_idx, host_frac)
+    if n_valid < 2:
+        # Mirror mc.stats.percentile_ci's guard: below 2 valid lanes order
+        # statistics are meaningless (and at n_valid == 0 the +inf mask
+        # fill would leak into "percentiles"). NaN, not clamped extremes.
+        nan = jnp.full_like(out["percentiles"], jnp.nan)
+        out = dict(out)
+        out["percentiles"] = nan
+        out["percentile_ci"] = jnp.stack([nan, nan], axis=1)
+    return out
 
 
 def collective_footprint_moments(landing: jnp.ndarray,

@@ -8,12 +8,37 @@ initialization (the config keys are process-level, not backend-level).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
-__all__ = ["enable_persistent_cache"]
+__all__ = ["enable_persistent_cache", "host_fingerprint"]
 
 _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_compile_cache")
+
+
+def host_fingerprint() -> str:
+    """8-hex-char digest of this host's CPU feature flags.
+
+    XLA:CPU persists AOT-compiled executables keyed only by program +
+    compiler version; an entry compiled on a host with wider SIMD features
+    (amx/avx512) replayed on a narrower host is a latent SIGILL (jax logs
+    "Compile machine features ... doesn't match" and falls back, wasting the
+    cache — observed as a wall of loader errors in MULTICHIP_r04.json).
+    CPU-platform cache dirs are therefore keyed by this fingerprint so each
+    host population is disjoint. TPU executables are host-independent; the
+    TPU cache stays unkeyed.
+    """
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+        return hashlib.sha256(flags.encode()).hexdigest()[:8]
+    except OSError:  # pragma: no cover - non-Linux
+        return "unknown"
 
 
 def enable_persistent_cache(path: str | None = None) -> bool:
@@ -28,7 +53,14 @@ def enable_persistent_cache(path: str | None = None) -> bool:
         current = jax.config.jax_compilation_cache_dir
         if current:
             return True  # user already configured a cache; leave it alone
-        jax.config.update("jax_compilation_cache_dir", path or _DEFAULT_DIR)
+        base = path or _DEFAULT_DIR
+        plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        if "cpu" in str(plats).split(","):
+            # CPU AOT executables embed host SIMD features — key the dir by
+            # host so another machine never replays them (see
+            # host_fingerprint).
+            base = f"{base}-{host_fingerprint()}"
+        jax.config.update("jax_compilation_cache_dir", base)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
         return True
     except Exception as e:  # pragma: no cover - depends on jax version

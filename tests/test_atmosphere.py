@@ -18,6 +18,10 @@ from erpl_monte_carlo_sim_tpu.models import (
     gravity_at,
 )
 
+# ~5-min core-correctness tier (CLAUDE.md): goldens + engine basics.
+pytestmark = pytest.mark.smoke
+
+
 RTOL = 5e-7  # transcendental-limited on this XLA build
 
 

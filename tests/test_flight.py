@@ -18,6 +18,9 @@ from erpl_monte_carlo_sim_tpu.engine import (
 )
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene, solid_motor
 
+# ~5-min core-correctness tier (CLAUDE.md): goldens + engine basics.
+pytestmark = pytest.mark.smoke
+
 CFG = SimConfig()
 
 

@@ -22,6 +22,10 @@ from erpl_monte_carlo_sim_tpu.models import (
     solid_motor,
 )
 
+# ~5-min core-correctness tier (CLAUDE.md): goldens + engine basics.
+pytestmark = pytest.mark.smoke
+
+
 
 def test_masked_stats_matches_numpy():
     rng = np.random.default_rng(0)

@@ -12,6 +12,10 @@ from erpl_monte_carlo_sim_tpu.models import (
     thrust_at,
 )
 
+# ~5-min core-correctness tier (CLAUDE.md): goldens + engine basics.
+pytestmark = pytest.mark.smoke
+
+
 RTOL = 1e-9
 
 

@@ -14,6 +14,9 @@ import pytest
 
 from erpl_monte_carlo_sim_tpu import ops
 
+# ~5-min core-correctness tier (CLAUDE.md): goldens + engine basics.
+pytestmark = pytest.mark.smoke
+
 RTOL_TRANS = 5e-7
 ATOL = 1e-12
 

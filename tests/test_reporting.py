@@ -22,6 +22,10 @@ from erpl_monte_carlo_sim_tpu.reporting import (
     to_results_dict,
 )
 
+# ~5-min core-correctness tier (CLAUDE.md): goldens + engine basics.
+pytestmark = pytest.mark.smoke
+
+
 CFG = SimConfig(max_time=30.0)
 
 # The reference's result-dict contract (`simulator.py:554-583` + rail +

@@ -13,6 +13,10 @@ from erpl_monte_carlo_sim_tpu.models import (
     stability_margin,
 )
 
+# ~5-min core-correctness tier (CLAUDE.md): goldens + engine basics.
+pytestmark = pytest.mark.smoke
+
+
 RTOL = 5e-7
 
 

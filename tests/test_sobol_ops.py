@@ -15,6 +15,9 @@ import pytest
 
 from erpl_monte_carlo_sim_tpu.ops import sobol as S
 
+# ~5-min core-correctness tier (CLAUDE.md): goldens + engine basics.
+pytestmark = pytest.mark.smoke
+
 
 def test_unscrambled_matches_scipy():
     from scipy.stats import qmc
