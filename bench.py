@@ -132,6 +132,26 @@ def main() -> None:
         rk2_times.append(time.time() - t0)
     t_rk2 = min(rk2_times)
 
+    # Mode-compressed wind tables on top of rk2 fast (r5): per-lane wind
+    # carried as 24 AR(1)-mode scores against a shared orthonormal basis
+    # (models.wind.WindModes; analyzer knob wind_table_modes=24) — the
+    # table-byte lever the r4 ablation named. Exact at full rank, stats
+    # drift pinned in tests/test_wind_modes.py.
+    from erpl_monte_carlo_sim_tpu.models import compress_wind, wind_mode_basis
+
+    q24 = wind_mode_basis(scene.wind_model,
+                          np.asarray(scene_b.wind.altitudes), 24)
+    scene_m = scene_b.replace(wind=compress_wind(scene_b.wind, q24))
+    rm = run(scene_m, ic_b, rk2_cfg)
+    np.asarray(rm.apogee_altitude)
+    modes_times = []
+    for _ in range(3):
+        t0 = time.time()
+        rm = run(scene_m, ic_b, rk2_cfg)
+        np.asarray(rm.apogee_altitude)
+        modes_times.append(time.time() - t0)
+    t_modes = min(modes_times)
+
     # Single-flight p50 latency (full nominal flight to landing). Headline
     # number uses the tiered-timestep fast flags (descent_dt_scale /
     # ascent_q_threshold: coarse RK4 only in dynamically-quiet phases;
@@ -215,6 +235,7 @@ def main() -> None:
         "wall_s": round(t, 4),
         "fast_mode_traj_per_s": round(B / t_fast, 1),
         "rk2_fast_mode_traj_per_s": round(B / t_rk2, 1),
+        "rk2_modes24_traj_per_s": round(B / t_modes, 1),
         "single_flight_p50_s": round(sorted(lat)[1], 3),
         "single_flight_mode": "tiered dt (descent_dt_scale=16, ascent_q_threshold=8000)",
         "single_flight_parity_p50_s": round(sorted(lat_parity)[1], 3),

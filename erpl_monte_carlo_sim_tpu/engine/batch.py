@@ -26,6 +26,7 @@ from ..models.wind import WindModes
 from ..ops.quaternion import quaternion_to_euler
 from .component import (
     flight_components,
+    flight_components_envelope,
     flight_components_trajectory,
     tent_weights_lanes_minor,
     wind_tent_lanes_minor,
@@ -35,7 +36,8 @@ from .rail import RailInfo
 from .simulate import FlightSummary, Trajectory
 from .state import InitialConditions
 
-__all__ = ["simulate_summary_batch", "simulate_flight_batch", "prepare_batch"]
+__all__ = ["simulate_summary_batch", "simulate_flight_batch",
+           "simulate_envelope_batch", "prepare_batch"]
 
 
 def prepare_batch(scene_b: Scene, ic_b: InitialConditions):
@@ -125,6 +127,37 @@ def _run_components_trajectory(scene_nw, grid, wT, cfg, ics):
     return flight_components_trajectory(
         scene_nw, cfg, _make_wind_fn(grid, wT), ics
     )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7, 11))
+def _run_components_envelope(scene_nw, grid, wT, cfg, ics, channels, n_bins,
+                             n_buckets, bin_dt, lo, width, hist_every):
+    return flight_components_envelope(
+        scene_nw, cfg, _make_wind_fn(grid, wT), ics, channels, n_bins,
+        n_buckets, bin_dt, lo, width, hist_every,
+    )
+
+
+def simulate_envelope_batch(scene_b, ic_b, cfg: SimConfig, *, channels,
+                            n_bins, n_buckets, bin_dt, lo, width,
+                            hist_every: int = 1):
+    """[B]-batched flights reduced IN-LOOP to per-time-bin envelope
+    aggregates — no [T, B] frame buffers (the chunk-size OOM ceiling of
+    the record-then-bin path; see ``engine.component.
+    flight_components_envelope``). Same masked steps and recording cadence
+    as ``simulate_flight_batch``. Requires pre-calibrated histogram edges
+    ``lo``/``width`` [C, n_bins] (``mc.EnvelopeAccumulator`` calibrates on
+    a frame-based first chunk). Returns ``(summary: FlightSummary, agg)``
+    for ``EnvelopeAccumulator.add_aggregates``.
+    """
+    scene_nw, grid, wT, ics = prepare_batch(scene_b, ic_b)
+    if cfg.wind_table_bf16:
+        wT = _bf16_tables(wT)
+    res, agg = _run_components_envelope(
+        scene_nw, grid, wT, cfg, ics, tuple(channels), int(n_bins),
+        int(n_buckets), bin_dt, lo, width, int(hist_every),
+    )
+    return _summary_pytree(res), agg
 
 
 def simulate_summary_batch(

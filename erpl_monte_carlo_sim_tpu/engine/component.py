@@ -815,3 +815,165 @@ def flight_components_trajectory(scene, cfg, wind_fn, ics):
     )
     st, ev = carry
     return aux["summarize"](st, ev), full
+
+
+def flight_components_envelope(scene, cfg, wind_fn, ics, channels, n_bins,
+                               n_buckets, bin_dt, lo, width, hist_every=1):
+    """Whole-flight per-time-bin envelope aggregates WITHOUT materializing
+    trajectory frames (round 5; replaces the record-then-bin pipeline over
+    `simulator.py:462-584` for envelope chunks).
+
+    The [T, B] frame buffers are what capped envelope chunks at 4096 lanes
+    (HBM OOM at 8192) while the physics rate keeps scaling to B=32k+
+    (measured: 5.6k lanes/s at B=4096 -> 22.3k at B=32768, summary-only).
+    Here the recording cadence of ``flight_components_trajectory`` is kept
+    — same masked steps, same ``record_stride``, same initial frame, same
+    ``ran`` validity — but each record step folds its [B] channel values
+    straight into per-time-bin accumulators carried through the while
+    loop:
+
+      * count/mean/M2 via a per-step batched Welford merge (one-hot MXU
+        contractions; numerically the Chan update ``mc.envelope``'s host
+        merge uses, applied per record step instead of per chunk),
+      * min/max via K-blocked one-hot reduces (a whole-K selector gets
+        materialized by XLA — the r4 OOM lesson, NOTES.md),
+      * fixed-edge histograms via the two-sided bf16 one-hot contraction
+        (f32 accumulation, counts exact) — edges must be pre-calibrated
+        (``mc.envelope.EnvelopeAccumulator`` calibrates on a first
+        frame-based chunk). ``hist_every``: fold the histogram only every
+        Nth record step (the in-loop twin of
+        ``EnvelopeConfig.hist_frame_stride``; the skipped steps still
+        trace the contraction but multiply it by zero).
+
+    Returns ``(summary_dict, agg)`` with ``agg`` a dict of
+    ``n/mean/m2/min/max [C, n_bins]``, ``hist [C, n_bins, n_buckets]``
+    (f32), ``clipped [C]`` — the exact per-chunk quantities
+    ``EnvelopeAccumulator.add_aggregates`` merges. ``channels`` are
+    ``derived_c`` output names (must include any the caller bins);
+    ``n_bins``/``n_buckets``/``channels``/``hist_every`` are static.
+    """
+    carry0, aux = _flight_setup(scene, cfg, wind_fn, ics)
+    lane_active = aux["lane_active"]
+    main_body = aux["main_body"]
+    t_of = aux["t_of"]
+    rail_time = aux["rail_time"]
+    stride = max(1, cfg.record_stride)
+    hist_every = max(1, int(hist_every))
+    n_ch = len(channels)
+    k_ax = jnp.arange(n_bins)
+    dtype = carry0[0][0].dtype
+    lo_a = jnp.asarray(lo, dtype)
+    width_a = jnp.asarray(width, dtype)
+    big = jnp.asarray(jnp.inf, dtype)
+
+    acc0 = {
+        "n": jnp.zeros((n_ch, n_bins), dtype),
+        "mean": jnp.zeros((n_ch, n_bins), dtype),
+        "m2": jnp.zeros((n_ch, n_bins), dtype),
+        "min": jnp.full((n_ch, n_bins), jnp.inf, dtype),
+        "max": jnp.full((n_ch, n_bins), -jnp.inf, dtype),
+        "hist": jnp.zeros((n_ch, n_bins, n_buckets), jnp.float32),
+        "clipped": jnp.zeros((n_ch,), jnp.float32),
+    }
+
+    def accumulate(acc, c, ran, hist_w):
+        st, ev = c
+        t_off = t_of(ev) - rail_time
+        d = derived_c(scene, cfg, wind_fn, t_off, st)
+        vals = jnp.stack([d[ch] for ch in channels])  # [C, B]
+        ids = jnp.clip(jnp.floor(t_off / bin_dt).astype(jnp.int32),
+                       0, n_bins - 1)
+        ohf = ((ids[:, None] == k_ax) & ran[:, None]).astype(dtype)  # [B,K]
+        m = jnp.isfinite(vals)
+        mv = m.astype(dtype)
+        v0 = jnp.where(m, vals, 0.0)
+        n_b = jnp.einsum("cb,bk->ck", mv, ohf)
+        s_b = jnp.einsum("cb,bk->ck", v0, ohf)
+        mean_b = s_b / jnp.maximum(n_b, 1.0)
+        mb_lane = jnp.einsum("ck,bk->cb", mean_b, ohf)
+        dcen = (v0 - mb_lane) * mv
+        m2_b = jnp.einsum("cb,bk->ck", dcen * dcen, ohf)
+        tot = acc["n"] + n_b
+        safe = jnp.maximum(tot, 1.0)
+        delta = mean_b - acc["mean"]
+
+        # min/max: K-blocked, own selector per reduction (see docstring)
+        block = 64
+        n_blocks = -(-n_bins // block)
+        starts = jnp.arange(n_blocks) * block
+
+        def block_min(k0):
+            sel = (ids[:, None] == (k0 + jnp.arange(block))) \
+                & ran[:, None]                                 # [B, block]
+            return jnp.min(
+                jnp.where(sel[None] & m[:, :, None], vals[:, :, None], big),
+                axis=1,
+            )                                                  # [C, block]
+
+        def block_max(k0):
+            sel = (ids[:, None] == (k0 + jnp.arange(block))) \
+                & ran[:, None]
+            return jnp.max(
+                jnp.where(sel[None] & m[:, :, None], vals[:, :, None], -big),
+                axis=1,
+            )
+
+        vmin_b = jnp.moveaxis(jax.lax.map(block_min, starts), 0, 1)
+        vmax_b = jnp.moveaxis(jax.lax.map(block_max, starts), 0, 1)
+        vmin_b = vmin_b.reshape(n_ch, -1)[:, :n_bins]
+        vmax_b = vmax_b.reshape(n_ch, -1)[:, :n_bins]
+
+        # fixed-edge histogram, masked identically to the frame-path
+        # kernel (_bin_histogram_mc): bin indicator carries ran, bucket
+        # indicator carries finiteness
+        lo_lane = jnp.einsum("ck,bk->cb", lo_a, ohf)
+        w_lane = jnp.einsum("ck,bk->cb", width_a, ohf)
+        frac = (v0 - lo_lane) / jnp.maximum(w_lane, 1e-30)
+        bucket = jnp.clip(frac.astype(jnp.int32), 0, n_buckets - 1)
+        contribs = []
+        for ci in range(n_ch):
+            ohu = ((bucket[ci][:, None] == jnp.arange(n_buckets))
+                   & m[ci][:, None]).astype(jnp.bfloat16)       # [B, U]
+            contribs.append(jnp.einsum(
+                "bk,bu->ku", ohf.astype(jnp.bfloat16), ohu,
+                preferred_element_type=jnp.float32,
+            ))
+        clipped = jnp.where(m & ((frac < 0.0) | (frac >= n_buckets)),
+                            1.0, 0.0)
+        clip_add = jnp.einsum("cb,bk->ck", clipped, ohf).sum(axis=1)
+        hw = hist_w.astype(jnp.float32)
+
+        return {
+            "n": tot,
+            "mean": acc["mean"] + delta * n_b / safe,
+            "m2": acc["m2"] + m2_b + delta * delta * acc["n"] * n_b / safe,
+            "min": jnp.minimum(acc["min"], vmin_b),
+            "max": jnp.maximum(acc["max"], vmax_b),
+            "hist": acc["hist"] + hw * jnp.stack(contribs),
+            "clipped": acc["clipped"] + hw * clip_add.astype(jnp.float32),
+        }
+
+    n_records = -(-cfg.max_steps // stride)
+    ones = jnp.ones_like(lane_active(carry0))
+    acc0 = accumulate(acc0, carry0, ones,
+                      jnp.asarray(1.0, jnp.float32))  # the initial frame
+
+    def cond(state):
+        c, i, _ = state
+        return (i <= n_records) & jnp.any(lane_active(c))
+
+    def body(state):
+        c, i, acc = state
+        ran = lane_active(c)
+        c = main_body(c)
+        if stride > 1:
+            c = jax.lax.fori_loop(
+                0, stride - 1, lambda _, cc: main_body(cc), c
+            )
+        hist_w = ((i % hist_every) == 0).astype(jnp.float32)
+        acc = accumulate(acc, c, ran, hist_w)
+        return c, i + 1, acc
+
+    carry, _, acc = jax.lax.while_loop(cond, body, (carry0, 1, acc0))
+    st, ev = carry
+    return aux["summarize"](st, ev), acc

@@ -89,8 +89,16 @@ def trajectory_channel(traj, name: str) -> jnp.ndarray:
     if name == "altitude":
         return traj.position[..., 2]
     if name == "speed" and "speed" not in traj.derived:
-        v = traj.velocity
-        return jnp.sqrt(jnp.sum(v * v, axis=-1))
+        # same expression AND association as engine.component.derived_c's
+        # "speed" (safe_sqrt(vx*vx + vy*vy + vz*vz)): a jnp.sum over the
+        # minor axis reduces in a different order and drifts one ULP,
+        # which would break the frame-path vs in-loop bit-equality the
+        # envelope tests pin.
+        from ..ops.math import safe_sqrt
+
+        vx, vy, vz = (traj.velocity[..., 0], traj.velocity[..., 1],
+                      traj.velocity[..., 2])
+        return safe_sqrt(vx * vx + vy * vy + vz * vz)
     if name in traj.derived:
         return traj.derived[name]
     raise KeyError(
@@ -280,6 +288,29 @@ class EnvelopeAccumulator:
             self._hist[ch] += h[i].astype(np.float64)
             self._clipped[ch] += float(clip_ct[i])
         self.n_lanes += int(traj.valid.shape[0])
+
+    def add_aggregates(self, agg, n_lanes: int) -> None:
+        """Fold in one chunk's FRAMELESS per-bin aggregates
+        (``engine.batch.simulate_envelope_batch`` — the in-loop binning
+        path that never materializes [T, B] frames, so chunks scale past
+        the frame path's 4096-lane OOM ceiling). Same host f64 Chan merge
+        as :meth:`add`; requires the bucket edges to be frozen already —
+        feed ONE frame-based chunk (:meth:`add`) first to calibrate."""
+        if self._edges is None:
+            raise RuntimeError(
+                "histogram edges not calibrated: feed one frame-based "
+                "chunk via add() before aggregate chunks"
+            )
+        a = jax.device_get(agg)
+        for i, ch in enumerate(self.env.channels):
+            self._merge_moments(ch, np.asarray(a["n"][i], np.float64),
+                                np.asarray(a["mean"][i], np.float64),
+                                np.asarray(a["m2"][i], np.float64))
+            self._min[ch] = np.minimum(self._min[ch], a["min"][i])
+            self._max[ch] = np.maximum(self._max[ch], a["max"][i])
+            self._hist[ch] += np.asarray(a["hist"][i], np.float64)
+            self._clipped[ch] += float(a["clipped"][i])
+        self.n_lanes += int(n_lanes)
 
     def _calibrate(self, vmin, vmax) -> None:
         """Freeze per-bin bucket edges from the first chunk's [C, n_bins]

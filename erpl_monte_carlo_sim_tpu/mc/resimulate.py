@@ -89,11 +89,19 @@ class ResimulationMixin:
             out = self._resimulate_slabbed(lane_ids, sim_config)
             self._resim_memo = (memo_key, out)
             return out
+        scene_sel, ic_sel = self._select_lanes(lane_ids)
+        out = simulate_flight_batch(
+            scene_sel, ic_sel, sim_config or self.sim_config
+        )
+        self._resim_memo = (memo_key, out)
+        return out
+
+    def _select_lanes(self, lane_ids):
+        """Slice the single-call batch down to ``lane_ids``: batched leaves
+        (those that gained an axis vs the base scene) gather along the
+        lane axis; shared tables pass through untouched."""
         scene_b, ic_b = self._last_batch
         ids = jnp.asarray(lane_ids)
-
-        # Slice batched leaves (those that gained an axis vs the base scene);
-        # shared tables pass through untouched.
         base_leaves = jax.tree.leaves(self.scene)
         batch_leaves = jax.tree.leaves(scene_b)
         sel_leaves = [
@@ -102,11 +110,7 @@ class ResimulationMixin:
         ]
         scene_sel = jax.tree.unflatten(jax.tree.structure(scene_b), sel_leaves)
         ic_sel = jax.tree.map(lambda x: jnp.take(x, ids, axis=0), ic_b)
-        out = simulate_flight_batch(
-            scene_sel, ic_sel, sim_config or self.sim_config
-        )
-        self._resim_memo = (memo_key, out)
-        return out
+        return scene_sel, ic_sel
 
     def flight_envelope(
         self,
@@ -116,6 +120,7 @@ class ResimulationMixin:
         env_config=None,
         sim_config: Optional[SimConfig] = None,
         analysis: Optional[dict] = None,
+        inline: bool = False,
     ) -> dict:
         """Time-binned population bands (mean/std/min/max/quantiles vs
         time-since-rail-exit) over re-simulated MC lanes — see
@@ -168,11 +173,40 @@ class ResimulationMixin:
                                   ))
         if env.record_stride is not None:
             cfg = dataclasses.replace(cfg, record_stride=env.record_stride)
+        use_inline = inline
+        if use_inline and (isinstance(self._last_batch, dict)
+                           and self._last_batch.get("slabbed")):
+            # the inline path slices the single-call batch directly;
+            # slabbed runs re-create lanes per slab — frame path only
+            # (raise rather than silently downgrade the asked-for mode)
+            raise ValueError(
+                "inline=True needs a single-call run; slabbed runs use the "
+                "frame-based envelope path"
+            )
         acc = EnvelopeAccumulator(cfg, env)
         for start in range(0, lane_ids.size, chunk):
             ids = lane_ids[start:start + chunk]
-            _, traj = self.resimulate_trajectories(ids, cfg)
-            acc.add(traj)
+            if use_inline and acc._edges is not None:
+                # frameless in-loop binning: no [T, B] buffers, so chunks
+                # scale to the physics path's operating point (measured
+                # r5: 4096-lane OOM ceiling gone, see NOTES.md)
+                from ..engine.batch import simulate_envelope_batch
+
+                scene_sel, ic_sel = self._select_lanes(ids)
+                lo, width = acc._edges
+                _, agg = simulate_envelope_batch(
+                    scene_sel, ic_sel, cfg,
+                    channels=env.channels, n_bins=acc.n_bins,
+                    n_buckets=env.n_buckets, bin_dt=env.bin_dt,
+                    lo=lo, width=width,
+                    hist_every=max(1, env.hist_frame_stride),
+                )
+                acc.add_aggregates(agg, len(ids))
+            else:
+                # first chunk always runs frame-based: it calibrates the
+                # histogram bucket edges the in-loop kernel needs
+                _, traj = self.resimulate_trajectories(ids, cfg)
+                acc.add(traj)
         self._resim_memo = None  # drop the last chunk's trajectories
         return acc.result()
 

@@ -22,12 +22,20 @@ def host_fingerprint() -> str:
 
     XLA:CPU persists AOT-compiled executables keyed only by program +
     compiler version; an entry compiled on a host with wider SIMD features
-    (amx/avx512) replayed on a narrower host is a latent SIGILL (jax logs
-    "Compile machine features ... doesn't match" and falls back, wasting the
-    cache — observed as a wall of loader errors in MULTICHIP_r04.json).
-    CPU-platform cache dirs are therefore keyed by this fingerprint so each
-    host population is disjoint. TPU executables are host-independent; the
-    TPU cache stays unkeyed.
+    (amx/avx512) replayed on a narrower host is a latent SIGILL. CPU-platform
+    cache dirs are therefore keyed by this fingerprint so each host
+    population is disjoint. TPU executables are host-independent; the TPU
+    cache stays unkeyed.
+
+    Known cosmetic residue (measured r5): this jax/XLA build also logs
+    ``cpu_aot_loader`` "machine features don't match" errors for entries
+    written BY THE SAME HOST, because XLA embeds the pseudo-features
+    ``+prefer-no-scatter/+prefer-no-gather`` in the AOT result and the
+    loader can't find them in host CPUID. Verified by writing a fresh
+    cache into an empty dir and reloading in a new process (6 such errors,
+    zero real feature deltas). Those messages are noise — the entries load
+    and warm runs are measurably faster; only a mismatch in REAL features
+    (the amx/avx512 class this fingerprint keys on) is dangerous.
     """
     try:
         flags = ""

@@ -14,8 +14,16 @@ device. Reported:
     modulo record stride), and the altitude p50 band's peak vs the
     median apogee (quantile-sketch error, bounded by bucket width).
 
-Run: PYTHONPATH=.:/root/.axon_site python -u scripts/envelope_study.py
+Run: PYTHONPATH=.:/root/.axon_site python -u scripts/envelope_study.py \
+         [--inline] [--chunk N] [--n-env N] [--hist-stride N]
+
+--inline (r5): frameless in-loop binning for every chunk after the
+calibration chunk (engine.batch.simulate_envelope_batch) — no [T, B]
+frame buffers, so chunks scale past the frame path's 4096-lane HBM
+ceiling toward the physics path's operating point (measured 22.3k
+lanes/s summary-only at B=32768).
 """
+import argparse
 import json
 import time
 
@@ -26,9 +34,16 @@ from erpl_monte_carlo_sim_tpu.mc import EnvelopeConfig, MonteCarloAnalyzer
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene
 from erpl_monte_carlo_sim_tpu.utils.cache import enable_persistent_cache
 
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--inline", action="store_true")
+_ap.add_argument("--chunk", type=int, default=4096)
+_ap.add_argument("--n-env", type=int, default=8192)
+_ap.add_argument("--hist-stride", type=int, default=1)
+_args = _ap.parse_args()
+
 N_MC = 65536
-N_ENV = 8192
-CHUNK = 4096
+N_ENV = _args.n_env
+CHUNK = _args.chunk
 STRIDE = 8
 
 enable_persistent_cache()
@@ -49,20 +64,48 @@ valid = np.asarray(a["valid_mask"])
 ids = np.nonzero(valid)[0][:N_ENV]
 apogees = np.asarray(a["summary"].apogee_altitude)[ids]
 
-env_cfg = EnvelopeConfig(bin_dt=1.0, record_stride=STRIDE)
+env_cfg = EnvelopeConfig(bin_dt=1.0, record_stride=STRIDE,
+                         hist_frame_stride=_args.hist_stride)
 t0 = time.time()
 chunk_times = []
 # instrument per-chunk cost by driving the accumulator directly
+from erpl_monte_carlo_sim_tpu.engine.batch import simulate_envelope_batch
 from erpl_monte_carlo_sim_tpu.mc.envelope import EnvelopeAccumulator
 import dataclasses
 
 rcfg = dataclasses.replace(cfg, record_derived=True, record_stride=STRIDE)
 acc = EnvelopeAccumulator(rcfg, env_cfg)
-for start in range(0, ids.size, CHUNK):
+first = 0
+if _args.inline:
+    # calibration chunk: frame-based, capped at the frame path's safe
+    # operating point — inline chunks can then be as large as physics
+    # allows (the frame path OOMs above 4096 under this config)
+    cal = min(CHUNK, 4096)
     tc = time.time()
-    _, traj = an.resimulate_trajectories(ids[start:start + CHUNK], rcfg)
+    _, traj = an.resimulate_trajectories(ids[:cal], rcfg)
     acc.add(traj)
     an._resim_memo = None
+    chunk_times.append(time.time() - tc)
+    print(f"  calibration chunk ({cal} lanes, frame-based): "
+          f"{chunk_times[-1]:.1f} s", flush=True)
+    first = cal
+for start in range(first, ids.size, CHUNK):
+    tc = time.time()
+    sel = ids[start:start + CHUNK]
+    if _args.inline and acc._edges is not None:
+        scene_sel, ic_sel = an._select_lanes(sel)
+        lo, width = acc._edges
+        _, agg = simulate_envelope_batch(
+            scene_sel, ic_sel, rcfg, channels=env_cfg.channels,
+            n_bins=acc.n_bins, n_buckets=env_cfg.n_buckets,
+            bin_dt=env_cfg.bin_dt, lo=lo, width=width,
+            hist_every=max(1, env_cfg.hist_frame_stride),
+        )
+        acc.add_aggregates(agg, sel.size)
+    else:
+        _, traj = an.resimulate_trajectories(sel, rcfg)
+        acc.add(traj)
+        an._resim_memo = None
     chunk_times.append(time.time() - tc)
     print(f"  chunk {start // CHUNK}: {chunk_times[-1]:.1f} s", flush=True)
 env = acc.result()

