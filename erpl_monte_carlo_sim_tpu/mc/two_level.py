@@ -55,6 +55,11 @@ FAST_FIELDS = (
     "ascent_q_threshold",
     "wind_eval_per_step",
     "wind_table_bf16",
+    # r5: the midpoint integrator is a fast flag too — its one honest
+    # accuracy hole is flight time (+4.3% chute-phase on the full nominal
+    # flight, NOTES.md r4), which is EXACTLY what the two-level identity
+    # repairs; the parity twin resets it to RK4.
+    "integrator",
 )
 
 METRICS = ("apogee_altitude", "range", "flight_time")

@@ -42,6 +42,10 @@ def test_parity_twin_resets_only_fast_flags():
     # deliberate-physics / non-speed fields survive untouched
     assert twin.max_time == 6.0
     assert twin.energy_consistent_aero
+    # r5: the midpoint integrator is a fast flag — its flight-time bias is
+    # exactly what the correction repairs
+    assert parity_twin(SimConfig(max_time=6.0, integrator="rk2")).integrator \
+        == "rk4"
 
 
 def test_validation():
