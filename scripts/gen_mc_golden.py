@@ -15,7 +15,7 @@ Configurations (VERDICT r3 item 1):
   calm     — SolidMotor, zero wind (turbulence_intensity=0, wind_speed 0),
              zero attitude/rate/velocity offsets; mass/motor/density
              dispersions only. Per-lane deterministic, chaos-free — the
-             STATISTICAL anchor (150 lanes committed).
+             STATISTICAL anchor (500 lanes committed since r5).
   forecast — LiquidMotor + sample_wind.csv forecast, full default
              uncertainty params, perturbed wind per lane (the example.py
              MC configuration, `example.py:57-66`). Measured r4: the
@@ -31,7 +31,7 @@ Configurations (VERDICT r3 item 1):
              that finding; no golden is committed.
 
 Run (serial, ~19 s/flight on this host):
-  python scripts/gen_mc_golden.py --config calm --n 150
+  python scripts/gen_mc_golden.py --config calm --n 500
   python scripts/gen_mc_golden.py --config forecast --n 220
 
 Output: tests/golden/mc_<config>.jsonl — one JSON object per lane, written
