@@ -284,11 +284,12 @@ class MonteCarloAnalyzer(SubsetDriverMixin, ResimulationMixin):
         if two_level_lanes:
             from .two_level import FAST_FIELDS, parity_twin
 
-            if parity_twin(sim_config) == sim_config:
+            if parity_twin(sim_config) == sim_config and not wind_table_modes:
                 raise ValueError(
                     "two_level_lanes needs at least one fast flag in "
-                    f"sim_config (one of {FAST_FIELDS}); the config is "
-                    "already exact parity — there is no bias to correct"
+                    f"sim_config (one of {FAST_FIELDS}) or "
+                    "wind_table_modes; the config is already exact parity "
+                    "— there is no bias to correct"
                 )
             if importance_shift:
                 # the correction estimates the NOMINAL-population bias;
@@ -818,6 +819,13 @@ class MonteCarloAnalyzer(SubsetDriverMixin, ResimulationMixin):
             bounds=self.bounds, base_wind=base_wind,
             wind_grid_points=self.wind_grid_points,
             wind_grid_top=self.wind_grid_top,
+            # wind_table_modes runs compress the correction's FAST leg the
+            # same way the main run simulated, so the measured bias covers
+            # the compression truncation too (r5); None when modes are off
+            fast_transform=(
+                (lambda sb: self._compress_for_sim(sb, base_wind))
+                if self.wind_table_modes else None
+            ),
         )
         iid_main = self.sampler == "prng" and not self.antithetic
         if not iid_main:

@@ -90,6 +90,7 @@ def two_level_block(
     base_wind=None,
     wind_grid_points: int = 100,
     wind_grid_top: float = 25000.0,
+    fast_transform=None,
 ) -> dict:
     """Run ``n`` coupled lanes under ``cfg`` and its parity twin; estimate
     the per-metric bias ``E[f_parity - f_fast]``.
@@ -100,14 +101,21 @@ def two_level_block(
     and per-leg wall times. Callers add the ``corrected_mean``/
     ``corrected_stderr`` fields from their own main-run statistics (see
     ``MonteCarloAnalyzer._two_level``).
+
+    ``fast_transform``: optional ``scene_b -> scene_b`` applied to the FAST
+    leg only — the hook for batch-level fast-path representations that
+    live outside SimConfig (``wind_table_modes`` compression: the analyzer
+    passes its own ``_compress_for_sim`` so the measured bias covers the
+    compression too, r5). The parity leg always runs the realized scene.
     """
     from ..engine.batch import simulate_summary_batch
 
     twin = parity_twin(cfg)
-    if twin == cfg:
+    if twin == cfg and fast_transform is None:
         raise ValueError(
             "two-level correction needs at least one fast flag set "
-            f"(one of {FAST_FIELDS}); the config is already exact parity"
+            f"(one of {FAST_FIELDS}) or a fast_transform; the config is "
+            "already exact parity"
         )
     t0 = time.time()
     corr_key = jax.random.fold_in(key, _KEY_SALT)
@@ -119,7 +127,10 @@ def two_level_block(
     leg_wall = {}
     for label, c in (("fast", cfg), ("parity", twin)):
         t1 = time.time()
-        s = simulate_summary_batch(scene_b, ic_b, c)
+        leg_scene = scene_b
+        if label == "fast" and fast_transform is not None:
+            leg_scene = fast_transform(scene_b)
+        s = simulate_summary_batch(leg_scene, ic_b, c)
         m, _ = outlier_mask(s, bounds)
         # np.asarray is a device readback, so leg timing is honestly
         # synchronized (block_until_ready is a no-op on tunneled TPUs)

@@ -240,3 +240,25 @@ def test_compress_wind_rejects_shared_table():
     wf = WindField.zero()
     with pytest.raises(ValueError, match="per-lane"):
         compress_wind(wf, np.eye(2))
+
+
+def test_two_level_covers_mode_compression():
+    """wind_table_modes alone is a valid fast path for two_level_lanes
+    (r5): the correction's FAST leg runs compressed via fast_transform, so
+    the measured bias covers the truncation — a modes-enabled run's
+    corrected means are unbiased with respect to the REALIZED-table
+    physics, not just the integrator/dt flags."""
+    scene = nominal_scene(liquid_motor())
+    mc = MonteCarloAnalyzer(
+        scene=scene, uncertainty_params=UncertaintyParams(),
+        sim_config=SimConfig(max_time=20.0, energy_consistent_aero=True),
+        wind_table_modes=8, two_level_lanes=64, persistent_cache=False,
+    )
+    a = mc.run_monte_carlo(InitialConditions.vertical_launch(), 64, seed=2)
+    tl = a["two_level"]
+    assert tl["n_coupled"] > 0
+    b = tl["apogee_altitude"]
+    assert np.isfinite(b["bias"]) and np.isfinite(b["corrected_mean"])
+    # a hard K=8 truncation produces genuinely nonzero per-lane deltas —
+    # zero would mean the fast leg silently ran uncompressed
+    assert b["abs_max_delta"] > 0.0
