@@ -1,4 +1,4 @@
-"""EXAMPLE_r04.json: recorded proof that the full reference workflow
+"""EXAMPLE_r05.json: recorded proof that the full reference workflow
 (`example.py` — single flight + forecast-perturbed 50-sample MC + report +
 all plots) ran green ON THE TPU this round (VERDICT r3 item 8: an
 artifact, not a commit-log claim).
@@ -55,11 +55,11 @@ def run_one(stabilized: bool) -> dict:
 
 def main():
     out = {
-        "round": 4,
+        "round": 5,
         "device": str(jax.devices()[0]),
         "runs": [run_one(False), run_one(True)],
     }
-    with open("/root/repo/EXAMPLE_r04.json", "w") as f:
+    with open("/root/repo/EXAMPLE_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "runs"}))
     for r in out["runs"]:

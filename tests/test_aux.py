@@ -86,20 +86,26 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_example_artifact_schema():
-    """EXAMPLE_r04.json — the recorded on-TPU run of the full reference
+    """EXAMPLE_r{N}.json — the recorded on-TPU run of the full reference
     workflow (example.py: single flight + forecast MC + report + plots;
     scripts/example_artifact.py). Validates shape and sanity so the
     artifact claim is machine-checked, not prose."""
     import json
     import os
+    import re
 
     import pytest
 
-    path = "/root/repo/EXAMPLE_r04.json"
-    if not os.path.exists(path):
+    # newest round's artifact wins; earlier rounds' remain valid evidence
+    candidates = sorted(
+        p for p in os.listdir("/root/repo")
+        if re.fullmatch(r"EXAMPLE_r\d+\.json", p)
+    )
+    if not candidates:
         pytest.skip("artifact not yet generated this round")
+    path = os.path.join("/root/repo", candidates[-1])
     art = json.load(open(path))
-    assert art["round"] == 4
+    assert art["round"] >= 4
     assert "TPU" in art["device"] or "Tpu" in art["device"]
     assert len(art["runs"]) == 2
     assert [r["stabilized"] for r in art["runs"]] == [False, True]
