@@ -46,7 +46,9 @@ from erpl_monte_carlo_sim_tpu.engine.batch import (  # noqa: E402
 from erpl_monte_carlo_sim_tpu.mc import sample_dispersions  # noqa: E402
 from erpl_monte_carlo_sim_tpu.models import liquid_motor, nominal_scene  # noqa: E402
 
-B = 262144
+import os
+
+B = int(os.environ.get("ABLATE_B", 262144))
 FAST = dict(max_time=6.0, wind_eval_per_step=True, wind_table_bf16=True)
 
 PROBE_FLAGS = [

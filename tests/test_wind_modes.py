@@ -262,3 +262,52 @@ def test_two_level_covers_mode_compression():
     # a hard K=8 truncation produces genuinely nonzero per-lane deltas —
     # zero would mean the fast leg silently ran uncompressed
     assert b["abs_max_delta"] > 0.0
+
+
+def test_ensemble_members_as_extra_columns():
+    """A forecast ENSEMBLE contributes one basis column per member
+    component, so with turbulence off tiny-k compression is exact for
+    EVERY member a lane might draw — the analyzer passes
+    base_wind[1] ([Km,N,3]) straight through as extra_profiles."""
+    scene = nominal_scene(liquid_motor())
+    scene = scene.replace(
+        wind_model=scene.wind_model.replace(turbulence_intensity=0.0)
+    )
+    ic = InitialConditions.vertical_launch()
+    grid = np.linspace(0.0, 25000.0, N_KNOTS)
+    rng = np.random.default_rng(13)
+    members = np.stack([
+        np.stack([3.0 + np.cos(grid / 3000.0 + i),
+                  rng.normal(size=N_KNOTS).cumsum() * 0.2,
+                  np.zeros(N_KNOTS)], axis=1)
+        for i in range(2)
+    ])
+    base_wind = (grid, members)
+    scene_b, ic_b, _ = sample_dispersions(
+        jax.random.PRNGKey(5), scene, ic, UncertaintyParams(), 16,
+        base_wind=base_wind, wind_grid_points=N_KNOTS,
+    )
+    q = wind_mode_basis(scene.wind_model, grid, k=1, extra_profiles=members)
+    worst = _query_diff(scene_b, ic_b, q, alts=[0.0, 6000.0, 22000.0])
+    assert worst < 1e-8
+
+
+def test_modes_compose_with_sobol_sampler():
+    """wind_table_modes operates on REALIZED tables, so it composes with
+    sampler='sobol' + sobol_wind_modes (which shape the realization): the
+    analyzer run stays finite and tracks its uncompressed twin."""
+    scene = nominal_scene(liquid_motor())
+    kw = dict(
+        scene=scene, uncertainty_params=UncertaintyParams(),
+        sim_config=SimConfig(max_time=30.0, energy_consistent_aero=True),
+        sampler="sobol", sobol_wind_modes=8, persistent_cache=False,
+    )
+    ic = InitialConditions.vertical_launch()
+    a_ref = MonteCarloAnalyzer(**kw).run_monte_carlo(ic, 128, seed=4)
+    a_cmp = MonteCarloAnalyzer(**kw, wind_table_modes=24).run_monte_carlo(
+        ic, 128, seed=4
+    )
+    r = np.asarray(a_ref["summary"].max_speed, np.float64)
+    c = np.asarray(a_cmp["summary"].max_speed, np.float64)
+    assert np.isfinite(c).all()
+    assert abs(c.mean() / r.mean() - 1) < 2e-3
